@@ -1,0 +1,69 @@
+"""Typed configuration for the aligner family.
+
+The reference spreads configuration over `configuration_t` (core.h:128-253)
+with defaults in init_global_context (core-indel.c:4399-4530) and per-tool
+overrides (SURVEY.md Appendix A.5).  Here one dataclass serves
+subread-align / subjunc / subindel, specialised by constructors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class AlignConfig:
+    # seed-and-vote
+    total_subreads: int = 10          # -n; 10 DNA / 14 RNA (core-indel.c:4473)
+    min_votes: int = 3                # -m; min votes read 1 (3 DNA / 1 RNA)
+    min_votes_second: int = 1         # -p; min votes read 2
+    max_indel: int = 5                # -I
+    max_mismatches: int = 3           # -M
+    max_hits_per_probe: int = 24      # vote-space analog (GENE_VOTE_SPACE)
+    top_k: int = 4                    # candidate clusters kept per read
+
+    # experiment
+    is_rna_seq: bool = True           # -t 0=RNA 1=DNA (aligner requires -t)
+    detect_junctions: bool = False    # subjunc: True (do_breakpoint_detection)
+    all_junctions: bool = False       # --allJunctions (fusions too)
+
+    # paired-end
+    min_fragment: int = 50            # -d
+    max_fragment: int = 600           # -D
+    mate_orientation: str = "fr"      # -S
+
+    # reporting
+    multi_best: int = 1               # -B multi-mapping reports
+    report_multi_mapping: bool = True
+    mapq_unique: int = 40             # MQS base (UsersGuide:580-592)
+    show_soft_clipping: bool = True   # -J disables
+    phred_offset: int = 33            # -P
+    sam_output: bool = False          # --SAMoutput
+    rg_id: str | None = None
+    rg_extra: tuple[str, ...] = ()
+
+    # batching / chunking (TPU-side)
+    batch_reads: int = 8192           # device batch (reference chunk = 20M)
+    pad_read_len: int = 128           # static read-length bucket
+
+    # scan-2 / realignment
+    realign_band: int = 16            # banded DP half-width (core-indel.c:4573)
+    dp_mismatch_tolerance: int = 2    # indel accepted if window mismatches <=2
+
+
+def aligner_config(**overrides) -> AlignConfig:
+    """subread-align defaults (core-interface-aligner.c:12-90, A.5)."""
+    cfg = AlignConfig(
+        total_subreads=10, min_votes=3, min_votes_second=1,
+        is_rna_seq=False, detect_junctions=False,
+    )
+    return replace(cfg, **overrides)
+
+
+def subjunc_config(**overrides) -> AlignConfig:
+    """subjunc defaults (core-interface-subjunc.c:252-280, A.5)."""
+    cfg = AlignConfig(
+        total_subreads=14, min_votes=1, min_votes_second=1,
+        is_rna_seq=True, detect_junctions=True,
+    )
+    return replace(cfg, **overrides)

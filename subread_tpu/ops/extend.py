@@ -1,0 +1,144 @@
+"""Scan-2 realignment: mismatch scoring, indel split placement, soft-clips.
+
+Reference equivalents: `explain_read`/`finalise_explain_CIGAR`
+(core-junction.c:2617,3159) and the banded DP `core_dynamic_align`
+(core-indel.c:4573-4787).  The reference's scoring for that DP is
+match +2, mismatch 0, gap-open −1, gap-extend 0 — i.e. a single indel of
+any length costs 1 and the optimum simply maximises matched bases.  For a
+known net indel size (from the vote cluster's head/tail sections) the
+optimal single-indel placement is therefore the split point s minimising
+head-mismatches(0..s) + tail-mismatches(s..L): an O(L) prefix/suffix
+cumulative-sum scan instead of an O(L·band) DP — dense, branchless,
+TPU-shaped.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def genome_base(genome_u32: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Fetch 2-bit bases at linear positions (any shape).  Layout: base i at
+    bits (i%16)*2 of word i//16 (gene-value-index.c:43)."""
+    pos = pos.astype(jnp.uint32)
+    word = genome_u32[jnp.minimum(pos >> 4, len(genome_u32) - 1)]
+    return (word >> ((pos & 15) << 1)) & 3
+
+
+def oriented_read(
+    codes: jnp.ndarray, read_len: jnp.ndarray, strand: jnp.ndarray
+) -> jnp.ndarray:
+    """Read codes in genome orientation: reverse-complemented where strand=1.
+
+    codes [R, L] uint8, read_len [R], strand [R] → [R, L] (pad right)."""
+    R, L = codes.shape
+    ridx = read_len[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
+    rc = (3 - jnp.take_along_axis(codes, jnp.clip(ridx, 0, L - 1), axis=1)).astype(
+        codes.dtype
+    )
+    return jnp.where(strand[:, None] == 1, rc, codes)
+
+
+def mismatch_matrix(
+    genome_u32: jnp.ndarray,
+    oriented: jnp.ndarray,   # [R, L] codes in genome orientation
+    read_len: jnp.ndarray,   # [R]
+    pos: jnp.ndarray,        # [R] uint32 alignment start (head section)
+) -> jnp.ndarray:
+    """bool [R, L]: mismatch of read base i vs genome base pos+i (False
+    beyond read_len)."""
+    R, L = oriented.shape
+    gpos = pos[:, None].astype(jnp.uint32) + jnp.arange(L, dtype=jnp.uint32)[None, :]
+    g = genome_base(genome_u32, gpos)
+    mm = g != oriented.astype(jnp.uint32)
+    inside = jnp.arange(L, dtype=jnp.int32)[None, :] < read_len[:, None]
+    return mm & inside
+
+
+def place_single_indel(
+    genome_u32: jnp.ndarray,
+    oriented: jnp.ndarray,
+    read_len: jnp.ndarray,
+    head_pos: jnp.ndarray,   # [R] uint32
+    indel: jnp.ndarray,      # [R] int32 net indel: >0 deletion, <0 insertion
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Optimal split s for a single indel of known size.
+
+    Head segment read[0:s] aligns at head_pos; tail segment read[s':L]
+    aligns at head_pos + s' + indel (s' = s for deletions, s + |indel| for
+    insertions, whose inserted bases consume read only).  Returns
+    (split [R] int32, total_mismatches [R] int32) excluding inserted bases.
+    """
+    R, L = oriented.shape
+    ar = jnp.arange(L, dtype=jnp.int32)[None, :]
+    inside = ar < read_len[:, None]
+
+    # head mismatches: read i ↔ genome head_pos + i
+    mm_head = mismatch_matrix(genome_u32, oriented, read_len, head_pos)
+    # prefix[i] = mismatches in read[0:i], shape [R, L+1]
+    prefix = jnp.cumsum(
+        jnp.pad(mm_head.astype(jnp.int32), ((0, 0), (1, 0))), axis=1
+    )
+
+    # tail mismatches: read i ↔ genome head_pos + i + indel
+    gpos_tail = (
+        head_pos[:, None].astype(jnp.int64) + ar.astype(jnp.int64) + indel[:, None]
+    )
+    g_tail = genome_base(genome_u32, jnp.maximum(gpos_tail, 0).astype(jnp.uint32))
+    mm_tail = (g_tail != oriented.astype(jnp.uint32)) & inside
+    # suffix[i] = mismatches in read[i:L] under the tail alignment
+    rev = jnp.flip(mm_tail.astype(jnp.int32), axis=1)
+    suffix = jnp.flip(jnp.cumsum(rev, axis=1), axis=1)  # [R, L], suffix[i] = sum i..L-1
+    suffix = jnp.concatenate([suffix, jnp.zeros((R, 1), jnp.int32)], axis=1)  # [R, L+1]
+
+    ins_len = jnp.maximum(-indel, 0)[:, None]  # inserted read bases skip scoring
+    s_grid = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
+    tail_from = jnp.minimum(s_grid + ins_len, L)
+    total = prefix + jnp.take_along_axis(suffix, tail_from, axis=1)
+    # valid split range: 1 <= s <= read_len - 1 - ins_len (both segments nonempty)
+    valid = (s_grid >= 1) & (s_grid + ins_len <= read_len[:, None] - 1)
+    total = jnp.where(valid, total, 1 << 20)
+    split = jnp.argmin(total, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(total, split[:, None], axis=1)[:, 0]
+    return split, best
+
+
+def softclip_bounds(
+    mm: jnp.ndarray,         # bool [R, L] mismatch profile of the final alignment
+    read_len: jnp.ndarray,   # [R]
+    max_edge_mm: int = 3,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Soft-clip bounds (clip_left, clip_right) per read.
+
+    Heuristic port of the reference's covered-region extension
+    (gene-algorithms.h:102 find_soft_clipping semantics): scan inward from
+    each end, clipping while the running mismatch density over the scanned
+    prefix exceeds 1/4 and at least one mismatch sits in it; an end with a
+    matching first base and clean neighbourhood is not clipped.
+    """
+    R, L = mm.shape
+    ar = jnp.arange(L, dtype=jnp.int32)[None, :]
+    inside = ar < read_len[:, None]
+    mmi = (mm & inside).astype(jnp.int32)
+
+    # prefix mismatch count p[i] = mismatches in read[0:i+1]
+    pcum = jnp.cumsum(mmi, axis=1)
+    # clip_left = 1 + last index i where density of mismatches in [0..i] > 1/4
+    dens_bad = (4 * pcum > (ar + 1)) & (pcum > 0) & inside
+    last_bad = jnp.max(jnp.where(dens_bad, ar + 1, 0), axis=1)
+    clip_left = last_bad
+
+    rcum = pcum[:, -1:] - pcum + mmi  # mismatches in read[i:L]
+    tail_len = jnp.maximum(read_len[:, None] - ar, 0)
+    dens_bad_r = (4 * rcum > tail_len) & (rcum > 0) & inside
+    first_bad = jnp.min(jnp.where(dens_bad_r, ar, 1 << 20), axis=1)
+    clip_right = jnp.where(
+        first_bad == 1 << 20, 0, jnp.maximum(read_len - first_bad, 0)
+    )
+    # degenerate overlaps → no clipping
+    too_much = clip_left + clip_right >= read_len
+    clip_left = jnp.where(too_much, 0, clip_left)
+    clip_right = jnp.where(too_much, 0, clip_right)
+    return clip_left.astype(jnp.int32), clip_right.astype(jnp.int32)

@@ -1,0 +1,304 @@
+"""Seed-and-vote: batched vote-gather over the sorted 16-mer hash index.
+
+This is the TPU-native re-design of the reference's hottest loop,
+`gehash_go_q`/`gehash_go_X` (sorted-hashtable.c:515-1060) driven from
+`do_voting` (core.c:3049-3323).  The reference fills a tiny per-read hash
+"vote table" (30x24) as hits stream out of bucket binary searches; that
+shape is intrinsically scalar.  Here the same semantics are recast as
+dense fixed-shape tensor ops over a whole read batch:
+
+  1. probe extraction  — evenly spaced 16-mers per read (core.c:3115-3184)
+  2. hash gather       — per-probe bucket binary search (branchless,
+                         fixed trip count) + fixed-width hit gather
+  3. vote counting     — all candidate positions kv = hit_pos - probe_offset
+                         are sorted per read; for every candidate anchor the
+                         number of *distinct* probes within [kv, kv+tol] is
+                         counted with a sliding windowed OR of probe bitmasks
+                         + popcount (= the vote-table clustering with
+                         indel tolerance, sorted-hashtable.c:1007-1060)
+  4. top-K selection   — greedy max-vote anchors with same-cluster
+                         suppression (process_voting_junction_PE_topK
+                         semantics, core-junction.c:2199)
+
+Everything is jit-compatible: static shapes, lax control flow only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+KMER = 16
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+class VoteParams(NamedTuple):
+    total_subreads: int = 10      # 10 DNA-seq / 14 RNA-seq (core-indel.c:4473)
+    max_hits: int = 24            # hits gathered per probe (GENE_VOTE_SPACE analog)
+    indel_tolerance: int = 5      # cluster tolerance (max indel length, -I)
+    window: int = 48              # max cluster candidates scanned per anchor
+    top_k: int = 4                # candidate clusters kept per read
+    index_gap: int = 1            # 1 = full index (-F), 3 = gapped
+    search_iters: int = 20        # binary-search depth >= log2(max bucket)
+
+
+class VoteResult(NamedTuple):
+    """Per-read top-K vote clusters; all arrays [R, K]."""
+
+    pos: jnp.ndarray        # uint32 position implied by the head section
+    tail: jnp.ndarray      # uint32 position implied by the tail section
+    #                        (tail - pos = net indel: >0 deletion, <0 insertion)
+    anchor: jnp.ndarray     # uint32 smallest kv in the cluster
+    votes: jnp.ndarray      # int32 number of distinct probing subreads
+    strand: jnp.ndarray     # int32 0 = forward, 1 = reverse-complement
+    cov_start: jnp.ndarray  # int32 smallest read offset voting in the cluster
+    cov_end: jnp.ndarray    # int32 largest read offset + KMER
+
+
+def subread_offsets(read_len: jnp.ndarray, params: VoteParams) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Probe start offsets per read: [R, P] int32, plus probe→subread id [P].
+
+    Mirrors the spacing rule in do_voting (core.c:3115-3184): 16.16
+    fixed-point step = max(index_gap, (L-15-index_gap)/(S-1)); with a gapped
+    index every nominal offset is probed at all `index_gap` phases.
+    """
+    S = params.total_subreads
+    gap = params.index_gap
+    L = read_len.astype(jnp.int32)[:, None]  # [R, 1]
+    step_fx = jnp.maximum(
+        gap << 16,
+        jnp.where(S > 1, ((L - 15 - gap) << 16) // jnp.maximum(S - 1, 1), 0),
+    )  # [R, 1]
+    s_idx = jnp.arange(S, dtype=jnp.int32)[None, :]  # [1, S]
+    base = (s_idx * step_fx) >> 16  # [R, S]
+    if gap == 1:
+        offsets = base
+        sub_id = np.arange(S, dtype=np.int32)
+    else:
+        phases = np.arange(gap, dtype=np.int32)
+        offsets = (base[:, :, None] + phases[None, None, :]).reshape(L.shape[0], S * gap)
+        sub_id = np.repeat(np.arange(S, dtype=np.int32), gap)
+    offsets = jnp.minimum(offsets, jnp.maximum(L - KMER, 0))
+    return offsets, jnp.asarray(sub_id)
+
+
+def extract_probe_keys(
+    codes: jnp.ndarray,     # uint8/int32 [R, L]
+    ambig: jnp.ndarray,     # bool [R, L]
+    read_len: jnp.ndarray,  # int32 [R]
+    offsets: jnp.ndarray,   # int32 [R, P]
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Big-endian-packed 16-mer keys at each probe offset: [R, P] uint32,
+    plus validity (inside read, no ambiguous base): [R, P] bool."""
+    R, L = codes.shape
+    idx = offsets[:, :, None] + jnp.arange(KMER, dtype=jnp.int32)[None, None, :]  # [R,P,16]
+    idx_c = jnp.minimum(idx, L - 1)
+    b = jnp.take_along_axis(codes.astype(jnp.uint32), idx_c.reshape(R, -1), axis=1).reshape(idx.shape)
+    a = jnp.take_along_axis(ambig, idx_c.reshape(R, -1), axis=1).reshape(idx.shape)
+    shifts = jnp.asarray(2 * (KMER - 1 - np.arange(KMER)), dtype=jnp.uint32)
+    keys = jnp.sum(b << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+    valid = (
+        (offsets + KMER <= read_len[:, None])
+        & ~jnp.any(a, axis=-1)
+        & (read_len[:, None] >= KMER)
+    )
+    return keys, valid
+
+
+def gather_hits(
+    probe_keys: jnp.ndarray,    # uint32 [R, P]
+    probe_valid: jnp.ndarray,   # bool [R, P]
+    bucket_start: jnp.ndarray,  # int32 [B+1]
+    short_keys: jnp.ndarray,    # int32 [N]
+    positions: jnp.ndarray,     # uint32 [N]
+    buckets_number: int,
+    params: VoteParams,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Branchless lower-bound binary search per probe + fixed-width hit gather.
+
+    Reference: the in-bucket binary search of gehash_go_q
+    (sorted-hashtable.c:960-981) including the scan-left-to-first-equal-key
+    step (ours lands on lower_bound directly).
+    Returns (hit_pos uint32 [R, P, H], hit_valid bool [R, P, H]).
+    """
+    B = jnp.uint32(buckets_number)
+    bucket = (probe_keys % B).astype(jnp.int32)
+    q = (probe_keys // B).astype(jnp.int32)
+    lo = bucket_start[bucket]
+    hi = bucket_start[bucket + 1]
+
+    def body(_, lr):
+        left, right = lr
+        mid = (left + right) >> 1
+        km = short_keys[jnp.minimum(mid, len(short_keys) - 1)]
+        go = (km < q) & (left < right)
+        return jnp.where(go, mid + 1, left), jnp.where(go, right, jnp.where(left < right, mid, right))
+
+    left, _ = jax.lax.fori_loop(0, params.search_iters, body, (lo, hi))
+
+    H = params.max_hits
+    idx = left[:, :, None] + jnp.arange(H, dtype=jnp.int32)[None, None, :]  # [R,P,H]
+    idx_c = jnp.minimum(idx, len(short_keys) - 1)
+    k_at = short_keys[idx_c]
+    hit_valid = (idx < hi[:, :, None]) & (k_at == q[:, :, None]) & probe_valid[:, :, None]
+    hit_pos = positions[idx_c]
+    return hit_pos, hit_valid
+
+
+def _vote_one_strand(
+    kv: jnp.ndarray,        # uint32 [R, C] candidate positions (SENTINEL = invalid)
+    sub_id: jnp.ndarray,    # int32 [C] probe→subread id (static per config)
+    probe_off: jnp.ndarray, # int32 [R, C] read offset of each candidate's probe
+    params: VoteParams,
+) -> tuple[jnp.ndarray, ...]:
+    """Sort candidates by kv and compute, per anchor i, the distinct-subread
+    vote count over the window [kv_i, kv_i + tol].
+
+    Returns sorted (kv, votes, cov_min, cov_max, delta_max) each [R, C].
+    """
+    R, C = kv.shape
+    sub_mask = (jnp.uint32(1) << sub_id.astype(jnp.uint32))[None, :] * jnp.ones((R, 1), jnp.uint32)
+    kv_s, mask_s, off_s = jax.lax.sort(
+        (kv, sub_mask, probe_off.astype(jnp.int32)), dimension=-1, num_keys=1
+    )
+
+    W = min(params.window, C)
+    tol = jnp.uint32(params.indel_tolerance)
+    pad_kv = jnp.pad(kv_s, ((0, 0), (0, W)), constant_values=np.uint32(0xFFFFFFFF))
+    pad_mask = jnp.pad(mask_s, ((0, 0), (0, W)))
+    pad_off = jnp.pad(off_s, ((0, 0), (0, W)), constant_values=0)
+
+    acc_mask = jnp.zeros_like(mask_s)
+    acc_min = jnp.full_like(off_s, 1 << 30)
+    acc_max = jnp.full_like(off_s, -(1 << 30))
+    acc_dmax = jnp.zeros_like(off_s)
+    for d in range(W):
+        kd = jax.lax.dynamic_slice_in_dim(pad_kv, d, C, axis=1)
+        in_w = (kd - kv_s) <= tol  # uint32 wrap puts sentinels out of window
+        md = jax.lax.dynamic_slice_in_dim(pad_mask, d, C, axis=1)
+        od = jax.lax.dynamic_slice_in_dim(pad_off, d, C, axis=1)
+        acc_mask = acc_mask | jnp.where(in_w, md, 0)
+        acc_min = jnp.minimum(acc_min, jnp.where(in_w, od, 1 << 30))
+        acc_max = jnp.maximum(acc_max, jnp.where(in_w, od, -(1 << 30)))
+        acc_dmax = jnp.maximum(acc_dmax, jnp.where(in_w, (kd - kv_s).astype(jnp.int32), 0))
+
+    votes = jax.lax.population_count(acc_mask).astype(jnp.int32)
+    votes = jnp.where(kv_s == SENTINEL, 0, votes)
+    return kv_s, votes, acc_min, acc_max, acc_dmax, mask_s, off_s
+
+
+def _cluster_stats(
+    kv_s: jnp.ndarray, off_s: jnp.ndarray, anchor: jnp.ndarray, params: VoteParams
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """For chosen anchors [R, K]: head position (kv of the member with the
+    smallest read offset — the alignment position the head section implies)
+    and tail position (kv of the member with the largest read offset).
+    tail - head is the cluster's net indel (the indel_recorder cumulative
+    offset, sorted-hashtable.c:1049-1060).  Membership = kv within
+    [anchor, anchor+tol]."""
+    tol = jnp.uint32(params.indel_tolerance)
+    member = (kv_s[:, None, :] - anchor[:, :, None]) <= tol  # [R, K, C]
+    off_lo = jnp.where(member, off_s[:, None, :], 1 << 30)
+    off_hi = jnp.where(member, off_s[:, None, :], -1)
+    head_j = jnp.argmin(off_lo, axis=-1)  # [R, K]
+    tail_j = jnp.argmax(off_hi, axis=-1)  # [R, K]
+    head_kv = jnp.take_along_axis(kv_s, head_j, axis=-1)
+    tail_kv = jnp.take_along_axis(kv_s, tail_j, axis=-1)
+    return head_kv, tail_kv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("buckets_number", "params")
+)
+def vote_batch(
+    codes: jnp.ndarray,        # uint8 [R, L]
+    ambig: jnp.ndarray,        # bool [R, L]
+    read_len: jnp.ndarray,     # int32 [R]
+    bucket_start: jnp.ndarray,
+    short_keys: jnp.ndarray,
+    positions: jnp.ndarray,
+    buckets_number: int,
+    params: VoteParams,
+) -> VoteResult:
+    """Full vote step for a read batch over both strands."""
+    R, L = codes.shape
+    offsets, sub_id = subread_offsets(read_len, params)
+    P = offsets.shape[1]
+    H = params.max_hits
+    C = P * H
+
+    per_strand = []
+    for strand in (0, 1):
+        if strand == 0:
+            c, a = codes, ambig
+            off = offsets
+        else:
+            # reverse-complement: complement = 3 - code; reversal must respect
+            # per-read length (pad sits on the right both before and after).
+            ridx = read_len[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
+            ridx_c = jnp.clip(ridx, 0, L - 1)
+            c = (3 - jnp.take_along_axis(codes, ridx_c, axis=1)).astype(codes.dtype)
+            a = jnp.take_along_axis(ambig, ridx_c, axis=1) | (ridx < 0)
+            off = offsets  # same spacing on the rc read
+
+        keys, valid = extract_probe_keys(c, a, read_len, off)
+        hit_pos, hit_valid = gather_hits(
+            keys, valid, bucket_start, short_keys, positions, buckets_number, params
+        )
+        kv = jnp.where(
+            hit_valid, hit_pos - off[:, :, None].astype(jnp.uint32), SENTINEL
+        ).reshape(R, C)
+        probe_off = jnp.broadcast_to(off[:, :, None], (R, P, H)).reshape(R, C)
+        sub_id_c = jnp.broadcast_to(jnp.asarray(sub_id)[:, None], (P, H)).reshape(C)
+        per_strand.append(_vote_one_strand(kv, sub_id_c, probe_off, params))
+
+    # --- top-K selection over both strands --------------------------------
+    K = params.top_k
+    votes_all = jnp.concatenate([per_strand[0][1], per_strand[1][1]], axis=1)  # [R, 2C]
+    kv_all = jnp.concatenate([per_strand[0][0], per_strand[1][0]], axis=1)
+    strand_all = jnp.concatenate(
+        [jnp.zeros((R, C), jnp.int32), jnp.ones((R, C), jnp.int32)], axis=1
+    )
+    covmin_all = jnp.concatenate([per_strand[0][2], per_strand[1][2]], axis=1)
+    covmax_all = jnp.concatenate([per_strand[0][3], per_strand[1][3]], axis=1)
+
+    tol = jnp.uint32(params.indel_tolerance)
+    sel_idx = jnp.zeros((R, K), jnp.int32)
+    work = votes_all
+    for k in range(K):
+        best = jnp.argmax(work, axis=-1)  # [R] first max wins (smallest kv anchor)
+        sel_idx = sel_idx.at[:, k].set(best.astype(jnp.int32))
+        bkv = jnp.take_along_axis(kv_all, best[:, None], axis=-1)
+        bstrand = jnp.take_along_axis(strand_all, best[:, None], axis=-1)
+        # suppress anchors of the same strand within ±tol of the chosen anchor
+        diff = kv_all - bkv
+        near = (diff <= tol) | (-diff <= tol)
+        work = jnp.where(near & (strand_all == bstrand), 0, work)
+
+    take = lambda arr: jnp.take_along_axis(arr, sel_idx, axis=-1)
+    sel_votes = take(votes_all)
+    sel_kv = take(kv_all)
+    sel_strand = take(strand_all)
+    sel_covmin = take(covmin_all)
+    sel_covmax = take(covmax_all)
+
+    # head/tail positions need per-strand candidate arrays
+    head0, tail0 = _cluster_stats(per_strand[0][0], per_strand[0][6], sel_kv, params)
+    head1, tail1 = _cluster_stats(per_strand[1][0], per_strand[1][6], sel_kv, params)
+    sel_head = jnp.where(sel_strand == 0, head0, head1)
+    sel_tail = jnp.where(sel_strand == 0, tail0, tail1)
+
+    empty = sel_votes <= 0
+    return VoteResult(
+        pos=jnp.where(empty, SENTINEL, sel_head),
+        tail=jnp.where(empty, SENTINEL, sel_tail),
+        anchor=jnp.where(empty, SENTINEL, sel_kv),
+        votes=sel_votes,
+        strand=sel_strand,
+        cov_start=jnp.where(empty, 0, sel_covmin),
+        cov_end=jnp.where(empty, 0, sel_covmax + KMER),
+    )

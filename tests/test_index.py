@@ -1,0 +1,110 @@
+import numpy as np
+import pytest
+
+from subread_tpu import dna
+from subread_tpu.index.build import HashIndex, build_hash_index, calculate_buckets
+from subread_tpu.index.genome import PADDING, build_genome
+from subread_tpu.io.fasta import Contig
+
+
+def make_contig(name, seq):
+    return Contig(name=name, codes=dna.encode(seq), ambig=dna.ambig_mask(seq))
+
+
+def test_genome_layout_reference_convention():
+    # [pad] c0 [pad][pad] c1 [pad]; .reads end = start + len + pad
+    # (index-builder.c:114-134, 179-213)
+    g = build_genome([make_contig("c0", "ACGT" * 10), make_contig("c1", "T" * 30)])
+    assert g.starts[0] == PADDING
+    assert g.ends[0] == PADDING + 40 + PADDING
+    assert g.starts[1] == g.ends[0] + PADDING
+    assert g.ends[1] == g.starts[1] + 30 + PADDING
+    assert g.total == g.ends[1]  # ends[last] includes the final trailing pad
+    idx, off = g.linear_to_chro(np.array([g.starts[0] + 5, g.starts[1] + 7]))
+    assert list(idx) == [0, 1]
+    assert list(off) == [5, 7]
+
+
+def test_calculate_buckets_reference_rule():
+    b = calculate_buckets(1000, 1)
+    assert b >= 0x3FFFF + 4
+    for p in (2, 3, 5, 7, 11, 13):
+        assert b % p != 0
+    # short keys always fit 16 bits signed
+    assert (2**32 - 1) // b < 32768
+
+
+def test_hash_index_lookup_roundtrip(chr901_genome, chr901_index):
+    g, idx = chr901_genome, chr901_index
+    B = idx.buckets_number
+    rng = np.random.default_rng(7)
+    # pick random true genome positions, verify their 16-mer is findable
+    s0 = int(g.starts[0])
+    n_checked = 0
+    for _ in range(300):
+        p = int(rng.integers(s0, s0 + int(g.lengths[0]) - 16))
+        key = dna.kmer_keys(g.codes[p : p + 16])[0]
+        b = int(key % np.uint32(B))
+        q = int(key // np.uint32(B))
+        lo, hi = int(idx.bucket_start[b]), int(idx.bucket_start[b + 1])
+        seg = idx.keys[lo:hi]
+        j = np.searchsorted(seg, q, side="left")
+        hits = []
+        while j < len(seg) and seg[j] == q:
+            hits.append(int(idx.positions[lo + j]))
+            j += 1
+        if not hits:
+            # only allowed if the 16-mer was uninformative (>100 occurrences)
+            all_keys = dna.kmer_keys(g.codes[s0 : s0 + int(g.lengths[0])])
+            assert int((all_keys == key).sum()) > 100
+        else:
+            assert p in hits
+            n_checked += 1
+    assert n_checked > 250
+
+
+def test_hash_index_sorted_within_buckets(chr901_index):
+    idx = chr901_index
+    bs = idx.bucket_start
+    # verify a sample of buckets are sorted by (key, position)
+    rng = np.random.default_rng(3)
+    for b in rng.integers(0, idx.buckets_number, size=200):
+        lo, hi = int(bs[b]), int(bs[b + 1])
+        if hi - lo < 2:
+            continue
+        k = idx.keys[lo:hi].astype(np.int64)
+        p = idx.positions[lo:hi].astype(np.int64)
+        comb = k * (1 << 33) + p
+        assert np.all(np.diff(comb) > 0)  # strictly: no duplicate (key,pos)
+
+
+def test_index_save_load(tmp_path, chr901_genome, chr901_index):
+    prefix = str(tmp_path / "idx")
+    chr901_genome.save(prefix)
+    chr901_index.save(prefix)
+    from subread_tpu.index.genome import Genome
+
+    g2 = Genome.load(prefix)
+    i2 = HashIndex.load(prefix)
+    assert g2.names == chr901_genome.names
+    assert np.array_equal(g2.codes, chr901_genome.codes)
+    assert i2.buckets_number == chr901_index.buckets_number
+    assert np.array_equal(i2.positions, chr901_index.positions)
+    # .reads text interchange file
+    lines = open(prefix + ".reads").read().splitlines()
+    assert lines[0] == f"{int(chr901_genome.ends[0])}\tchr901"
+
+
+def test_uninformative_filter():
+    # a genome that is one repeated 16-mer everywhere except a unique tail
+    seq = "ACGT" * 200 + "ATTGCCGGAACCTTGGAATTCCGGAATTGGCC"
+    g = build_genome([make_contig("rep", seq)])
+    idx = build_hash_index(g, index_gap=1, repeat_threshold=100)
+    # the ACGT-repeat 16mers occur ~197 times > 100 → dropped
+    key_rep = dna.kmer_keys(dna.encode("ACGT" * 4))[0]
+    B = np.uint32(idx.buckets_number)
+    b = int(key_rep % B)
+    lo, hi = int(idx.bucket_start[b]), int(idx.bucket_start[b + 1])
+    q = int(key_rep // B)
+    assert q not in idx.keys[lo:hi]
+    assert idx.n_items > 0  # unique tail survived
