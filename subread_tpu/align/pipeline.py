@@ -27,6 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.jaxenv import ensure_compile_cache
+
+ensure_compile_cache()
+
 from .. import dna
 from ..config import AlignConfig
 from ..index.build import HashIndex
@@ -82,9 +86,15 @@ class Aligner:
         )
 
     # --- device step -------------------------------------------------------
+    # Index arrays are jit *arguments* (not closed-over constants): constants
+    # would be inlined into the HLO, bloating compiles and defeating the
+    # persistent compilation cache.  Scan 1 (vote) and scan 2 (realign) are
+    # two separate jits: fusing them into one graph sends XLA's optimizer
+    # into a tailspin (>>10min compiles) for no runtime benefit.
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _device_align(self, codes, ambig, lens):
+    def _device_align(
+        self, codes, ambig, lens, bucket_start, keys, positions, genome_u32
+    ):
         """Full single-end alignment step: votes + scan-2 selection.
 
         Returns per-read int arrays (best position, strand, cigar pieces,
@@ -92,45 +102,45 @@ class Aligner:
         """
         v = vote_batch(
             codes, ambig, lens,
-            self.d_bucket_start, self.d_keys, self.d_positions,
+            bucket_start, keys, positions,
             self.index.buckets_number, self.vote_params,
         )
-        return self._scan2(codes, ambig, lens, v)
+        return self._scan2(codes, ambig, lens, genome_u32, v)
 
-    def _scan2(self, codes, ambig, lens, v: VoteResult):
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _scan2(self, codes, ambig, lens, genome_u32, v: VoteResult):
         cfg = self.cfg
         R, L = codes.shape
         K = self.vote_params.top_k
 
-        # orient reads once per strand value of each candidate
+        # orient reads once per strand; candidates flattened to one [R*K]
+        # batched split-scan call (keeps the compiled graph small).
         fwd = codes
         rev = oriented_read(codes, lens, jnp.ones((R,), jnp.int32))
 
-        def score_candidate(k):
-            pos = v.pos[:, k]
-            strand = v.strand[:, k]
-            oriented = jnp.where(strand[:, None] == 1, rev, fwd)
-            indel = jnp.clip(
-                (v.tail[:, k] - v.pos[:, k]).astype(jnp.int32),
-                -cfg.max_indel,
-                cfg.max_indel,
-            )
-            split, mism = place_single_indel(
-                self.d_genome, oriented, lens, pos, indel
-            )
-            return pos, strand, indel, split, mism
+        pos_k = v.pos                     # [R, K] uint32
+        strand_k = v.strand               # [R, K]
+        indel_k = jnp.clip(
+            (v.tail - v.pos).astype(jnp.int32), -cfg.max_indel, cfg.max_indel
+        )
 
-        poss, strands, indels, splits, misms = [], [], [], [], []
-        for k in range(K):
-            p, s, i, sp, m = score_candidate(k)
-            poss.append(p); strands.append(s); indels.append(i)
-            splits.append(sp); misms.append(m)
-        pos_k = jnp.stack(poss, 1); strand_k = jnp.stack(strands, 1)
-        indel_k = jnp.stack(indels, 1); split_k = jnp.stack(splits, 1)
-        mism_k = jnp.stack(misms, 1)
+        oriented_k = jnp.where(
+            strand_k[:, :, None] == 1, rev[:, None, :], fwd[:, None, :]
+        )  # [R, K, L]
+        flat = lambda a: a.reshape(R * K, *a.shape[2:])
+        lens_k = jnp.broadcast_to(lens[:, None], (R, K))
+        split_f, mism_f = place_single_indel(
+            genome_u32,
+            flat(oriented_k),
+            flat(lens_k[:, :, None])[:, 0],
+            flat(pos_k[:, :, None])[:, 0],
+            flat(indel_k[:, :, None])[:, 0],
+        )
+        split_k = split_f.reshape(R, K)
+        mism_k = mism_f.reshape(R, K)
 
         votes_k = v.votes
-        valid_k = (votes_k >= cfg.min_votes) & (pos_k != jnp.uint32(0xFFFFFFFF))
+        valid_k = (votes_k >= cfg.min_votes) & (pos_k != np.uint32(0xFFFFFFFF))
 
         # realignment score (core.c:2731-2739): DNA = match*100000 +
         # (10000 - mismatch); candidates ranked identically by
@@ -196,6 +206,10 @@ class Aligner:
                 jnp.asarray(codes[i : i + bs]),
                 jnp.asarray(ambig[i : i + bs]),
                 jnp.asarray(lens[i : i + bs]),
+                self.d_bucket_start,
+                self.d_keys,
+                self.d_positions,
+                self.d_genome,
             )
             parts.append(jax.device_get(res))
         for key in parts[0]:

@@ -82,11 +82,15 @@ def place_single_indel(
         jnp.pad(mm_head.astype(jnp.int32), ((0, 0), (1, 0))), axis=1
     )
 
-    # tail mismatches: read i ↔ genome head_pos + i + indel
+    # tail mismatches: read i ↔ genome head_pos + i + indel (uint32 modular
+    # arithmetic; genuine positions never underflow because head_pos >= the
+    # 1210-base contig padding)
     gpos_tail = (
-        head_pos[:, None].astype(jnp.int64) + ar.astype(jnp.int64) + indel[:, None]
+        head_pos[:, None].astype(jnp.uint32)
+        + ar.astype(jnp.uint32)
+        + indel[:, None].astype(jnp.uint32)
     )
-    g_tail = genome_base(genome_u32, jnp.maximum(gpos_tail, 0).astype(jnp.uint32))
+    g_tail = genome_base(genome_u32, gpos_tail)
     mm_tail = (g_tail != oriented.astype(jnp.uint32)) & inside
     # suffix[i] = mismatches in read[i:L] under the tail alignment
     rev = jnp.flip(mm_tail.astype(jnp.int32), axis=1)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 KMER = 16
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+SENTINEL = np.uint32(0xFFFFFFFF)  # numpy, NOT jnp: device scalars cost minutes to embed via the tunnel
 
 
 class VoteParams(NamedTuple):
@@ -73,17 +73,20 @@ def subread_offsets(read_len: jnp.ndarray, params: VoteParams) -> tuple[jnp.ndar
         gap << 16,
         jnp.where(S > 1, ((L - 15 - gap) << 16) // jnp.maximum(S - 1, 1), 0),
     )  # [R, 1]
-    s_idx = jnp.arange(S, dtype=jnp.int32)[None, :]  # [1, S]
+    s_idx = np.arange(S, dtype=np.int32)[None, :]  # [1, S]
     base = (s_idx * step_fx) >> 16  # [R, S]
     if gap == 1:
         offsets = base
         sub_id = np.arange(S, dtype=np.int32)
     else:
         phases = np.arange(gap, dtype=np.int32)
-        offsets = (base[:, :, None] + phases[None, None, :]).reshape(L.shape[0], S * gap)
+        offsets = (base[:, :, None] + phases[None, None, :]).reshape(base.shape[0], S * gap)
         sub_id = np.repeat(np.arange(S, dtype=np.int32), gap)
     offsets = jnp.minimum(offsets, jnp.maximum(L - KMER, 0))
-    return offsets, jnp.asarray(sub_id)
+    # sub_id stays a numpy array: a jax.Array constant would be embedded in
+    # the lowered module via a device->host fetch, which costs minutes over
+    # the axon tunnel.
+    return offsets, sub_id
 
 
 def extract_probe_keys(
@@ -95,11 +98,11 @@ def extract_probe_keys(
     """Big-endian-packed 16-mer keys at each probe offset: [R, P] uint32,
     plus validity (inside read, no ambiguous base): [R, P] bool."""
     R, L = codes.shape
-    idx = offsets[:, :, None] + jnp.arange(KMER, dtype=jnp.int32)[None, None, :]  # [R,P,16]
+    idx = offsets[:, :, None] + np.arange(KMER, dtype=np.int32)[None, None, :]  # [R,P,16]
     idx_c = jnp.minimum(idx, L - 1)
     b = jnp.take_along_axis(codes.astype(jnp.uint32), idx_c.reshape(R, -1), axis=1).reshape(idx.shape)
     a = jnp.take_along_axis(ambig, idx_c.reshape(R, -1), axis=1).reshape(idx.shape)
-    shifts = jnp.asarray(2 * (KMER - 1 - np.arange(KMER)), dtype=jnp.uint32)
+    shifts = (2 * (KMER - 1 - np.arange(KMER))).astype(np.uint32)
     keys = jnp.sum(b << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
     valid = (
         (offsets + KMER <= read_len[:, None])
@@ -125,7 +128,7 @@ def gather_hits(
     step (ours lands on lower_bound directly).
     Returns (hit_pos uint32 [R, P, H], hit_valid bool [R, P, H]).
     """
-    B = jnp.uint32(buckets_number)
+    B = np.uint32(buckets_number)
     bucket = (probe_keys % B).astype(jnp.int32)
     q = (probe_keys // B).astype(jnp.int32)
     lo = bucket_start[bucket]
@@ -141,7 +144,7 @@ def gather_hits(
     left, _ = jax.lax.fori_loop(0, params.search_iters, body, (lo, hi))
 
     H = params.max_hits
-    idx = left[:, :, None] + jnp.arange(H, dtype=jnp.int32)[None, None, :]  # [R,P,H]
+    idx = left[:, :, None] + np.arange(H, dtype=np.int32)[None, None, :]  # [R,P,H]
     idx_c = jnp.minimum(idx, len(short_keys) - 1)
     k_at = short_keys[idx_c]
     hit_valid = (idx < hi[:, :, None]) & (k_at == q[:, :, None]) & probe_valid[:, :, None]
@@ -161,34 +164,46 @@ def _vote_one_strand(
     Returns sorted (kv, votes, cov_min, cov_max, delta_max) each [R, C].
     """
     R, C = kv.shape
-    sub_mask = (jnp.uint32(1) << sub_id.astype(jnp.uint32))[None, :] * jnp.ones((R, 1), jnp.uint32)
+    sub_mask = jnp.broadcast_to(
+        (np.uint32(1) << sub_id.astype(np.uint32))[None, :], (R, C)
+    )
     kv_s, mask_s, off_s = jax.lax.sort(
         (kv, sub_mask, probe_off.astype(jnp.int32)), dimension=-1, num_keys=1
     )
+    kv_s, mask_s, off_s = jax.lax.optimization_barrier((kv_s, mask_s, off_s))
 
     W = min(params.window, C)
-    tol = jnp.uint32(params.indel_tolerance)
+    tol = np.uint32(params.indel_tolerance)
     pad_kv = jnp.pad(kv_s, ((0, 0), (0, W)), constant_values=np.uint32(0xFFFFFFFF))
     pad_mask = jnp.pad(mask_s, ((0, 0), (0, W)))
     pad_off = jnp.pad(off_s, ((0, 0), (0, W)), constant_values=0)
 
-    acc_mask = jnp.zeros_like(mask_s)
-    acc_min = jnp.full_like(off_s, 1 << 30)
-    acc_max = jnp.full_like(off_s, -(1 << 30))
-    acc_dmax = jnp.zeros_like(off_s)
-    for d in range(W):
+    def body(d, acc):
+        acc_mask, acc_min, acc_max = acc
         kd = jax.lax.dynamic_slice_in_dim(pad_kv, d, C, axis=1)
         in_w = (kd - kv_s) <= tol  # uint32 wrap puts sentinels out of window
         md = jax.lax.dynamic_slice_in_dim(pad_mask, d, C, axis=1)
         od = jax.lax.dynamic_slice_in_dim(pad_off, d, C, axis=1)
-        acc_mask = acc_mask | jnp.where(in_w, md, 0)
-        acc_min = jnp.minimum(acc_min, jnp.where(in_w, od, 1 << 30))
-        acc_max = jnp.maximum(acc_max, jnp.where(in_w, od, -(1 << 30)))
-        acc_dmax = jnp.maximum(acc_dmax, jnp.where(in_w, (kd - kv_s).astype(jnp.int32), 0))
+        return (
+            acc_mask | jnp.where(in_w, md, 0),
+            jnp.minimum(acc_min, jnp.where(in_w, od, 1 << 30)),
+            jnp.maximum(acc_max, jnp.where(in_w, od, -(1 << 30))),
+        )
+
+    acc_mask, acc_min, acc_max = jax.lax.fori_loop(
+        0,
+        W,
+        body,
+        (
+            jnp.zeros_like(mask_s),
+            jnp.full_like(off_s, 1 << 30),
+            jnp.full_like(off_s, -(1 << 30)),
+        ),
+    )
 
     votes = jax.lax.population_count(acc_mask).astype(jnp.int32)
     votes = jnp.where(kv_s == SENTINEL, 0, votes)
-    return kv_s, votes, acc_min, acc_max, acc_dmax, mask_s, off_s
+    return kv_s, votes, acc_min, acc_max, mask_s, off_s
 
 
 def _cluster_stats(
@@ -200,7 +215,7 @@ def _cluster_stats(
     tail - head is the cluster's net indel (the indel_recorder cumulative
     offset, sorted-hashtable.c:1049-1060).  Membership = kv within
     [anchor, anchor+tol]."""
-    tol = jnp.uint32(params.indel_tolerance)
+    tol = np.uint32(params.indel_tolerance)
     member = (kv_s[:, None, :] - anchor[:, :, None]) <= tol  # [R, K, C]
     off_lo = jnp.where(member, off_s[:, None, :], 1 << 30)
     off_hi = jnp.where(member, off_s[:, None, :], -1)
@@ -239,22 +254,29 @@ def vote_batch(
         else:
             # reverse-complement: complement = 3 - code; reversal must respect
             # per-read length (pad sits on the right both before and after).
-            ridx = read_len[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
+            ridx = read_len[:, None] - 1 - np.arange(L, dtype=np.int32)[None, :]
             ridx_c = jnp.clip(ridx, 0, L - 1)
             c = (3 - jnp.take_along_axis(codes, ridx_c, axis=1)).astype(codes.dtype)
             a = jnp.take_along_axis(ambig, ridx_c, axis=1) | (ridx < 0)
             off = offsets  # same spacing on the rc read
 
         keys, valid = extract_probe_keys(c, a, read_len, off)
+        # optimization_barrier between pipeline stages: each stage compiles
+        # in seconds alone, but letting XLA fuse across the whole
+        # probes→search→sort→window graph sends compile time superlinear
+        # (minutes).  The barriers keep compiles fast at no runtime cost.
+        keys, valid = jax.lax.optimization_barrier((keys, valid))
         hit_pos, hit_valid = gather_hits(
             keys, valid, bucket_start, short_keys, positions, buckets_number, params
         )
+        hit_pos, hit_valid = jax.lax.optimization_barrier((hit_pos, hit_valid))
         kv = jnp.where(
             hit_valid, hit_pos - off[:, :, None].astype(jnp.uint32), SENTINEL
         ).reshape(R, C)
         probe_off = jnp.broadcast_to(off[:, :, None], (R, P, H)).reshape(R, C)
-        sub_id_c = jnp.broadcast_to(jnp.asarray(sub_id)[:, None], (P, H)).reshape(C)
-        per_strand.append(_vote_one_strand(kv, sub_id_c, probe_off, params))
+        sub_id_c = np.broadcast_to(sub_id[:, None], (P, H)).reshape(C)
+        res = _vote_one_strand(kv, sub_id_c, probe_off, params)
+        per_strand.append(jax.lax.optimization_barrier(res))
 
     # --- top-K selection over both strands --------------------------------
     K = params.top_k
@@ -266,7 +288,7 @@ def vote_batch(
     covmin_all = jnp.concatenate([per_strand[0][2], per_strand[1][2]], axis=1)
     covmax_all = jnp.concatenate([per_strand[0][3], per_strand[1][3]], axis=1)
 
-    tol = jnp.uint32(params.indel_tolerance)
+    tol = np.uint32(params.indel_tolerance)
     sel_idx = jnp.zeros((R, K), jnp.int32)
     work = votes_all
     for k in range(K):
@@ -287,8 +309,8 @@ def vote_batch(
     sel_covmax = take(covmax_all)
 
     # head/tail positions need per-strand candidate arrays
-    head0, tail0 = _cluster_stats(per_strand[0][0], per_strand[0][6], sel_kv, params)
-    head1, tail1 = _cluster_stats(per_strand[1][0], per_strand[1][6], sel_kv, params)
+    head0, tail0 = _cluster_stats(per_strand[0][0], per_strand[0][5], sel_kv, params)
+    head1, tail1 = _cluster_stats(per_strand[1][0], per_strand[1][5], sel_kv, params)
     sel_head = jnp.where(sel_strand == 0, head0, head1)
     sel_tail = jnp.where(sel_strand == 0, tail0, tail1)
 
