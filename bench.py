@@ -1,0 +1,66 @@
+"""Benchmark: subread-align 100bp SE reads/s per chip vs the reference.
+
+Baseline (BASELINE.md): reference maps ~14M reads/min with 10 CPU threads
+on the human genome ≈ 23,300 reads/s per CPU core.  Target: ≥10× per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_SEC_PER_CORE = 233_000 / 10.0
+
+
+def main():
+    from subread_tpu.utils.jaxenv import ensure_compile_cache
+
+    ensure_compile_cache()
+    import jax
+
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+    from subread_tpu.index.build import build_hash_index
+    from subread_tpu.index.genome import genome_from_fasta
+    from subread_tpu.utils.simulate import simulate_reads
+
+    genome = genome_from_fasta("/root/reference/test/chr901.fa")
+    index = build_hash_index(genome, index_gap=1)
+    rng = np.random.default_rng(12345)
+    n_reads = 1 << 16
+    batch, _ = simulate_reads(
+        genome, n_reads, read_len=100, rng=rng, error_rate=0.005
+    )
+    cfg = aligner_config(batch_reads=8192, pad_read_len=100)
+    aligner = Aligner(genome, index, cfg)
+
+    # warmup (compile + first transfers)
+    aligner.align_batch(batch)
+
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        res = aligner.align_batch(batch)
+    dt = (time.time() - t0) / reps
+    reads_per_sec = n_reads / dt
+
+    mapped = float(res["mapped"].sum()) / n_reads
+    print(
+        json.dumps(
+            {
+                "metric": "subread-align reads/sec/chip (100bp SE, chr901)",
+                "value": round(reads_per_sec, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC_PER_CORE, 3),
+                "mapped_fraction": round(mapped, 4),
+                "batch_ms": round(dt * 1000 * cfg.batch_reads / n_reads, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
