@@ -107,8 +107,12 @@ class Aligner:
         )
         return self._scan2(codes, ambig, lens, genome_u32, v)
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _scan2(self, codes, ambig, lens, genome_u32, v: VoteResult):
+    @functools.partial(jax.jit, static_argnames=("self", "min_votes"))
+    def _score_candidates(self, codes, ambig, lens, genome_u32, v: VoteResult,
+                          min_votes: int | None = None):
+        """Realignment scoring of every top-K candidate: mismatches via the
+        single-indel split scan, plus the reference's integer score
+        (core.c:2731-2739).  Returns per-candidate [R, K] arrays."""
         cfg = self.cfg
         R, L = codes.shape
         K = self.vote_params.top_k
@@ -140,45 +144,142 @@ class Aligner:
         mism_k = mism_f.reshape(R, K)
 
         votes_k = v.votes
-        valid_k = (votes_k >= cfg.min_votes) & (pos_k != np.uint32(0xFFFFFFFF))
+        mv = cfg.min_votes if min_votes is None else min_votes
+        valid_k = (votes_k >= mv) & (pos_k != np.uint32(0xFFFFFFFF))
 
-        # realignment score (core.c:2731-2739): DNA = match*100000 +
-        # (10000 - mismatch); candidates ranked identically by
-        # (match - mismatch) since match = L - mismatch - inserted.
+        # realignment score: DNA = match*100000 + (10000 - mismatch);
+        # ranking is identical for RNA since match = L - mismatch - inserted.
         ins_k = jnp.maximum(-indel_k, 0)
         match_k = jnp.maximum(lens[:, None] - ins_k - mism_k, 0)
         score_k = match_k * 100000 + (10000 - mism_k)
         score_k = jnp.where(valid_k, score_k, -1)
 
+        return dict(
+            pos_k=pos_k, strand_k=strand_k, indel_k=indel_k, split_k=split_k,
+            mism_k=mism_k, votes_k=votes_k, valid_k=valid_k, score_k=score_k,
+        )
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _select_se(self, lens, sc):
+        """Single-end best-candidate selection + MAPQ."""
+        cfg = self.cfg
+        score_k, valid_k = sc["score_k"], sc["valid_k"]
         best = jnp.argmax(score_k, axis=1)
         take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
-        b_pos, b_strand = take(pos_k), take(strand_k)
-        b_indel, b_split, b_mism = take(indel_k), take(split_k), take(mism_k)
-        b_votes, b_score = take(votes_k), take(score_k)
+        b_pos, b_strand = take(sc["pos_k"]), take(sc["strand_k"])
+        b_indel, b_split = take(sc["indel_k"]), take(sc["split_k"])
+        b_mism, b_votes, b_score = take(sc["mism_k"]), take(sc["votes_k"]), take(score_k)
         b_valid = take(valid_k)
 
-        # mismatch gate: excessive mismatches → unmapped
-        # (CORE_TOO_MANY_MISMATCHES analog); allow max_mismatches on the
-        # best alignment.
+        # mismatch gate (CORE_TOO_MANY_MISMATCHES analog)
         mapped = b_valid & (b_mism <= cfg.max_mismatches)
-
-        # count equal-best candidates for multi-mapping / MAPQ
         n_best = jnp.sum((score_k == b_score[:, None]) & valid_k, axis=1)
         mapq = jnp.where(
             n_best > 1, 0, cfg.mapq_unique // (1 + jnp.maximum(b_mism, 0))
         ).astype(jnp.int32)
-
         return dict(
-            pos=b_pos,
-            strand=b_strand,
-            indel=b_indel,
-            split=b_split,
-            mism=b_mism,
-            votes=b_votes,
-            mapped=mapped,
-            multi=n_best > 1,
+            pos=b_pos, strand=b_strand, indel=b_indel, split=b_split,
+            mism=b_mism, votes=b_votes, mapped=mapped, multi=n_best > 1,
             mapq=mapq,
         )
+
+    def _scan2(self, codes, ambig, lens, genome_u32, v: VoteResult):
+        sc = self._score_candidates(codes, ambig, lens, genome_u32, v)
+        return self._select_se(lens, sc)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _select_pe(self, lens1, lens2, sc1, sc2):
+        """Paired-end combination selection.
+
+        Reference: process_voting_junction_PE_topK weights (V1+V2)*w with
+        w = 1300 PE-distance-ok / 1000 same chromosome / 800 otherwise
+        (core-junction.c:2336-2349; 1800 needs exon annotation, later).
+        Proper orientation is 'fr' with fragment length within
+        [min_fragment, max_fragment].
+        """
+        cfg = self.cfg
+        v1, v2 = sc1["votes_k"], sc2["votes_k"]           # [R, K]
+        p1, p2 = sc1["pos_k"], sc2["pos_k"]
+        s1, s2 = sc1["strand_k"], sc2["strand_k"]
+        val1, val2 = sc1["valid_k"], sc2["valid_k"]
+
+        # pairwise combos [R, K, K]  (k1 indexes mate1, k2 mate2)
+        P1 = p1[:, :, None].astype(jnp.int32)
+        P2 = p2[:, None, :].astype(jnp.int32)
+        S1 = s1[:, :, None]
+        S2 = s2[:, None, :]
+        L1 = lens1[:, None, None]
+        L2 = lens2[:, None, None]
+        V = v1[:, :, None] + v2[:, None, :]
+        VV = jnp.where(val1[:, :, None] & val2[:, None, :], V, -1)
+
+        tlen_fwd = P2 + L2 - P1   # mate1 fwd, mate2 downstream-rev
+        tlen_rev = P1 + L1 - P2
+        proper_fwd = (
+            (S1 == 0) & (S2 == 1)
+            & (tlen_fwd >= cfg.min_fragment) & (tlen_fwd <= cfg.max_fragment)
+        )
+        proper_rev = (
+            (S1 == 1) & (S2 == 0)
+            & (tlen_rev >= cfg.min_fragment) & (tlen_rev <= cfg.max_fragment)
+        )
+        proper = proper_fwd | proper_rev
+        near = jnp.abs(P1 - P2) < 500000  # same-chromosome proxy
+        w = jnp.where(proper, 1300, jnp.where(near, 1000, 800))
+        combo = VV * w + sc1["score_k"][:, :, None] // 100000 \
+            + sc2["score_k"][:, None, :] // 100000
+        combo = jnp.where(VV >= 0, combo, -1)
+
+        R, K = v1.shape
+        flatc = combo.reshape(R, K * K)
+        bi = jnp.argmax(flatc, axis=1)
+        k1 = (bi // K).astype(jnp.int32)
+        k2 = (bi % K).astype(jnp.int32)
+        b_proper = jnp.take_along_axis(
+            proper.reshape(R, K * K), bi[:, None], axis=1
+        )[:, 0]
+        any_combo = jnp.take_along_axis(flatc, bi[:, None], axis=1)[:, 0] >= 0
+
+        def pick(sc, lens, kk):
+            take = lambda a: jnp.take_along_axis(a, kk[:, None], axis=1)[:, 0]
+            b_mism = take(sc["mism_k"])
+            b_score = take(sc["score_k"])
+            mapped = take(sc["valid_k"]) & (b_mism <= cfg.max_mismatches)
+            n_best = jnp.sum(
+                (sc["score_k"] == b_score[:, None]) & sc["valid_k"], axis=1
+            )
+            mapq = jnp.where(
+                n_best > 1, 0, cfg.mapq_unique // (1 + jnp.maximum(b_mism, 0))
+            ).astype(jnp.int32)
+            return dict(
+                pos=take(sc["pos_k"]), strand=take(sc["strand_k"]),
+                indel=take(sc["indel_k"]), split=take(sc["split_k"]),
+                mism=b_mism, votes=take(sc["votes_k"]), mapped=mapped,
+                multi=n_best > 1, mapq=mapq,
+            )
+
+        # fall back to independent SE selection when no valid combo exists
+        se_k1 = jnp.argmax(sc1["score_k"], axis=1).astype(jnp.int32)
+        se_k2 = jnp.argmax(sc2["score_k"], axis=1).astype(jnp.int32)
+        k1 = jnp.where(any_combo, k1, se_k1)
+        k2 = jnp.where(any_combo, k2, se_k2)
+        r1 = pick(sc1, lens1, k1)
+        r2 = pick(sc2, lens2, k2)
+        r1["proper"] = b_proper & r1["mapped"] & r2["mapped"]
+        r2["proper"] = r1["proper"]
+        return r1, r2
+
+    def _device_align_pe(
+        self, c1, a1, l1, c2, a2, l2, bucket_start, keys, positions, genome_u32
+    ):
+        B = self.index.buckets_number
+        v1 = vote_batch(c1, a1, l1, bucket_start, keys, positions, B, self.vote_params)
+        v2 = vote_batch(c2, a2, l2, bucket_start, keys, positions, B, self.vote_params)
+        sc1 = self._score_candidates(c1, a1, l1, genome_u32, v1)
+        sc2 = self._score_candidates(
+            c2, a2, l2, genome_u32, v2, min_votes=self.cfg.min_votes_second
+        )
+        return self._select_pe(l1, l2, sc1, sc2)
 
     # --- host orchestration -------------------------------------------------
 
@@ -271,6 +372,142 @@ class Aligner:
                     tags=[f"NM:i:{nm}"],
                 )
             )
+
+    def align_batch_pe(self, b1: ReadBatch, b2: ReadBatch):
+        c1, a1, l1, R = self._pad_batch(b1)
+        c2, a2, l2, _ = self._pad_batch(b2)
+        bs = self.cfg.batch_reads
+        parts1, parts2 = [], []
+        for i in range(0, len(l1), bs):
+            sl = slice(i, i + bs)
+            r1, r2 = self._device_align_pe(
+                jnp.asarray(c1[sl]), jnp.asarray(a1[sl]), jnp.asarray(l1[sl]),
+                jnp.asarray(c2[sl]), jnp.asarray(a2[sl]), jnp.asarray(l2[sl]),
+                self.d_bucket_start, self.d_keys, self.d_positions, self.d_genome,
+            )
+            parts1.append(jax.device_get(r1))
+            parts2.append(jax.device_get(r2))
+        out1 = {k: np.concatenate([p[k] for p in parts1])[:R] for k in parts1[0]}
+        out2 = {k: np.concatenate([p[k] for p in parts2])[:R] for k in parts2[0]}
+        return out1, out2
+
+    def _emit_sam_pe(self, writer, b1, b2, res1, res2, summary: AlignSummary):
+        g = self.genome
+        cidx1, coff1 = g.linear_to_chro(res1["pos"].astype(np.int64))
+        cidx2, coff2 = g.linear_to_chro(res2["pos"].astype(np.int64))
+        ok1 = res1["mapped"] & (coff1 >= 0) & (coff1 < g.lengths[cidx1])
+        ok2 = res2["mapped"] & (coff2 >= 0) & (coff2 < g.lengths[cidx2])
+        for i, name in enumerate(b1.names):
+            recs = []
+            for mate, (batch, res, cidx, coff, ok, mok, mcidx, mcoff) in enumerate(
+                (
+                    (b1, res1, cidx1, coff1, ok1, ok2, cidx2, coff2),
+                    (b2, res2, cidx2, coff2, ok2, ok1, cidx1, coff1),
+                )
+            ):
+                L = int(batch.lengths[i])
+                strand = int(res["strand"][i])
+                seq_codes = batch.codes[i, :L]
+                qual = batch.quals[i, :L].tobytes().decode()
+                if strand == 1:
+                    seq = dna.decode(dna.revcomp(seq_codes))
+                    qual = qual[::-1]
+                else:
+                    seq = dna.decode(seq_codes)
+                flag = samio.FLAG_PAIRED | (
+                    samio.FLAG_FIRST if mate == 0 else samio.FLAG_SECOND
+                )
+                summary.total += 1
+                if not ok[i]:
+                    summary.unmapped += 1
+                    flag |= samio.FLAG_UNMAPPED
+                    if not mok[i]:
+                        flag |= samio.FLAG_MATE_UNMAPPED
+                    recs.append(
+                        samio.SamRecord(name, flag, "*", 0, 0, "*", seq=seq, qual=qual)
+                    )
+                    continue
+                summary.mapped += 1
+                if res["multi"][i]:
+                    summary.multi += 1
+                else:
+                    summary.unique += 1
+                indel = int(res["indel"][i])
+                split = int(res["split"][i])
+                if indel > 0:
+                    cigar = f"{split}M{indel}D{L - split}M"
+                    summary.indels += 1
+                elif indel < 0:
+                    cigar = f"{split}M{-indel}I{L - split + indel}M"
+                    summary.indels += 1
+                else:
+                    cigar = f"{L}M"
+                if strand:
+                    flag |= samio.FLAG_REVERSE
+                if bool(res.get("proper", np.zeros(1))[i]):
+                    flag |= samio.FLAG_PROPER_PAIR
+                rnext, pnext, tlen = "*", 0, 0
+                if mok[i]:
+                    if int(res["strand"][i]) == 0 and int(
+                        (res2 if mate == 0 else res1)["strand"][i]
+                    ) == 1:
+                        pass
+                    if int(mcidx[i]) == int(cidx[i]):
+                        rnext = "="
+                        p_self, p_mate = int(coff[i]) + 1, int(mcoff[i]) + 1
+                        Lm = int((b2 if mate == 0 else b1).lengths[i])
+                        if p_self <= p_mate:
+                            tlen = p_mate + Lm - p_self
+                        else:
+                            tlen = -(p_self + L - p_mate)
+                        pnext = p_mate
+                    else:
+                        rnext = g.names[int(mcidx[i])]
+                        pnext = int(mcoff[i]) + 1
+                    if int((res2 if mate == 0 else res1)["strand"][i]) == 1:
+                        flag |= samio.FLAG_MATE_REVERSE
+                else:
+                    flag |= samio.FLAG_MATE_UNMAPPED
+                recs.append(
+                    samio.SamRecord(
+                        name, flag, g.names[int(cidx[i])], int(coff[i]) + 1,
+                        int(res["mapq"][i]), cigar, rnext=rnext, pnext=pnext,
+                        tlen=tlen, seq=seq, qual=qual,
+                        tags=[f"NM:i:{int(res['mism'][i]) + abs(int(res['indel'][i]))}"],
+                    )
+                )
+            for r in recs:
+                writer.write(r)
+
+    def align_file_pe(
+        self, fq1: str, fq2: str, out_sam: str, chunk_reads: int = 1 << 20
+    ) -> AlignSummary:
+        summary = AlignSummary()
+        rd1, rd2 = FastqReader(fq1), FastqReader(fq2)
+        writer = samio.SamWriter(
+            out_sam, self.genome.names, [int(x) for x in self.genome.lengths],
+            rg_id=self.cfg.rg_id, rg_extra=list(self.cfg.rg_extra) or None,
+        )
+        try:
+            while True:
+                t0 = time.time()
+                b1 = rd1.next_batch(chunk_reads, pad_to=self.cfg.pad_read_len)
+                b2 = rd2.next_batch(chunk_reads, pad_to=self.cfg.pad_read_len)
+                if b1 is None or b2 is None:
+                    break
+                assert len(b1) == len(b2), "mate files out of sync"
+                t1 = time.time()
+                r1, r2 = self.align_batch_pe(b1, b2)
+                t2 = time.time()
+                self._emit_sam_pe(writer, b1, b2, r1, r2, summary)
+                t3 = time.time()
+                summary.time_io += (t1 - t0) + (t3 - t2)
+                summary.time_voting += t2 - t1
+        finally:
+            rd1.close()
+            rd2.close()
+            writer.close()
+        return summary
 
     def align_file(
         self, fastq_path: str, out_sam: str, chunk_reads: int = 1 << 20

@@ -1,0 +1,491 @@
+"""featureCounts: read-to-feature assignment and counting.
+
+Reference: readSummary.c — annotation load (:975), sorted per-chromosome
+feature blocks (:1509-1680), record gates (process_line_buffer
+:2924-3211), overlap scoring/voting (vote_and_add_count :4611-5050),
+summary categories (:7207).  This is the host-side engine; the hot
+interval-assignment loop has a device (jnp.searchsorted-based) twin for
+large BAM streams (quant/device_assign.py, later round).
+
+Gate order (process_line_buffer): unmapped → read-type → singleton (-B) →
+MAPQ (-Q) → chimera (-C) → fragment length (-P -d -D) → duplicate
+(--ignoreDup) → multi-mapping (NH / -M / --primary) → secondary →
+split/non-split → feature overlap → ambiguity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..io.gtf import Annotation
+from ..io.sam import parse_cigar
+
+SUMMARY_CATEGORIES = [
+    "Assigned",
+    "Unassigned_Unmapped",
+    "Unassigned_Read_Type",
+    "Unassigned_Singleton",
+    "Unassigned_MappingQuality",
+    "Unassigned_Chimera",
+    "Unassigned_FragmentLength",
+    "Unassigned_Duplicate",
+    "Unassigned_MultiMapping",
+    "Unassigned_Secondary",
+    "Unassigned_Nonjunction",
+    "Unassigned_NoFeatures",
+    "Unassigned_Overlapping_Length",
+    "Unassigned_Ambiguity",
+]
+
+
+@dataclass
+class FCOptions:
+    paired: bool = False              # -p
+    count_read_pairs: bool = False    # --countReadPairs
+    require_both_ends: bool = False   # -B
+    no_chimeric: bool = False         # -C
+    check_pe_dist: bool = False       # -P
+    min_fragment: int = 50            # -d
+    max_fragment: int = 600           # -D
+    count_multi: bool = False         # -M
+    primary_only: bool = False        # --primary
+    min_mapq: int = 0                 # -Q
+    strand: int = 0                   # -s 0/1/2
+    feature_level: bool = False       # -f
+    allow_multi_overlap: bool = False # -O
+    min_overlap: int = 1              # --minOverlap
+    frac_overlap: float = 0.0         # --fracOverlap
+    largest_overlap: bool = False     # --largestOverlap
+    read2pos: int = 0                 # --read2pos 5|3 (0 = off)
+    ext5: int = 0                     # --readExtension5
+    ext3: int = 0                     # --readExtension3
+    ignore_dup: bool = False          # --ignoreDup
+    fraction: bool = False            # --fraction
+    max_mop: int = 10                 # --maxMOp
+    split_only: bool = False          # --splitOnly
+    non_split_only: bool = False      # --nonSplitOnly
+    count_junctions: bool = False     # -J
+
+
+class _ChromIndex:
+    """Sorted-by-start feature arrays for one chromosome with a prefix-max
+    end for bounded backward scans (the reference's block min_start/max_end
+    structure, readSummary.c:1592-1680, recast)."""
+
+    def __init__(self, idx: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+        order = np.argsort(starts, kind="stable")
+        self.feat_idx = idx[order]
+        self.starts = starts[order]
+        self.ends = ends[order]
+        self.prefix_max_end = np.maximum.accumulate(self.ends)
+
+    def query(self, s: int, e: int) -> np.ndarray:
+        """Feature indices overlapping [s, e] (1-based inclusive)."""
+        hi = np.searchsorted(self.starts, e, side="right")
+        out = []
+        i = hi - 1
+        while i >= 0 and self.prefix_max_end[i] >= s:
+            if self.ends[i] >= s:
+                out.append(i)
+            i -= 1
+        return np.asarray(out[::-1], dtype=np.int64)
+
+
+@dataclass
+class _Rec:
+    flag: int
+    chro: str
+    pos: int
+    mapq: int
+    cigar: str
+    tlen: int
+    nh: int
+
+
+def _parse_rec(fields: list[str]) -> _Rec:
+    nh = 1
+    for tag in fields[11:]:
+        if tag.startswith("NH:i:"):
+            nh = int(tag[5:])
+            break
+    return _Rec(
+        flag=int(fields[1]),
+        chro=fields[2],
+        pos=int(fields[3]),
+        mapq=int(fields[4]),
+        cigar=fields[5],
+        tlen=int(fields[8]),
+        nh=nh,
+    )
+
+
+def _sections(rec: _Rec, max_mop: int) -> list[tuple[int, int]]:
+    """CIGAR → genomic [start, end] sections (1-based incl.), split at N.
+    M/D/=/X consume reference within a section; N splits; at most max_mop
+    M operations are honoured (--maxMOp, readSummary.c)."""
+    if rec.cigar == "*":
+        return []
+    out = []
+    p = rec.pos
+    sec_start = None
+    n_m = 0
+    for n, op in parse_cigar(rec.cigar):
+        if op in "M=X":
+            n_m += 1
+            if n_m > max_mop:
+                break
+            if sec_start is None:
+                sec_start = p
+            p += n
+        elif op == "D":
+            if sec_start is not None:
+                p += n
+            else:
+                p += n
+        elif op == "N":
+            if sec_start is not None:
+                out.append((sec_start, p - 1))
+                sec_start = None
+            p += n
+        # I/S/H/P consume no reference
+    if sec_start is not None:
+        out.append((sec_start, p - 1))
+    return out
+
+
+class FeatureCounter:
+    def __init__(self, annotation: Annotation, opts: FCOptions,
+                 chro_aliases: dict[str, str] | None = None):
+        # chro_aliases maps annotation chromosome name to SAM chromosome
+        # name (-A alias CSV, readSummary.c alias table).
+        self.ann = annotation
+        self.opts = opts
+        # targets: per-gene (meta-feature) or per-feature row (-f)
+        if opts.feature_level:
+            self.n_targets = annotation.n_features
+            self.feat_target = np.arange(annotation.n_features, dtype=np.int64)
+        else:
+            self.n_targets = len(annotation.gene_names)
+            self.feat_target = annotation.feat_gene.astype(np.int64)
+        self.by_chrom: dict[str, _ChromIndex] = {}
+        chro_arr = np.asarray(annotation.feat_chro)
+        for chro in set(annotation.feat_chro):
+            sel = np.flatnonzero(chro_arr == chro)
+            ci = _ChromIndex(
+                sel, annotation.feat_start[sel], annotation.feat_end[sel]
+            )
+            # register fuzzy aliases: with/without "chr" prefix, lower-case
+            # (the reference's chromosome-name inference)
+            aliases = {chro, chro.lower(),
+                       chro[3:] if chro.lower().startswith("chr") else "chr" + chro}
+            if chro_aliases and chro in chro_aliases:
+                aliases.add(chro_aliases[chro])
+            for alias in aliases:
+                self.by_chrom.setdefault(alias, ci)
+            self.by_chrom[chro] = ci
+        self.counts = np.zeros(self.n_targets, dtype=np.float64)
+        self.summary = {c: 0 for c in SUMMARY_CATEGORIES}
+        self.jcounts: dict[tuple[str, int, int], float] = {}
+
+    # --- fragment-level processing ----------------------------------------
+
+    def _read_interval_ops(self, rec: _Rec) -> list[tuple[int, int]]:
+        secs = _sections(rec, self.opts.max_mop)
+        if not secs:
+            return []
+        o = self.opts
+        if o.read2pos == 5:
+            p = secs[0][0] if not (rec.flag & 0x10) else secs[-1][1]
+            secs = [(p, p)]
+        elif o.read2pos == 3:
+            p = secs[-1][1] if not (rec.flag & 0x10) else secs[0][0]
+            secs = [(p, p)]
+        if o.ext5:
+            if rec.flag & 0x10:
+                s, e = secs[-1]
+                secs[-1] = (s, e + o.ext5)
+            else:
+                s, e = secs[0]
+                secs[0] = (max(1, s - o.ext5), e)
+        if o.ext3:
+            if rec.flag & 0x10:
+                s, e = secs[0]
+                secs[0] = (max(1, s - o.ext3), e)
+            else:
+                s, e = secs[-1]
+                secs[-1] = (s, e + o.ext3)
+        return secs
+
+    def _assign(self, recs: list[_Rec]) -> None:
+        """Fragment gates + vote_and_add_count semantics
+        (readSummary.c:2924-3211, 4611-5050):
+
+        * without -O a target hit by both ends (vote 2) beats one hit by a
+          single end (vote 1); remaining ties -> Ambiguity;
+        * overlap lengths are merged unions per target (a read overlapping
+          an exon twice, or both mates overlapping, never double-counts);
+        * --largestOverlap scores overlap*2 + (both-ends ? 1 : 0) and keeps
+          only the maximum (reference 15FEB2023 rule);
+        * chimeric = NOT (same chromosome AND opposite strands)
+          (readSummary.c:3066-3113); PE distance uses |TLEN|;
+        * PE MAPQ gate uses max(mapq1, mapq2) (readSummary.c:3048).
+        """
+        o = self.opts
+        s = self.summary
+        mapped = [r for r in recs if not (r.flag & 0x4) and r.cigar != "*"]
+        if not mapped:
+            s["Unassigned_Unmapped"] += 1
+            return
+        if o.require_both_ends and o.paired:
+            paired_recs = [r for r in recs if r.flag & 0x1]
+            if len(mapped) < 2 and paired_recs:
+                s["Unassigned_Singleton"] += 1
+                return
+        if o.min_mapq:
+            q = max(r.mapq for r in mapped) if o.paired else mapped[0].mapq
+            if q < o.min_mapq:
+                s["Unassigned_MappingQuality"] += 1
+                return
+        if o.paired and len(mapped) == 2 and (o.check_pe_dist or o.no_chimeric):
+            r1, r2 = mapped[0], mapped[1]
+            opposite = ((r1.flag & 0x10) != 0) != ((r2.flag & 0x10) != 0)
+            if r1.chro == r2.chro and opposite:
+                if o.check_pe_dist:
+                    flen = abs(r1.tlen)
+                    if not (o.min_fragment <= flen <= o.max_fragment):
+                        s["Unassigned_FragmentLength"] += 1
+                        return
+            else:
+                if o.no_chimeric:
+                    s["Unassigned_Chimera"] += 1
+                    return
+        if o.ignore_dup and any(r.flag & 0x400 for r in recs):
+            s["Unassigned_Duplicate"] += 1
+            return
+        nh = max(r.nh for r in mapped)
+        is_multi = nh > 1
+        if is_multi and not o.count_multi:
+            s["Unassigned_MultiMapping"] += 1
+            return
+        if o.primary_only and any(r.flag & 0x100 for r in mapped):
+            s["Unassigned_MultiMapping"] += 1
+            return
+        has_split = any("N" in r.cigar for r in mapped)
+        if o.split_only and not has_split:
+            s["Unassigned_Nonjunction"] += 1
+            return
+        if o.non_split_only and has_split:
+            s["Unassigned_Nonjunction"] += 1
+            return
+
+        # strandness: fragment strand = strand of the first-in-pair read
+        frag_strand = None
+        if o.strand:
+            first = next((r for r in mapped if r.flag & 0x40), mapped[0])
+            frag_strand = 1 if (first.flag & 0x10) else 0
+            if o.strand == 2:
+                frag_strand ^= 1
+
+        # per-end overlap intervals per target
+        end_hits: list[dict[int, list[tuple[int, int]]]] = [{}, {}]
+        span_ivs: list[tuple[str, int, int]] = []
+        for ei, r in enumerate(mapped[:2]):
+            for (ss, ee) in self._read_interval_ops(r):
+                span_ivs.append((r.chro, ss, ee))
+                ci = self.by_chrom.get(r.chro)
+                if ci is None:
+                    continue
+                for j in ci.query(ss, ee):
+                    fi = int(ci.feat_idx[j])
+                    if frag_strand is not None:
+                        fstr = int(self.ann.feat_strand[fi])
+                        if fstr != 2 and fstr != frag_strand:
+                            continue
+                    ov_s = max(ss, int(ci.starts[j]))
+                    ov_e = min(ee, int(ci.ends[j]))
+                    if ov_s <= ov_e:
+                        t = int(self.feat_target[fi])
+                        end_hits[ei].setdefault(t, []).append((ov_s, ov_e))
+
+        if o.count_junctions:
+            self._count_junctions(mapped, None)
+
+        targets = set(end_hits[0]) | set(end_hits[1])
+        if not targets:
+            s["Unassigned_NoFeatures"] += 1
+            return
+
+        need_len = o.min_overlap > 1 or o.frac_overlap > 0 or o.largest_overlap
+
+        def union_len(ivs):
+            ivs = sorted(ivs)
+            total = 0
+            cs, ce = ivs[0]
+            for a, b in ivs[1:]:
+                if a > ce + 1:
+                    total += ce - cs + 1
+                    cs, ce = a, b
+                else:
+                    ce = max(ce, b)
+            return total + ce - cs + 1
+
+        numbers: dict[int, int] = {}
+        for t in targets:
+            n_ends = (t in end_hits[0]) + (t in end_hits[1])
+            numbers[t] = 1 if o.allow_multi_overlap else n_ends
+
+        if need_len:
+            overlaps = {
+                t: union_len(end_hits[0].get(t, []) + end_hits[1].get(t, []))
+                for t in targets
+            }
+            # fragment length = merged union of both mates' sections
+            # (calc_total_frag_len, readSummary.c:2142)
+            read_span = 0
+            for chro in {c for c, _, _ in span_ivs}:
+                read_span += union_len(
+                    [(a, b) for c, a, b in span_ivs if c == chro]
+                )
+            need = o.min_overlap
+            if o.frac_overlap > 0:
+                frac_need = int(o.frac_overlap * read_span)
+                if o.frac_overlap * read_span - frac_need >= 0.001:
+                    frac_need += 1
+                need = max(need, frac_need)
+            if o.largest_overlap:
+                for t in targets:
+                    both = (t in end_hits[0]) and (t in end_hits[1])
+                    numbers[t] = overlaps[t] * 2 + (1 if both else 0)
+                longest = max(numbers.values())
+            else:
+                longest = 0
+            for t in targets:
+                if overlaps[t] < need or numbers[t] < longest:
+                    numbers[t] = 0
+
+        best = max(numbers.values())
+        if best < 1:
+            s["Unassigned_Overlapping_Length"] += 1
+            return
+        winners = [t for t, v in numbers.items() if v == best]
+        if len(winners) > 1 and not o.allow_multi_overlap:
+            s["Unassigned_Ambiguity"] += 1
+            return
+
+        weight = 1.0
+        if o.fraction:
+            if o.count_multi and is_multi:
+                weight /= nh
+            if o.allow_multi_overlap and len(winners) > 1:
+                weight /= len(winners)
+        s["Assigned"] += 1
+        for t in winners:
+            self.counts[t] += weight
+
+    def _count_junctions(self, mapped, overlap):
+        for r in mapped:
+            p = r.pos
+            last_exon_end = None
+            for n, op in parse_cigar(r.cigar):
+                if op in "MD=X":
+                    p += n
+                elif op == "N":
+                    site1 = p - 1        # last base of left exon
+                    site2 = p + n        # first base of right exon
+                    key = (r.chro, site1, site2)
+                    self.jcounts[key] = self.jcounts.get(key, 0) + 1
+                    p += n
+                    last_exon_end = p
+
+    # --- record streaming ---------------------------------------------------
+
+    def count_sam(self, path: str) -> None:
+        """Stream a SAM text file; mates re-paired by name (the SAM_pairer
+        analog, input-files.c:2562 — here a host hash of pending mates)."""
+        o = self.opts
+        pending: dict[str, list[str]] = {}
+        with open(path) as f:
+            for line in f:
+                if line.startswith("@") or not line.strip():
+                    continue
+                fields = line.rstrip("\n").split("\t")
+                flag = int(fields[1])
+                if o.paired and (flag & 0x1):
+                    qname = fields[0]
+                    mate = pending.pop(qname, None)
+                    if mate is None:
+                        pending[qname] = fields
+                    else:
+                        self._assign([_parse_rec(mate), _parse_rec(fields)])
+                else:
+                    self._assign([_parse_rec(fields)])
+        # leftover singletons (mate never seen)
+        for fields in pending.values():
+            self._assign([_parse_rec(fields)])
+
+    # --- outputs ------------------------------------------------------------
+
+    def write_counts(self, path: str, input_names: list[str]) -> None:
+        ann = self.ann
+        with open(path, "w") as f:
+            f.write(
+                "# Program:subread_tpu featureCounts; Output:gene-level\n"
+            )
+            f.write(
+                "Geneid\tChr\tStart\tEnd\tStrand\tLength\t"
+                + "\t".join(input_names) + "\n"
+            )
+            strands = "+-."
+            if self.opts.feature_level:
+                for i in range(ann.n_features):
+                    cnt = self.counts[i]
+                    f.write(
+                        f"{ann.gene_names[int(ann.feat_gene[i])]}\t{ann.feat_chro[i]}"
+                        f"\t{int(ann.feat_start[i])}\t{int(ann.feat_end[i])}"
+                        f"\t{strands[int(ann.feat_strand[i])]}"
+                        f"\t{int(ann.feat_end[i]-ann.feat_start[i]+1)}"
+                        f"\t{self._fmt(cnt)}\n"
+                    )
+            else:
+                lengths = ann.gene_lengths()
+                for gidx, gname in enumerate(ann.gene_names):
+                    sel = np.flatnonzero(ann.feat_gene == gidx)
+                    order = sel[np.argsort(ann.feat_start[sel], kind="stable")]
+                    chrs = ";".join(ann.feat_chro[i] for i in order)
+                    starts = ";".join(str(int(ann.feat_start[i])) for i in order)
+                    ends = ";".join(str(int(ann.feat_end[i])) for i in order)
+                    strs = ";".join(strands[int(ann.feat_strand[i])] for i in order)
+                    f.write(
+                        f"{gname}\t{chrs}\t{starts}\t{ends}\t{strs}"
+                        f"\t{int(lengths[gidx])}\t{self._fmt(self.counts[gidx])}\n"
+                    )
+
+    @staticmethod
+    def _fmt(v: float) -> str:
+        if abs(v - round(v)) < 1e-9:
+            return str(int(round(v)))
+        return f"{v:.2f}"
+
+    def write_summary(self, path: str, input_names: list[str]) -> None:
+        with open(path, "w") as f:
+            f.write("Status\t" + "\t".join(input_names) + "\n")
+            for c in SUMMARY_CATEGORIES:
+                label = (
+                    "Unassigned_Split" if c == "Unassigned_Nonjunction" and
+                    self.opts.non_split_only else c
+                )
+                f.write(f"{label}\t{self.summary[c]}\n")
+
+    def write_jcounts(self, path: str, input_names: list[str]) -> None:
+        with open(path, "w") as f:
+            f.write(
+                "PrimaryGene\tSecondaryGenes\tSite1_chr\tSite1_location\t"
+                "Site1_strand\tSite2_chr\tSite2_location\tSite2_strand\t"
+                + "\t".join(input_names) + "\n"
+            )
+            for (chro, s1, s2), cnt in sorted(self.jcounts.items()):
+                f.write(
+                    f"NA\tNA\t{chro}\t{s1}\tNA\t{chro}\t{s2}\tNA\t{int(cnt)}\n"
+                )

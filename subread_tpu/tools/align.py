@@ -1,0 +1,109 @@
+"""subread-align equivalent.
+
+Reference CLI: core-interface-aligner.c:12-90 (option table), :256
+(parse_opts_aligner).  The flags below mirror the subset exercised by the
+reference test suite plus the headline options; see SURVEY.md A.5 for the
+default differences vs subjunc.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser(prog="subread_tpu-align", subjunc=False):
+    ap = argparse.ArgumentParser(prog=prog)
+    ap.add_argument("-i", "--index", required=True, help="index prefix")
+    ap.add_argument("-r", "--reads", required=True, help="FASTQ (R1)")
+    ap.add_argument("-R", "--reads2", help="FASTQ (R2) for paired-end")
+    ap.add_argument("-o", "--output", required=True, help="output SAM/BAM")
+    if not subjunc:
+        ap.add_argument("-t", "--type", type=int, default=0,
+                        help="0=RNA-seq 1=DNA-seq")
+    ap.add_argument("-n", "--subreads", type=int, default=None,
+                    help="subreads per read (default 10 DNA / 14 subjunc)")
+    ap.add_argument("-m", "--min-votes", type=int, default=None)
+    ap.add_argument("-p", "--min-votes2", type=int, default=None)
+    ap.add_argument("-I", "--max-indel", type=int, default=5)
+    ap.add_argument("-M", "--max-mismatches", type=int, default=3)
+    ap.add_argument("-T", "--threads", type=int, default=1,
+                    help="compatibility (device parallelism is automatic)")
+    ap.add_argument("-d", "--min-fragment", type=int, default=50)
+    ap.add_argument("-D", "--max-fragment", type=int, default=600)
+    ap.add_argument("-P", "--phred", choices=["3", "6"], default="3",
+                    help="3 = phred+33, 6 = phred+64")
+    ap.add_argument("-J", dest="hide_softclip", action="store_true",
+                    help="do not show soft-clipping")
+    ap.add_argument("-H", dest="hamming", action="store_true",
+                    help="hamming-distance tie-break (compat)")
+    ap.add_argument("-Q", dest="quality_break", action="store_true",
+                    help="quality-score tie-break (compat)")
+    ap.add_argument("--SAMoutput", action="store_true", help="write SAM text")
+    ap.add_argument("--gzFASTQinput", action="store_true",
+                    help="compat flag; gz detected automatically")
+    ap.add_argument("--rg-id", dest="rg_id")
+    ap.add_argument("--rg", dest="rg", action="append", default=[])
+    ap.add_argument("-B", "--multi-best", type=int, default=1)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return run_align(args, subjunc=False)
+
+
+def run_align(args, subjunc: bool) -> int:
+    from ..align.pipeline import Aligner
+    from ..config import aligner_config, subjunc_config
+    from ..index.build import HashIndex
+    from ..index.genome import Genome
+
+    t0 = time.time()
+    genome = Genome.load(args.index)
+    index = HashIndex.load(args.index)
+
+    mk = subjunc_config if subjunc else aligner_config
+    overrides = dict(
+        max_indel=args.max_indel,
+        max_mismatches=args.max_mismatches,
+        min_fragment=args.min_fragment,
+        max_fragment=args.max_fragment,
+        phred_offset=64 if args.phred == "6" else 33,
+        show_soft_clipping=not args.hide_softclip,
+        sam_output=args.SAMoutput,
+        rg_id=args.rg_id,
+        rg_extra=tuple(args.rg),
+        multi_best=args.multi_best,
+    )
+    if not subjunc and args.type == 1:
+        overrides["is_rna_seq"] = False
+    if args.subreads is not None:
+        overrides["total_subreads"] = args.subreads
+    if args.min_votes is not None:
+        overrides["min_votes"] = args.min_votes
+    if args.min_votes2 is not None:
+        overrides["min_votes_second"] = args.min_votes2
+    cfg = mk(**overrides)
+
+    aligner = Aligner(genome, index, cfg)
+    if args.reads2:
+        summary = aligner.align_file_pe(args.reads, args.reads2, args.output)
+    else:
+        summary = aligner.align_file(args.reads, args.output)
+
+    d = summary.as_dict()
+    print(
+        f"// Mapped: {d['mapped']}/{d['total']} "
+        f"({100.0*d['mapped']/max(d['total'],1):.1f}%), "
+        f"unique {d['unique']}, multi {d['multi']}, "
+        f"indel-CIGARs {d['indels']}; {time.time()-t0:.1f}s total "
+        f"(device {d['time_voting']:.1f}s, io {d['time_io']:.1f}s)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

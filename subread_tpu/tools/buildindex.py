@@ -1,0 +1,63 @@
+"""subread-buildindex equivalent.
+
+Reference CLI: index-builder.c:1014-1306.  Flags mirrored: -o prefix,
+-F full index (gap=1; default here), -B one block (always one block in the
+TPU build — the index lives in HBM), -f repeat threshold, -M memory MB
+(accepted, unused), positional FASTA file(s).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="subread_tpu-buildindex", description=__doc__
+    )
+    ap.add_argument("-o", "--output", required=True, help="index prefix")
+    ap.add_argument("-F", "--full-index", action="store_true",
+                    help="build a full index (every 16-mer; default)")
+    ap.add_argument("--gapped", action="store_true",
+                    help="build the gapped index (every 3rd 16-mer)")
+    ap.add_argument("-B", "--one-block", action="store_true",
+                    help="accepted for compatibility (always one block)")
+    ap.add_argument("-M", "--memory", type=int, default=8000,
+                    help="memory budget MB (compatibility; unused)")
+    ap.add_argument("-f", "--threshold", type=int, default=100,
+                    help="repeat threshold for uninformative 16-mers")
+    ap.add_argument("fasta", nargs="+", help="reference FASTA file(s)")
+    args = ap.parse_args(argv)
+
+    from ..index.build import build_hash_index
+    from ..index.genome import build_genome
+    from ..io.fasta import read_fasta
+
+    t0 = time.time()
+    contigs = []
+    for path in args.fasta:
+        contigs.extend(read_fasta(path))
+    genome = build_genome(contigs)
+    gap = 3 if args.gapped else 1
+    index = build_hash_index(genome, index_gap=gap, repeat_threshold=args.threshold)
+    genome.save(args.output)
+    index.save(args.output)
+    with open(args.output + ".log", "w") as f:
+        f.write(
+            f"contigs={len(genome.names)} bases={int(genome.lengths.sum())} "
+            f"items={index.n_items} buckets={index.buckets_number} "
+            f"gap={gap} seconds={time.time()-t0:.1f}\n"
+        )
+    print(
+        f"Index built: {len(genome.names)} contigs, "
+        f"{int(genome.lengths.sum())} bases, {index.n_items} 16-mers, "
+        f"{time.time()-t0:.1f}s",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

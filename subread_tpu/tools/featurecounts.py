@@ -1,0 +1,121 @@
+"""featureCounts CLI (reference readSummary.c:8859, long options :7302)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="subread_tpu-featureCounts")
+    ap.add_argument("-a", "--annotation", required=True)
+    ap.add_argument("-A", "--aliases", help="chromosome alias CSV (anno,sam)")
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("-F", "--format", default="GTF", choices=["GTF", "SAF"])
+    ap.add_argument("-t", "--feature-type", default="exon")
+    ap.add_argument("-g", "--attr-type", default="gene_id")
+    ap.add_argument("-p", dest="paired", action="store_true")
+    ap.add_argument("--countReadPairs", dest="count_read_pairs", action="store_true")
+    ap.add_argument("-B", dest="both_ends", action="store_true")
+    ap.add_argument("-C", dest="no_chimeric", action="store_true")
+    ap.add_argument("-P", dest="pe_dist", action="store_true")
+    ap.add_argument("-d", dest="min_fragment", type=int, default=50)
+    ap.add_argument("-D", dest="max_fragment", type=int, default=600)
+    ap.add_argument("-M", dest="multi", action="store_true")
+    ap.add_argument("--primary", action="store_true")
+    ap.add_argument("-Q", dest="min_mapq", type=int, default=0)
+    ap.add_argument("-s", dest="strand", default="0")
+    ap.add_argument("-f", dest="feature_level", action="store_true")
+    ap.add_argument("-O", dest="multi_overlap", action="store_true")
+    ap.add_argument("--minOverlap", type=int, default=1)
+    ap.add_argument("--fracOverlap", type=float, default=0.0)
+    ap.add_argument("--largestOverlap", action="store_true")
+    ap.add_argument("--read2pos", type=int, default=0)
+    ap.add_argument("--readExtension5", type=int, default=0)
+    ap.add_argument("--readExtension3", type=int, default=0)
+    ap.add_argument("--ignoreDup", action="store_true")
+    ap.add_argument("--fraction", action="store_true")
+    ap.add_argument("--maxMOp", type=int, default=10)
+    ap.add_argument("--splitOnly", action="store_true")
+    ap.add_argument("--nonSplitOnly", action="store_true")
+    ap.add_argument("--donotsort", action="store_true")
+    ap.add_argument("-J", dest="junctions", action="store_true")
+    ap.add_argument("-T", dest="threads", type=int, default=1)
+    ap.add_argument("input", nargs="+", help="SAM input file(s)")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from ..io.gtf import load_annotation
+    from ..quant.featurecounts import FCOptions, FeatureCounter
+
+    import os as _os
+
+    for path in [args.annotation] + args.input:
+        if not _os.path.exists(path):
+            print(f"ERROR: file not found: {path}", file=sys.stderr)
+            return 1
+    ann = load_annotation(
+        args.annotation, fmt=args.format,
+        feature_type=args.feature_type, attr_type=args.attr_type,
+    )
+    if ann.n_features == 0:
+        print(
+            f"ERROR: no features of type '{args.feature_type}' loaded from "
+            f"{args.annotation} (is -F {args.format} correct?)",
+            file=sys.stderr,
+        )
+        return 1
+    opts = FCOptions(
+        paired=args.paired,
+        count_read_pairs=args.count_read_pairs,
+        require_both_ends=args.both_ends,
+        no_chimeric=args.no_chimeric,
+        check_pe_dist=args.pe_dist,
+        min_fragment=args.min_fragment,
+        max_fragment=args.max_fragment,
+        count_multi=args.multi,
+        primary_only=args.primary,
+        min_mapq=args.min_mapq,
+        strand=int(args.strand.split(",")[0]),
+        feature_level=args.feature_level,
+        allow_multi_overlap=args.multi_overlap,
+        min_overlap=args.minOverlap,
+        frac_overlap=args.fracOverlap,
+        largest_overlap=args.largestOverlap,
+        read2pos=args.read2pos,
+        ext5=args.readExtension5,
+        ext3=args.readExtension3,
+        ignore_dup=args.ignoreDup,
+        fraction=args.fraction,
+        max_mop=args.maxMOp,
+        split_only=args.splitOnly,
+        non_split_only=args.nonSplitOnly,
+        count_junctions=args.junctions,
+    )
+    aliases = None
+    if args.aliases:
+        aliases = {}
+        for line in open(args.aliases):
+            line = line.strip()
+            if line and "," in line:
+                a, b = line.split(",", 1)
+                aliases[a] = b
+    fc = FeatureCounter(ann, opts, chro_aliases=aliases)
+    names = [os.path.basename(p) for p in args.input]
+    for path in args.input:
+        fc.count_sam(path)
+    fc.write_counts(args.output, names)
+    fc.write_summary(args.output + ".summary", names)
+    if args.junctions:
+        fc.write_jcounts(args.output + ".jcounts", names)
+    print(
+        f"// Assigned {int(fc.summary['Assigned'])} fragments", file=sys.stderr
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,116 @@
+"""End-to-end alignment pipeline tests (the subread-align test analog:
+truth encoded in read names, readname_ora_match.py semantics)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from subread_tpu.align.pipeline import Aligner
+from subread_tpu.config import aligner_config
+from subread_tpu.io.sam import cigar_read_span, parse_cigar
+from subread_tpu.utils.simulate import simulate_reads, write_fastq
+
+
+@pytest.fixture(scope="module")
+def aligner(chr901_genome, chr901_index):
+    return Aligner(
+        chr901_genome, chr901_index, aligner_config(batch_reads=2048)
+    )
+
+
+def check_sam(path, n_reads, min_accuracy=0.95, min_sensitivity=0.95):
+    ok = bad = unmapped = 0
+    for line in open(path):
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        flag = int(f[1])
+        if flag & 0x4:
+            unmapped += 1
+            continue
+        nm = f[0].split("_")
+        p1, p2 = int(nm[1]), int(nm[2])
+        if f[2] == "chr901" and (abs(p1 - int(f[3])) < 1200 or abs(p2 - int(f[3])) < 1200):
+            ok += 1
+        else:
+            bad += 1
+        # CIGAR must consume exactly the read length
+        assert cigar_read_span(f[5]) == len(f[9]), line
+    assert ok / max(ok + bad, 1) >= min_accuracy, f"accuracy {ok}/{ok+bad}"
+    assert (ok + bad) / n_reads >= min_sensitivity, f"sensitivity {(ok+bad)}/{n_reads}"
+    return ok, bad, unmapped
+
+
+def test_se_with_errors(aligner, chr901_genome, tmp_path, rng):
+    batch, _ = simulate_reads(chr901_genome, 2000, read_len=100, rng=rng, error_rate=0.01)
+    fq = str(tmp_path / "se.fq")
+    sam = str(tmp_path / "se.sam")
+    write_fastq(fq, batch)
+    summary = aligner.align_file(fq, sam)
+    assert summary.total == 2000
+    check_sam(sam, 2000, min_accuracy=0.96, min_sensitivity=0.96)
+
+
+def test_se_indel_reads(aligner, chr901_genome, tmp_path, rng):
+    batch, _ = simulate_reads(
+        chr901_genome, 2000, read_len=100, rng=rng, indel_rate=1.0, max_indel=4
+    )
+    fq = str(tmp_path / "indel.fq")
+    sam = str(tmp_path / "indel.sam")
+    write_fastq(fq, batch)
+    summary = aligner.align_file(fq, sam)
+    check_sam(sam, 2000, min_accuracy=0.95, min_sensitivity=0.90)
+    # a decent share of reads must carry I/D CIGARs
+    n_indel_cigars = 0
+    for line in open(sam):
+        if line.startswith("@"):
+            continue
+        ops = {op for _, op in parse_cigar(line.split("\t")[5])}
+        if "I" in ops or "D" in ops:
+            n_indel_cigars += 1
+    assert n_indel_cigars >= 1000, n_indel_cigars
+
+
+def test_pe_proper_pairs(aligner, chr901_genome, tmp_path, rng):
+    b1, b2 = simulate_reads(
+        chr901_genome, 2048, read_len=100, rng=rng, error_rate=0.01, paired=True
+    )
+    fq1, fq2 = str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq")
+    write_fastq(fq1, b1, suffix="/1")
+    write_fastq(fq2, b2, suffix="/2")
+    sam = str(tmp_path / "pe.sam")
+    summary = aligner.align_file_pe(fq1, fq2, sam)
+    assert summary.total == 2 * 2048
+    ok, bad, unm = check_sam(sam, 2 * 2048, min_accuracy=0.96, min_sensitivity=0.95)
+    # PE flags sanity: paired bit everywhere, proper-pair majority, TLEN sane
+    proper = tlen_ok = n = 0
+    for line in open(sam):
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        flag = int(f[1])
+        assert flag & 0x1
+        n += 1
+        if flag & 0x2:
+            proper += 1
+            if f[8] != "0" and 50 <= abs(int(f[8])) <= 600:
+                tlen_ok += 1
+    assert proper / n > 0.9
+    assert tlen_ok / max(proper, 1) > 0.99
+
+
+def test_unmapped_random_reads(aligner, tmp_path):
+    rng = np.random.default_rng(1234)
+    from subread_tpu import dna
+    from subread_tpu.io.fastq import batch_from_records
+
+    seqs = [
+        dna.decode(rng.integers(0, 4, size=100).astype(np.uint8)).encode()
+        for _ in range(64)
+    ]
+    batch = batch_from_records(
+        [f"rand{i}" for i in range(64)], seqs, [b"h" * 100] * 64
+    )
+    res = aligner.align_batch(batch)
+    assert res["mapped"].sum() <= 3  # random seqs must not map
