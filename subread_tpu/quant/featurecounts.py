@@ -401,6 +401,34 @@ class FeatureCounter:
 
     # --- record streaming ---------------------------------------------------
 
+    def count_file(self, path: str) -> None:
+        """Dispatch SAM text vs BAM by magic bytes."""
+        with open(path, "rb") as f:
+            magic = f.read(2)
+        if magic == b"\x1f\x8b":
+            self.count_bam(path)
+        else:
+            self.count_sam(path)
+
+    def count_bam(self, path: str) -> None:
+        from ..io.bam import bam_to_sam_lines
+
+        o = self.opts
+        pending: dict[str, list[str]] = {}
+        for fields in bam_to_sam_lines(path):
+            flag = int(fields[1])
+            if o.paired and (flag & 0x1):
+                qname = fields[0]
+                mate = pending.pop(qname, None)
+                if mate is None:
+                    pending[qname] = fields
+                else:
+                    self._assign([_parse_rec(mate), _parse_rec(fields)])
+            else:
+                self._assign([_parse_rec(fields)])
+        for fields in pending.values():
+            self._assign([_parse_rec(fields)])
+
     def count_sam(self, path: str) -> None:
         """Stream a SAM text file; mates re-paired by name (the SAM_pairer
         analog, input-files.c:2562 — here a host hash of pending mates)."""

@@ -106,7 +106,7 @@ def main(argv=None) -> int:
     fc = FeatureCounter(ann, opts, chro_aliases=aliases)
     names = [os.path.basename(p) for p in args.input]
     for path in args.input:
-        fc.count_sam(path)
+        fc.count_file(path)
     fc.write_counts(args.output, names)
     fc.write_summary(args.output + ".summary", names)
     if args.junctions:

@@ -138,3 +138,13 @@ def test_featurelevel(tmp_path, sam):
         tmp_path, sam, sam + ".ora", gtf,
         ["-p", "-f", "--countReadPairs", "-s", "2"], feature_level=True,
     )
+
+
+def test_bam_input(tmp_path):
+    """BAM format input (test_corner_cases.sh BAM case)."""
+    if not (DATA / "test-minimum.bam").exists():
+        pytest.skip("fixture missing")
+    run_fc(
+        tmp_path, "test-minimum.bam", "test-minimum.ora", "test-minimum.GTF",
+        ["-p", "--countReadPairs"],
+    )
