@@ -62,6 +62,29 @@ class AlignSummary:
         return self.__dict__.copy()
 
 
+def write_junction_bed(path: str, junctions: dict) -> None:
+    """Write the .junction.bed table (write_junction_final_results,
+    core-junction.c:4286): BED12-ish rows with flanking block sizes;
+    key = (chro, left_edge0, right_edge0, donor_strand), value =
+    (n_support, max_left_flank, max_right_flank)."""
+    rows = sorted(junctions.items())
+    with open(path, "w") as f:
+        f.write(
+            "#Chr, StartLeftBlock, EndRightBlock, Junction_Name, nSupport, "
+            "Strand, StartLeftBlock, EndRightBlock, Color, nBlocks, "
+            "BlockSizes, BlockStarts\n"
+        )
+        for n, ((chro, le, re, dstrand), (sup, ml, mr)) in enumerate(rows, 1):
+            start = le - ml + 1
+            end = re + mr
+            strand = "-" if dstrand else "+"
+            color = "0,255,255" if dstrand else "255,0,0"
+            f.write(
+                f"{chro}\t{start}\t{end}\tJUNC{n:08d}\t{sup}\t{strand}"
+                f"\t{start}\t{end}\t{color}\t2\t{ml},{mr}\t0,{re - start}\n"
+            )
+
+
 class Aligner:
     """Single-chip aligner; the multi-chip variant shards the batch axis."""
 
@@ -185,7 +208,39 @@ class Aligner:
 
     def _scan2(self, codes, ambig, lens, genome_u32, v: VoteResult):
         sc = self._score_candidates(codes, ambig, lens, genome_u32, v)
+        if self.cfg.detect_junctions:
+            return self._select_se_junc(codes, lens, genome_u32, v, sc)
         return self._select_se(lens, sc)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _select_se_junc(self, codes, lens, genome_u32, v: VoteResult, sc):
+        """SE selection + junction discovery (subjunc mode).
+
+        A junction (head cluster, tail cluster, donor-motif split) replaces
+        the plain alignment when it explains the read with fewer mismatches
+        (the RNA-seq mismatch-dominant score, core.c:2731-2739).
+        """
+        from ..ops.junction import junction_split_scan, pick_junction_pair
+
+        base = self._select_se(lens, sc)
+        pair = pick_junction_pair(v, sc, self.cfg.max_indel)
+        oriented = oriented_read(codes, lens, base["strand"])
+        jr = junction_split_scan(
+            genome_u32, oriented, lens, pair["head_pos"], pair["gap"], pair["valid"]
+        )
+        use = pair["valid"] & jr["ok"] & (jr["mism"] < base["mism"]) & (
+            jr["mism"] <= self.cfg.max_mismatches
+        )
+        out = dict(base)
+        out["pos"] = jnp.where(use, pair["head_pos"], base["pos"])
+        out["mism"] = jnp.where(use, jr["mism"], base["mism"])
+        out["mapped"] = base["mapped"] | use
+        out["indel"] = jnp.where(use, 0, base["indel"])
+        out["split"] = jnp.where(use, jr["split"], base["split"])
+        out["junc"] = use
+        out["junc_gap"] = jnp.where(use, pair["gap"], 0)
+        out["junc_donor_strand"] = jr["donor_strand"]
+        return out
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _select_pe(self, lens1, lens2, sc1, sc2):
@@ -323,6 +378,7 @@ class Aligner:
         batch: ReadBatch,
         res: dict[str, np.ndarray],
         summary: AlignSummary,
+        junctions: dict | None = None,
     ):
         g = self.genome
         lin = res["pos"].astype(np.int64)
@@ -354,7 +410,22 @@ class Aligner:
                 summary.unique += 1
             indel = int(res["indel"][i])
             split = int(res["split"][i])
-            if indel > 0:
+            if res.get("junc") is not None and res["junc"][i]:
+                gap = int(res["junc_gap"][i])
+                cigar = f"{split}M{gap}N{L - split}M"
+                if junctions is not None:
+                    p0 = int(coff[i])  # 0-based contig pos
+                    left_edge = p0 + split - 1
+                    right_edge = p0 + split + gap
+                    key = (
+                        g.names[int(cidx[i])], left_edge, right_edge,
+                        int(res["junc_donor_strand"][i]),
+                    )
+                    sup, ml, mr = junctions.get(key, (0, 0, 0))
+                    junctions[key] = (
+                        sup + 1, max(ml, split), max(mr, L - split)
+                    )
+            elif indel > 0:
                 cigar = f"{split}M{indel}D{L - split}M"
                 summary.indels += 1
             elif indel < 0:
@@ -521,6 +592,7 @@ class Aligner:
             rg_id=self.cfg.rg_id,
             rg_extra=list(self.cfg.rg_extra) or None,
         )
+        junctions: dict | None = {} if self.cfg.detect_junctions else None
         try:
             while True:
                 t0 = time.time()
@@ -530,11 +602,13 @@ class Aligner:
                 t1 = time.time()
                 res = self.align_batch(batch)
                 t2 = time.time()
-                self._emit_sam(writer, batch, res, summary)
+                self._emit_sam(writer, batch, res, summary, junctions=junctions)
                 t3 = time.time()
                 summary.time_io += (t1 - t0) + (t3 - t2)
                 summary.time_voting += t2 - t1  # vote+realign fused on device
         finally:
             reader.close()
             writer.close()
+        if junctions is not None:
+            write_junction_bed(out_sam + ".junction.bed", junctions)
         return summary

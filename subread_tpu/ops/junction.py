@@ -1,0 +1,143 @@
+"""Exon-exon junction detection (subjunc).
+
+Reference: core-junction.c — major/minor vote-pair selection
+(core_select_best_matching_halves :4900, process_voting_junction_PE_topK
+:2199), split-point refinement with donor-site check (GT…AG fwd /
+CT…AC rev, paired_chars_part_core :3472, donor_score :3675), junction
+event edges (find_new_junctions :3865).
+
+TPU formulation: the read's top-K vote clusters already exist; a junction
+candidate is (head cluster, tail cluster) on the same strand within the
+max intron span.  The optimal split point is the same prefix/suffix
+mismatch-cumsum scan as the indel placement (ops/extend.py) with the
+genome offset D = tail_pos - head_pos, restricted to splits whose flanking
+genome dinucleotides match a canonical donor/acceptor motif.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .extend import genome_base
+
+MAX_INTRON = 500_000  # core.h:218 default maximum intron length
+# base codes (A=0,G=1,C=2,T=3): GT..AG fwd donor, CT..AC rev donor
+G, T, A, C = 1, 3, 0, 2
+
+
+def junction_split_scan(
+    genome_u32: jnp.ndarray,
+    oriented: jnp.ndarray,   # [R, L] read codes in genome orientation
+    read_len: jnp.ndarray,   # [R]
+    head_pos: jnp.ndarray,   # [R] uint32 alignment start of the head cluster
+    gap: jnp.ndarray,        # [R] int32 D = tail_pos - head_pos (>0)
+    valid: jnp.ndarray,      # [R] bool candidate pair exists
+):
+    """Choose the junction split s (read coordinate) minimising mismatches,
+    requiring a canonical donor/acceptor motif.
+
+    Returns dict(split, mism, donor_strand, ok); donor_strand 0 = GT..AG,
+    1 = CT..AC (the BED strand column).
+    """
+    R, L = oriented.shape
+    ar = jnp.arange(L, dtype=jnp.int32)[None, :]
+    inside = ar < read_len[:, None]
+
+    # head mismatches: read i vs genome head_pos + i
+    gpos_h = head_pos[:, None] + ar.astype(jnp.uint32)
+    mm_h = (genome_base(genome_u32, gpos_h) != oriented.astype(jnp.uint32)) & inside
+    prefix = jnp.cumsum(
+        jnp.pad(mm_h.astype(jnp.int32), ((0, 0), (1, 0))), axis=1
+    )  # [R, L+1] mism in read[0:s]
+
+    # tail mismatches: read i vs genome head_pos + D + i
+    gpos_t = gpos_h + gap[:, None].astype(jnp.uint32)
+    mm_t = (genome_base(genome_u32, gpos_t) != oriented.astype(jnp.uint32)) & inside
+    rev = jnp.flip(mm_t.astype(jnp.int32), axis=1)
+    suffix = jnp.flip(jnp.cumsum(rev, axis=1), axis=1)
+    suffix = jnp.concatenate([suffix, jnp.zeros((R, 1), jnp.int32)], axis=1)
+
+    total = prefix + suffix  # [R, L+1] mismatches if split at s
+
+    # donor/acceptor motifs at each split: fwd GT at head_pos+s, AG ending
+    # at head_pos+D+s-1; rev CT / AC.
+    s_grid = jnp.arange(L + 1, dtype=jnp.uint32)[None, :]
+    d1 = genome_base(genome_u32, head_pos[:, None] + s_grid)          # intron base 1
+    d2 = genome_base(genome_u32, head_pos[:, None] + s_grid + 1)      # intron base 2
+    gapu = gap[:, None].astype(jnp.uint32)
+    a1 = genome_base(genome_u32, head_pos[:, None] + gapu + s_grid - 2)
+    a2 = genome_base(genome_u32, head_pos[:, None] + gapu + s_grid - 1)
+    donor_fwd = (d1 == G) & (d2 == T) & (a1 == A) & (a2 == G)
+    donor_rev = (d1 == C) & (d2 == T) & (a1 == A) & (a2 == C)
+
+    in_range = (s_grid.astype(jnp.int32) >= 8) & (
+        s_grid.astype(jnp.int32) <= read_len[:, None] - 8
+    )
+    big = jnp.int32(1 << 20)
+    tf = jnp.where(in_range & donor_fwd & valid[:, None], total, big)
+    tr = jnp.where(in_range & donor_rev & valid[:, None], total, big)
+
+    sf = jnp.argmin(tf, axis=1).astype(jnp.int32)
+    mf = jnp.take_along_axis(tf, sf[:, None], axis=1)[:, 0]
+    sr = jnp.argmin(tr, axis=1).astype(jnp.int32)
+    mr = jnp.take_along_axis(tr, sr[:, None], axis=1)[:, 0]
+
+    use_rev = mr < mf
+    split = jnp.where(use_rev, sr, sf)
+    mism = jnp.where(use_rev, mr, mf)
+    return dict(
+        split=split,
+        mism=mism,
+        donor_strand=use_rev.astype(jnp.int32),
+        ok=mism < big,
+    )
+
+
+def pick_junction_pair(v, sc, max_indel: int):
+    """From top-K clusters pick (head, tail) = best + best-compatible-minor.
+
+    Returns per-read head_pos, gap D, pair_valid, head_k, tail_k.
+    Compatibility: same strand, gap in (max_indel, MAX_INTRON], minor votes
+    >= 1 (subjunc min-votes), coverage order consistent with genome order.
+    """
+    R, K = v.votes.shape
+    best = jnp.argmax(sc["score_k"], axis=1)  # major cluster index
+    take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
+    b_pos = take(v.pos).astype(jnp.int64)
+    b_strand = take(v.strand)
+    b_cov_start = take(v.cov_start)
+    b_valid = take(sc["valid_k"])
+
+    # candidate minors: all k; score compatibility
+    pos_k = v.pos.astype(jnp.int64)
+    same_strand = v.strand == b_strand[:, None]
+    diff = pos_k - b_pos[:, None]
+    not_self = jnp.arange(K)[None, :] != best[:, None]
+    # genome order must match read-coverage order
+    minor_is_tail = v.cov_start > b_cov_start[:, None]
+    expected_sign = jnp.where(minor_is_tail, 1, -1)
+    gap_abs = jnp.abs(diff)
+    ok = (
+        same_strand & not_self & (v.votes >= 1)
+        & (gap_abs > max_indel) & (gap_abs <= MAX_INTRON)
+        & (jnp.sign(diff) == expected_sign)
+        & (v.pos != jnp.asarray(np.uint32(0xFFFFFFFF)))
+    )
+    minor_votes = jnp.where(ok, v.votes, -1)
+    minor_k = jnp.argmax(minor_votes, axis=1)
+    minor_ok = jnp.take_along_axis(minor_votes, minor_k[:, None], axis=1)[:, 0] > 0
+    m_pos = jnp.take_along_axis(pos_k, minor_k[:, None], axis=1)[:, 0]
+    m_is_tail = jnp.take_along_axis(minor_is_tail, minor_k[:, None], axis=1)[:, 0]
+
+    head_pos = jnp.where(m_is_tail, b_pos, m_pos)
+    tail_pos = jnp.where(m_is_tail, m_pos, b_pos)
+    gap = (tail_pos - head_pos).astype(jnp.int32)
+    pair_valid = minor_ok & b_valid & (gap > 0)
+    return dict(
+        head_pos=head_pos.astype(jnp.uint32),
+        gap=gap,
+        valid=pair_valid,
+        strand=b_strand,
+    )
