@@ -352,11 +352,15 @@ class Aligner:
         return codes, ambig, lens, R
 
     def align_batch(self, batch: ReadBatch) -> dict[str, np.ndarray]:
+        """Depth-2 pipelined device loop: batch i+1 is dispatched before
+        batch i's results are fetched, hiding the dispatch/fetch round-trip
+        (the tunnel costs ~30ms per turn-around)."""
         codes, ambig, lens, R = self._pad_batch(batch)
         out = {}
         n = len(lens)
         bs = self.cfg.batch_reads
         parts = []
+        pending = None
         for i in range(0, n, bs):
             res = self._device_align(
                 jnp.asarray(codes[i : i + bs]),
@@ -367,7 +371,11 @@ class Aligner:
                 self.d_positions,
                 self.d_genome,
             )
-            parts.append(jax.device_get(res))
+            if pending is not None:
+                parts.append(jax.device_get(pending))
+            pending = res
+        if pending is not None:
+            parts.append(jax.device_get(pending))
         for key in parts[0]:
             out[key] = np.concatenate([p[key] for p in parts])[:R]
         return out
@@ -555,8 +563,9 @@ class Aligner:
     ) -> AlignSummary:
         summary = AlignSummary()
         rd1, rd2 = FastqReader(fq1), FastqReader(fq2)
-        writer = samio.SamWriter(
+        writer = samio.make_writer(
             out_sam, self.genome.names, [int(x) for x in self.genome.lengths],
+            sam_output=self.cfg.sam_output or out_sam.endswith(".sam"),
             rg_id=self.cfg.rg_id, rg_extra=list(self.cfg.rg_extra) or None,
         )
         try:
@@ -585,10 +594,11 @@ class Aligner:
     ) -> AlignSummary:
         summary = AlignSummary()
         reader = FastqReader(fastq_path)
-        writer = samio.SamWriter(
+        writer = samio.make_writer(
             out_sam,
             self.genome.names,
             [int(x) for x in self.genome.lengths],
+            sam_output=self.cfg.sam_output or out_sam.endswith(".sam"),
             rg_id=self.cfg.rg_id,
             rg_extra=list(self.cfg.rg_extra) or None,
         )

@@ -102,6 +102,55 @@ class SamWriter:
         self.close()
 
 
+class BamRecordWriter:
+    """SamWriter-compatible facade over io.bam.BamWriter (the reference's
+    default output is BAM, sambam-file.h:110-149)."""
+
+    def __init__(self, path, contig_names, contig_lengths, rg_id=None,
+                 rg_extra=None, program="subread_tpu", version="0.1.0",
+                 sorted_by_coord=False):
+        from .bam import BamWriter
+
+        so = "coordinate" if sorted_by_coord else "unsorted"
+        header = [f"@HD\tVN:1.0\tSO:{so}"]
+        header += [
+            f"@SQ\tSN:{n}\tLN:{int(l)}"
+            for n, l in zip(contig_names, contig_lengths)
+        ]
+        if rg_id:
+            extra = ("\t" + "\t".join(rg_extra)) if rg_extra else ""
+            header.append(f"@RG\tID:{rg_id}{extra}")
+        header.append(f"@PG\tID:{program}\tPN:{program}\tVN:{version}")
+        self._w = BamWriter(
+            path, list(contig_names), [int(x) for x in contig_lengths],
+            header_text="\n".join(header) + "\n",
+        )
+        self._rg_id = rg_id
+
+    def write(self, rec: "SamRecord") -> None:
+        if self._rg_id:
+            rec.tags.append(f"RG:Z:{self._rg_id}")
+        self._w.add_sam_fields(rec.to_line().split("\t"))
+
+    def write_line(self, line: str) -> None:
+        self._w.add_sam_fields(line.split("\t"))
+
+    def close(self) -> None:
+        self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def make_writer(path, contig_names, contig_lengths, sam_output: bool,
+                **kw):
+    cls = SamWriter if sam_output else BamRecordWriter
+    return cls(path, contig_names, contig_lengths, **kw)
+
+
 # --- CIGAR helpers ---------------------------------------------------------
 
 CIGAR_OPS = "MIDNSHP=X"

@@ -40,7 +40,7 @@ class VoteParams(NamedTuple):
     total_subreads: int = 10      # 10 DNA-seq / 14 RNA-seq (core-indel.c:4473)
     max_hits: int = 24            # hits gathered per probe (GENE_VOTE_SPACE analog)
     indel_tolerance: int = 5      # cluster tolerance (max indel length, -I)
-    window: int = 48              # max cluster candidates scanned per anchor
+    window: int = 32              # max cluster candidates scanned per anchor
     top_k: int = 4                # candidate clusters kept per read
     index_gap: int = 1            # 1 = full index (-F), 3 = gapped
     search_iters: int = 20        # binary-search depth >= log2(max bucket)
@@ -164,13 +164,14 @@ def _vote_one_strand(
     Returns sorted (kv, votes, cov_min, cov_max, delta_max) each [R, C].
     """
     R, C = kv.shape
-    sub_mask = jnp.broadcast_to(
-        (np.uint32(1) << sub_id.astype(np.uint32))[None, :], (R, C)
-    )
-    kv_s, mask_s, off_s = jax.lax.sort(
-        (kv, sub_mask, probe_off.astype(jnp.int32)), dimension=-1, num_keys=1
-    )
-    kv_s, mask_s, off_s = jax.lax.optimization_barrier((kv_s, mask_s, off_s))
+    # single packed payload (sub_id << 8 | probe_off) halves the sort's
+    # payload traffic; unpacked after the sort
+    payload = jnp.broadcast_to(
+        (sub_id.astype(np.uint32) << np.uint32(8))[None, :], (R, C)
+    ) | probe_off.astype(jnp.uint32)
+    kv_s, pay_s = jax.lax.sort((kv, payload), dimension=-1, num_keys=1)
+    mask_s = jnp.uint32(1) << (pay_s >> np.uint32(8))
+    off_s = (pay_s & np.uint32(0xFF)).astype(jnp.int32)
 
     W = min(params.window, C)
     tol = np.uint32(params.indel_tolerance)
@@ -261,22 +262,15 @@ def vote_batch(
             off = offsets  # same spacing on the rc read
 
         keys, valid = extract_probe_keys(c, a, read_len, off)
-        # optimization_barrier between pipeline stages: each stage compiles
-        # in seconds alone, but letting XLA fuse across the whole
-        # probes→search→sort→window graph sends compile time superlinear
-        # (minutes).  The barriers keep compiles fast at no runtime cost.
-        keys, valid = jax.lax.optimization_barrier((keys, valid))
         hit_pos, hit_valid = gather_hits(
             keys, valid, bucket_start, short_keys, positions, buckets_number, params
         )
-        hit_pos, hit_valid = jax.lax.optimization_barrier((hit_pos, hit_valid))
         kv = jnp.where(
             hit_valid, hit_pos - off[:, :, None].astype(jnp.uint32), SENTINEL
         ).reshape(R, C)
         probe_off = jnp.broadcast_to(off[:, :, None], (R, P, H)).reshape(R, C)
         sub_id_c = np.broadcast_to(sub_id[:, None], (P, H)).reshape(C)
-        res = _vote_one_strand(kv, sub_id_c, probe_off, params)
-        per_strand.append(jax.lax.optimization_barrier(res))
+        per_strand.append(_vote_one_strand(kv, sub_id_c, probe_off, params))
 
     # --- top-K selection over both strands --------------------------------
     K = params.top_k

@@ -1,0 +1,155 @@
+"""cellCounts: single-cell RNA-seq counting pipeline.
+
+Reference: cell-counts.c — barcode matching with hamming≤1 rescue
+(:1713, input-blc.h:52), seed-and-vote mapping of the cDNA read
+(cellCounts_do_voting :3051), batched (cell, gene, UMI) sort-merge dedup
+with hamming≤1 UMI merging (:3523-3620), CellRanger-style sparse output
+(cellCounts_run_counting :4837).
+
+Round-1 scope: FASTQ input mode (R1 = barcode+UMI, R2 = cDNA), exact +
+hamming≤1 barcode matching, device alignment via align.Aligner, gene
+assignment via the featureCounts interval engine, UMI dedup with
+hamming≤1 merge, sparse matrix-market output.  BCL input and sample-sheet
+demux land with io/blc (later round).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import dna
+
+MAX_UMI_LEN = 14  # cell-counts.c:26
+
+
+@dataclass
+class CellCountsOptions:
+    barcode_len: int = 16     # learned from the whitelist (cell-counts.c:280)
+    umi_len: int = 10
+    min_mapq: int = 0
+
+
+class BarcodeMatcher:
+    """Exact + hamming<=1 cell-barcode matching.
+
+    The reference builds hash tables over half-barcode keys so one lookup
+    finds all whitelist entries within hamming 1 (hamming_dist_ATGC_max1_2p,
+    input-blc.h:52).  Same structure here: two dicts keyed by each half.
+    """
+
+    def __init__(self, whitelist: list[str]):
+        lens = {len(b) for b in whitelist}
+        assert len(lens) == 1, "all cell barcodes must have equal length"
+        self.barcode_len = lens.pop()
+        self.barcodes = list(whitelist)
+        self.exact = {b: i for i, b in enumerate(self.barcodes)}
+        h = self.barcode_len // 2
+        self.half = h
+        self.by_head: dict[str, list[int]] = {}
+        self.by_tail: dict[str, list[int]] = {}
+        for i, b in enumerate(self.barcodes):
+            self.by_head.setdefault(b[:h], []).append(i)
+            self.by_tail.setdefault(b[h:], []).append(i)
+
+    def match(self, bc: str) -> int:
+        """Whitelist index, or -1.  Exact first; else unique hamming<=1."""
+        hit = self.exact.get(bc)
+        if hit is not None:
+            return hit
+        h = self.half
+        cands = set(self.by_head.get(bc[:h], ())) | set(
+            self.by_tail.get(bc[h:], ())
+        )
+        best = -1
+        for i in cands:
+            w = self.barcodes[i]
+            d = sum(1 for a, b in zip(bc, w) if a != b)
+            if d <= 1:
+                if best >= 0:
+                    return -1  # ambiguous rescue -> dropped
+                best = i
+        return best
+
+
+def hamming1_umi_merge(umi_counts: dict[str, int]) -> dict[str, int]:
+    """Merge UMIs within hamming distance 1 into the most-supported UMI
+    (cell-counts.c:3523-3620 sort-merge)."""
+    if len(umi_counts) <= 1:
+        return umi_counts
+    order = sorted(umi_counts, key=lambda u: (-umi_counts[u], u))
+    kept: list[str] = []
+    merged: dict[str, int] = {}
+    for u in order:
+        target = None
+        for k in kept:
+            if len(k) == len(u) and sum(
+                1 for a, b in zip(k, u) if a != b
+            ) <= 1:
+                target = k
+                break
+        if target is None:
+            kept.append(u)
+            merged[u] = umi_counts[u]
+        else:
+            merged[target] += umi_counts[u]
+    return merged
+
+
+class CellCounter:
+    """Accumulates (cell, gene) -> set of UMIs, then dedups and emits the
+    sparse matrix."""
+
+    def __init__(self, matcher: BarcodeMatcher, gene_names: list[str],
+                 umi_len: int = 10):
+        self.matcher = matcher
+        self.gene_names = gene_names
+        self.umi_len = min(umi_len, MAX_UMI_LEN)
+        # (cell_idx, gene_idx) -> {umi: reads}
+        self.table: dict[tuple[int, int], dict[str, int]] = {}
+        self.stats = {
+            "reads": 0, "barcode_matched": 0, "assigned": 0,
+        }
+
+    def add(self, r1_seq: str, gene_idx: int) -> None:
+        self.stats["reads"] += 1
+        bl = self.matcher.barcode_len
+        cell = self.matcher.match(r1_seq[:bl])
+        if cell < 0:
+            return
+        self.stats["barcode_matched"] += 1
+        if gene_idx < 0:
+            return
+        umi = r1_seq[bl : bl + self.umi_len]
+        d = self.table.setdefault((cell, gene_idx), {})
+        d[umi] = d.get(umi, 0) + 1
+        self.stats["assigned"] += 1
+
+    def finalise(self) -> tuple[np.ndarray, list[int]]:
+        """Returns (COO entries [n,3] = (gene, cell, umi_count), cell list)."""
+        cells = sorted({c for c, _ in self.table})
+        cell_rank = {c: i for i, c in enumerate(cells)}
+        entries = []
+        for (c, g), umis in sorted(self.table.items()):
+            merged = hamming1_umi_merge(umis)
+            entries.append((g, cell_rank[c], len(merged)))
+        return np.asarray(entries, dtype=np.int64).reshape(-1, 3), cells
+
+    def write_matrix(self, out_dir: str) -> None:
+        """CellRanger-style triplet: matrix.mtx + features.tsv + barcodes.tsv."""
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        entries, cells = self.finalise()
+        with open(os.path.join(out_dir, "features.tsv"), "w") as f:
+            for g in self.gene_names:
+                f.write(f"{g}\t{g}\tGene Expression\n")
+        with open(os.path.join(out_dir, "barcodes.tsv"), "w") as f:
+            for c in cells:
+                f.write(self.matcher.barcodes[c] + "\n")
+        with open(os.path.join(out_dir, "matrix.mtx"), "w") as f:
+            f.write("%%MatrixMarket matrix coordinate integer general\n")
+            f.write(f"{len(self.gene_names)} {len(cells)} {len(entries)}\n")
+            for g, c, n in entries:
+                f.write(f"{g + 1} {c + 1} {n}\n")

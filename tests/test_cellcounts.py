@@ -1,0 +1,88 @@
+"""cellCounts pipeline test on simulated scRNA data over chr901."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from subread_tpu import dna
+
+
+def test_barcode_matcher():
+    from subread_tpu.quant.cellcounts import BarcodeMatcher
+
+    m = BarcodeMatcher(["AAACCCAAGAAACACT", "AAACCCAAGAAACCAT"])
+    assert m.match("AAACCCAAGAAACACT") == 0
+    # hamming-1 rescue
+    assert m.match("TAACCCAAGAAACACT") == 0
+    # ambiguous between the two -> dropped; (distance 1 to both)
+    assert m.match("AAACCCAAGAAACCCT") == -1
+    # hamming 2 -> no match
+    assert m.match("TTACCCAAGAAACACT") == -1
+
+
+def test_umi_merge():
+    from subread_tpu.quant.cellcounts import hamming1_umi_merge
+
+    merged = hamming1_umi_merge({"AAAAAAAAAA": 5, "AAAAAAAAAT": 1, "GGGGGGGGGG": 2})
+    assert merged == {"AAAAAAAAAA": 6, "GGGGGGGGGG": 2}
+
+
+def test_cellcounts_end_to_end(tmp_path, chr901_genome, chr901_index, rng):
+    from subread_tpu.tools.cellcounts import main
+
+    g = chr901_genome
+    # fabricate a 3-gene annotation over chr901
+    gtf = tmp_path / "genes.gtf"
+    genes = [("geneA", 1000, 50000), ("geneB", 300000, 360000), ("geneC", 700000, 760000)]
+    with open(gtf, "w") as f:
+        for name, s, e in genes:
+            f.write(
+                f"chr901\tsim\texon\t{s}\t{e}\t.\t+\t0\tgene_id \"{name}\";\n"
+            )
+    barcodes = ["AAACCCAAGAAACACT", "TTTGGGTTCTTTGTGA", "CCCAAACCTCCCACAC"]
+    wl = tmp_path / "barcodes.txt"
+    wl.write_text("\n".join(barcodes) + "\n")
+
+    # simulate: 300 cDNA reads from the gene regions + barcode/UMI R1s
+    n = 300
+    r1_path, r2_path = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    with open(r1_path, "w") as f1, open(r2_path, "w") as f2:
+        for i in range(n):
+            gene = genes[i % 3]
+            cell = barcodes[i % 3]
+            umi = dna.decode(rng.integers(0, 4, size=10).astype(np.uint8))
+            pos = int(rng.integers(gene[1], gene[2] - 101))
+            lin = g.chro_to_linear(0, pos - 1)
+            seq = dna.decode(g.codes[lin : lin + 100])
+            f1.write(f"@r{i}\n{cell}{umi}\n+\n{'I' * 26}\n")
+            f2.write(f"@r{i}\n{seq}\n+\n{'I' * 100}\n")
+
+    # save index for the CLI
+    prefix = str(tmp_path / "idx")
+    chr901_genome.save(prefix)
+    chr901_index.save(prefix)
+
+    out = tmp_path / "counts"
+    assert main([
+        "-i", prefix, "-r", str(r1_path), "-R", str(r2_path),
+        "-a", str(gtf), "-c", str(wl), "-o", str(out),
+    ]) == 0
+
+    feats = (out / "features.tsv").read_text().splitlines()
+    cells = (out / "barcodes.tsv").read_text().splitlines()
+    assert len(feats) == 3
+    assert set(cells) <= set(barcodes)
+    mtx = (out / "matrix.mtx").read_text().splitlines()
+    n_genes, n_cells, n_entries = map(int, mtx[1].split())
+    assert n_genes == 3 and n_cells == len(cells)
+    total = sum(int(l.split()[2]) for l in mtx[2:])
+    # most reads should be counted (unique UMIs, mapped, assigned)
+    assert total > 0.8 * n
+    # each cell sees exactly one gene in this simulation
+    gene_of_cell = {}
+    for l in mtx[2:]:
+        gi, ci, cnt = map(int, l.split())
+        assert gene_of_cell.setdefault(ci, gi) == gi

@@ -1,0 +1,106 @@
+"""Utility tool tests (host-only, no JAX)."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+DATA = pathlib.Path("/root/reference/test/featureCounts/data")
+
+pytestmark = pytest.mark.skipif(not DATA.exists(), reason="reference data missing")
+
+
+def test_propmapped(tmp_path, capsys):
+    from subread_tpu.tools.utilities import propmapped
+
+    assert propmapped(["-i", str(DATA / "test-minimum.sam")]) == 0
+    out = capsys.readouterr().out
+    assert "998\t998\t1.000000" in out
+
+
+def test_flattengtf(tmp_path):
+    from subread_tpu.tools.utilities import flattengtf
+
+    out = tmp_path / "flat.SAF"
+    assert flattengtf(["-a", str(DATA / "test-minimum.GTF"), "-o", str(out)]) == 0
+    lines = out.read_text().splitlines()
+    assert lines[0] == "GeneID\tChr\tStart\tEnd\tStrand"
+    # simu_gene2 has overlapping exons 102000-103000 and 102000-131000:
+    # they must merge to 102000-131000
+    g2 = [l for l in lines if l.startswith("simu_gene2")]
+    assert "simu_gene2\tchr3\t102000\t131000\t+" in g2
+    assert len(g2) == 2  # 100010-101000 + merged 102000-131000
+
+
+def test_repair_reorders_mates(tmp_path):
+    from subread_tpu.tools.utilities import repair
+
+    # scramble the mate order
+    src = DATA / "test-minimum.sam"
+    scrambled = tmp_path / "scrambled.sam"
+    header, recs = [], []
+    for line in open(src):
+        (header if line.startswith("@") else recs).append(line)
+    first = [r for i, r in enumerate(recs) if i % 2 == 0]
+    second = [r for i, r in enumerate(recs) if i % 2 == 1]
+    scrambled.write_text("".join(header + first + second))
+    out = tmp_path / "repaired.sam"
+    assert repair(["-i", str(scrambled), "-o", str(out)]) == 0
+    body = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    # mates adjacent: consecutive rows share qname
+    for i in range(0, len(body), 2):
+        assert body[i].split("\t")[0] == body[i + 1].split("\t")[0]
+
+
+def test_coveragecount(tmp_path):
+    from subread_tpu.tools.utilities import coveragecount
+
+    out = tmp_path / "cov"
+    assert coveragecount(["-i", str(DATA / "test-minimum.sam"), "-o", str(out)]) == 0
+    arr = np.fromfile(str(out) + ".chr3.int32.bin", dtype=np.int32)
+    assert len(arr) == 999950
+    assert arr.sum() > 0
+    # reads at chr3:271603 (100M) must produce coverage there
+    assert arr[271602] >= 1
+
+
+def test_fullscan(capsys):
+    from subread_tpu.tools.utilities import fullscan
+
+    seq = "TCCCCAGCATAGTCTCAAGCGAGTGGAATGACGGTTTCCT"
+    assert fullscan(["-g", "/root/reference/test/chr901.fa", "-s", seq]) == 0
+    out = capsys.readouterr().out
+    assert "chr901\t1\t+\t100.0%" in out
+
+
+def test_genrandomreads(tmp_path):
+    from subread_tpu.tools.utilities import genrandomreads
+
+    out = tmp_path / "sim"
+    assert genrandomreads([
+        "-g", "/root/reference/test/chr901.fa", "-o", str(out),
+        "-n", "50", "-l", "80",
+    ]) == 0
+    lines = (tmp_path / "sim.fastq").read_text().splitlines()
+    assert len(lines) == 200
+    assert lines[0].startswith("@chr901_")
+    assert len(lines[1]) == 80
+
+
+def test_sam2fq(tmp_path):
+    from subread_tpu.tools.utilities import sam2fq
+
+    out = tmp_path / "o.fq"
+    assert sam2fq(["-i", str(DATA / "test-minimum.sam"), "-o", str(out)]) == 0
+    lines = out.read_text().splitlines()
+    assert len(lines) == 998 * 4
+
+
+def test_removedup(tmp_path):
+    from subread_tpu.tools.utilities import removedup
+
+    out = tmp_path / "o.sam"
+    assert removedup(["-i", str(DATA / "test-minimum.sam"), "-o", str(out), "-r", "1"]) == 0
+    # r=1 removes everything mapped
+    body = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert all(int(l.split("\t")[1]) & 0x4 for l in body)
