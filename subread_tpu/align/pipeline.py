@@ -62,6 +62,28 @@ class AlignSummary:
         return self.__dict__.copy()
 
 
+def write_indel_vcf(path: str, genome: Genome, indels: dict) -> None:
+    """Write {output}.indel.vcf (reference core-indel.c:2233-2254).
+    indels: (contig_idx, pos0_anchor, indel_len) -> (support, inserted_seq)."""
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.0\n")
+        f.write('##INFO=<ID=INDEL,Number=0,Type=Flag,Description="Indicates that the variant is an INDEL.">\n')
+        f.write('##INFO=<ID=SR,Number=1,Type=Integer,Description="Number of supporting reads">\n')
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for (cidx, pos0, ilen), (sup, ins_seq) in sorted(indels.items()):
+            lin = genome.chro_to_linear(cidx, pos0)
+            if ilen > 0:  # deletion
+                ref_s = dna.decode(genome.codes[lin : lin + ilen + 1])
+                alt_s = ref_s[0]
+            else:
+                ref_s = dna.decode(genome.codes[lin : lin + 1])
+                alt_s = ref_s + ins_seq
+            f.write(
+                f"{genome.names[cidx]}\t{pos0 + 1}\t.\t{ref_s}\t{alt_s}"
+                f"\t.\t.\tINDEL;SR={sup}\n"
+            )
+
+
 def write_junction_bed(path: str, junctions: dict) -> None:
     """Write the .junction.bed table (write_junction_final_results,
     core-junction.c:4286): BED12-ish rows with flanking block sizes;
@@ -387,6 +409,79 @@ class Aligner:
         res: dict[str, np.ndarray],
         summary: AlignSummary,
         junctions: dict | None = None,
+        indel_events: dict | None = None,
+    ):
+        # fast path: native C++ record formatter (subread_tpu/native)
+        if (
+            junctions is None
+            and self.cfg.rg_id is None
+            and isinstance(writer, samio.SamWriter)
+            and self._emit_sam_native(writer, batch, res, summary, indel_events)
+        ):
+            return
+        self._emit_sam_python(writer, batch, res, summary, junctions, indel_events)
+
+    def _emit_sam_native(self, writer, batch, res, summary, indel_events) -> bool:
+        from .. import native
+
+        g = self.genome
+        n = len(batch)
+        lin = res["pos"].astype(np.int64)
+        cidx, coff = g.linear_to_chro(lin)
+        mapped = (
+            np.asarray(res["mapped"], bool)
+            & (coff >= 0)
+            & (coff < g.lengths[cidx])
+        )
+        strand = np.asarray(res["strand"], np.int32)
+        flags = np.where(mapped, np.where(strand == 1, 16, 0), 4).astype(np.int32)
+        indel = np.where(mapped, res["indel"], 0).astype(np.int32)
+        nm = (np.asarray(res["mism"], np.int32) + np.abs(indel)).astype(np.int32)
+        blob = native.format_sam_records(
+            batch.names,
+            batch.codes, batch.quals, batch.lengths.astype(np.int32),
+            flags, cidx.astype(np.int32), (coff + 1).astype(np.int32),
+            np.asarray(res["mapq"], np.int32), indel,
+            np.asarray(res["split"], np.int32), None,
+            mapped.astype(np.uint8), nm, g.names,
+        )
+        if blob is None:
+            return False
+        writer.write_bytes(blob)
+        # summary + indel-event bookkeeping (vectorised / sparse loop)
+        summary.total += n
+        nm_mapped = int(mapped.sum())
+        summary.mapped += nm_mapped
+        summary.unmapped += n - nm_mapped
+        multi = np.asarray(res["multi"], bool) & mapped
+        summary.multi += int(multi.sum())
+        summary.unique += nm_mapped - int(multi.sum())
+        has_indel = mapped & (indel != 0)
+        summary.indels += int(has_indel.sum())
+        if indel_events is not None:
+            for i in np.flatnonzero(has_indel):
+                iv = int(indel[i])
+                sp = int(res["split"][i])
+                L = int(batch.lengths[i])
+                seq_codes = batch.codes[i, :L]
+                if strand[i] == 1:
+                    seq = dna.decode(dna.revcomp(seq_codes))
+                else:
+                    seq = dna.decode(seq_codes)
+                ins_seq = seq[sp : sp - iv] if iv < 0 else ""
+                key = (int(cidx[i]), int(coff[i]) + sp - 1, iv)
+                sup, prev = indel_events.get(key, (0, ins_seq))
+                indel_events[key] = (sup + 1, prev)
+        return True
+
+    def _emit_sam_python(
+        self,
+        writer: samio.SamWriter,
+        batch: ReadBatch,
+        res: dict[str, np.ndarray],
+        summary: AlignSummary,
+        junctions: dict | None = None,
+        indel_events: dict | None = None,
     ):
         g = self.genome
         lin = res["pos"].astype(np.int64)
@@ -398,7 +493,7 @@ class Aligner:
             strand = int(res["strand"][i])
             seq_codes = batch.codes[i, :L]
             qual = batch.quals[i, :L].tobytes().decode()
-            if strand == 1:
+            if strand == 1 and mapped[i]:
                 seq = dna.decode(dna.revcomp(seq_codes))
                 qual = qual[::-1]
             else:
@@ -442,6 +537,11 @@ class Aligner:
                 summary.indels += 1
             else:
                 cigar = f"{L}M"
+            if indel != 0 and indel_events is not None:
+                ins_seq = seq[split : split - indel] if indel < 0 else ""
+                key = (int(cidx[i]), int(coff[i]) + split - 1, indel)
+                sup, prev = indel_events.get(key, (0, ins_seq))
+                indel_events[key] = (sup + 1, prev)
             flag = samio.FLAG_REVERSE if strand else 0
             nm = int(res["mism"][i]) + abs(indel)
             writer.write(
@@ -603,6 +703,7 @@ class Aligner:
             rg_extra=list(self.cfg.rg_extra) or None,
         )
         junctions: dict | None = {} if self.cfg.detect_junctions else None
+        indel_events: dict = {}
         try:
             while True:
                 t0 = time.time()
@@ -612,7 +713,8 @@ class Aligner:
                 t1 = time.time()
                 res = self.align_batch(batch)
                 t2 = time.time()
-                self._emit_sam(writer, batch, res, summary, junctions=junctions)
+                self._emit_sam(writer, batch, res, summary,
+                               junctions=junctions, indel_events=indel_events)
                 t3 = time.time()
                 summary.time_io += (t1 - t0) + (t3 - t2)
                 summary.time_voting += t2 - t1  # vote+realign fused on device
@@ -621,4 +723,5 @@ class Aligner:
             writer.close()
         if junctions is not None:
             write_junction_bed(out_sam + ".junction.bed", junctions)
+        write_indel_vcf(out_sam + ".indel.vcf", self.genome, indel_events)
         return summary

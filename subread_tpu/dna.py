@@ -34,10 +34,29 @@ for _b in range(256):
 
 CODE2BASE = np.frombuffer(b"AGCT", dtype=np.uint8)
 
-# True where the byte is *not* an unambiguous A/C/G/T letter.
-AMBIG = np.ones(256, dtype=bool)
-for _b in b"ACGTacgt":
-    AMBIG[_b] = False
+# Genome-path LUT: the reference index builder's FASTA sanity pass rewrites
+# every non-ACGT character (including N, '.', '-') to 'A'
+# (check_and_convert_FastA, index-builder.c:789+).
+GENOME2CODE = np.zeros(256, dtype=np.uint8)  # default 'A' = 0
+for _b, _code in zip(b"AGCTagct", [0, 1, 2, 3, 0, 1, 2, 3]):
+    GENOME2CODE[_b] = _code
+
+
+# True at 'N'/'n' only: the reference skips ONLY literal N in its 16-mer
+# scans (index-builder.c:229 `if (nch == 'N') skips = 16`); other junk
+# letters (IUPAC codes etc.) map through base2int like normal bases.
+AMBIG = np.zeros(256, dtype=bool)
+AMBIG[ord("N")] = True
+AMBIG[ord("n")] = True
+
+
+def encode_genome(seq: bytes | str) -> np.ndarray:
+    """Genome FASTA encoding: non-ACGT (incl. N) -> A, like the reference's
+    index-builder FASTA rewrite."""
+    if isinstance(seq, str):
+        seq = seq.encode()
+    raw = np.frombuffer(seq, dtype=np.uint8)
+    return GENOME2CODE[raw]
 
 
 def encode(seq: bytes | str) -> np.ndarray:

@@ -59,6 +59,13 @@ class HashIndex:
     def n_items(self) -> int:
         return len(self.keys)
 
+    def kp_pairs(self) -> np.ndarray:
+        """Interleaved (short_key, position) int32 [N, 2] for the device's
+        coalesced per-probe hit slices (ops.vote.gather_hits)."""
+        return np.stack(
+            [self.keys.astype(np.int32), self.positions.view(np.int32)], axis=1
+        )
+
     def save(self, prefix: str) -> None:
         np.savez_compressed(
             prefix + ".hash.npz",
@@ -86,11 +93,15 @@ class HashIndex:
 
 
 def _stepped_kmers(genome: Genome, gap: int) -> tuple[np.ndarray, np.ndarray]:
-    """All (key, position) pairs at per-contig stepped offsets, N-windows
-    skipped (reference index-builder.c:229-234, 330-346)."""
+    """All (key, position) pairs at per-contig stepped offsets.
+
+    No N-window skipping: the reference's FASTA sanity pass converts every
+    non-ACGT genome character (including N) to 'A' before the scan
+    (check_and_convert_FastA, index-builder.c:789+), so the scanned genome
+    never contains N.  Long N runs become poly-A runs whose 16-mers are
+    removed by the uninformative-mer filter instead."""
     all_keys = []
     all_pos = []
-    amb_bits = np.unpackbits(genome.ambig, bitorder="little")[: genome.total]
     for c in range(len(genome.names)):
         s = int(genome.starts[c])
         length = int(genome.lengths[c])
@@ -98,9 +109,7 @@ def _stepped_kmers(genome: Genome, gap: int) -> tuple[np.ndarray, np.ndarray]:
             continue
         codes = genome.codes[s : s + length]
         keys = dna.kmer_keys(codes)  # [length-15]
-        bad = dna.window_has_ambig(amb_bits[s : s + length])
         sel = np.arange(0, length - dna.KMER + 1, gap)
-        sel = sel[~bad[sel]]
         all_keys.append(keys[sel])
         all_pos.append((sel + s).astype(np.uint32))
     if not all_keys:

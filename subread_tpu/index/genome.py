@@ -109,39 +109,38 @@ class Genome:
 
 
 def build_genome(contigs: list[Contig], padding: int = PADDING) -> Genome:
+    """Reference coordinate convention exactly (index-builder.c:130-213):
+    the 16-char window prefill does not advance the builder's offset, so
+    every contig's recorded end lags by 16:
+
+        starts[0]  = padding
+        ends[c]    = starts[c] + len_c + padding - 16   (the .reads value)
+        starts[c+1]= ends[c] + padding                  (offset += 2*padding)
+        total      = ends[-1] + 16                      (.array length)
+    """
     names, starts, lengths, ends = [], [], [], []
-    pieces = []
-    amb_pieces = []
-    pos = 0
-
-    def pad():
-        nonlocal pos
-        pieces.append(np.zeros(padding, dtype=np.uint8))
-        amb_pieces.append(np.zeros(padding, dtype=bool))
-        pos += padding
-
-    pad()
-    for i, c in enumerate(contigs):
-        if i > 0:
-            pad()  # trailing pad of the previous contig …
-            pad()  # … plus the leading pad of this one (offset += 2*padding,
-            # index-builder.c:213)
+    pos = padding
+    for c in contigs:
         names.append(c.name)
         starts.append(pos)
         lengths.append(len(c.codes))
-        pieces.append(c.codes)
-        amb_pieces.append(c.ambig)
-        pos += len(c.codes)
-        ends.append(pos + padding)
-    pad()
+        end = pos + len(c.codes) + padding - 16
+        ends.append(end)
+        pos = end + padding
+    total = (ends[-1] + 16) if ends else padding
 
-    ambig_linear = np.concatenate(amb_pieces)
+    codes = np.zeros(total, dtype=np.uint8)
+    ambig_linear = np.zeros(total, dtype=bool)
+    for c, s0 in zip(contigs, starts):
+        codes[s0 : s0 + len(c.codes)] = c.codes
+        ambig_linear[s0 : s0 + len(c.codes)] = c.ambig
+
     return Genome(
         names=names,
         starts=np.asarray(starts, dtype=np.int64),
         lengths=np.asarray(lengths, dtype=np.int64),
         ends=np.asarray(ends, dtype=np.int64),
-        codes=np.concatenate(pieces),
+        codes=codes,
         ambig=np.packbits(ambig_linear, bitorder="little"),
         padding=padding,
     )

@@ -41,7 +41,11 @@ def read_fasta(path: str) -> list[Contig]:
         if name is not None:
             seq = b"".join(chunks)
             contigs.append(
-                Contig(name=name, codes=dna.encode(seq), ambig=dna.ambig_mask(seq))
+                Contig(
+                    name=name,
+                    codes=dna.encode_genome(seq),
+                    ambig=dna.ambig_mask(seq),
+                )
             )
 
     with _open_maybe_gz(path) as f:

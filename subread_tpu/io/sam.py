@@ -92,6 +92,12 @@ class SamWriter:
     def write_line(self, line: str) -> None:
         self._f.write(line + "\n")
 
+    def write_bytes(self, blob: bytes) -> None:
+        self._f.flush()
+        self._f.buffer.write(blob) if hasattr(self._f, "buffer") else self._f.write(
+            blob.decode()
+        )
+
     def close(self) -> None:
         self._f.close()
 

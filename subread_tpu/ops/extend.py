@@ -27,6 +27,33 @@ def genome_base(genome_u32: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     return (word >> ((pos & 15) << 1)) & 3
 
 
+def genome_window(genome_u32: jnp.ndarray, start: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Bases of genome[start : start+L] per row — [R, L] uint32.
+
+    Coalesced formulation: each row is one dynamic_slice of packed uint32
+    words (16 bases/word) followed by an in-register unpack and a row-local
+    realignment slice, instead of L scalar gathers per row (scalar gathers
+    are the TPU's weakest memory op; windows are its bread and butter).
+    """
+    start = start.astype(jnp.uint32)
+    nwords = L // 16 + 2
+    w0 = jnp.minimum(start >> 4, np.uint32(max(len(genome_u32) - nwords, 0)))
+
+    def slice_words(w):
+        return jax.lax.dynamic_slice(genome_u32, (w,), (nwords,))
+
+    words = jax.vmap(slice_words)(w0)  # [R, nwords]
+    # unpack every word to 16 bases: [R, nwords*16]
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    bases = ((words[:, :, None] >> shifts) & 3).reshape(words.shape[0], nwords * 16)
+    off = (start & 15).astype(jnp.int32)
+
+    def align_row(row, o):
+        return jax.lax.dynamic_slice(row, (o,), (L,))
+
+    return jax.vmap(align_row)(bases, off)
+
+
 def oriented_read(
     codes: jnp.ndarray, read_len: jnp.ndarray, strand: jnp.ndarray
 ) -> jnp.ndarray:
@@ -50,10 +77,10 @@ def mismatch_matrix(
     """bool [R, L]: mismatch of read base i vs genome base pos+i (False
     beyond read_len)."""
     R, L = oriented.shape
-    gpos = pos[:, None].astype(jnp.uint32) + jnp.arange(L, dtype=jnp.uint32)[None, :]
+    gpos = pos[:, None].astype(jnp.uint32) + np.arange(L, dtype=np.uint32)[None, :]
     g = genome_base(genome_u32, gpos)
     mm = g != oriented.astype(jnp.uint32)
-    inside = jnp.arange(L, dtype=jnp.int32)[None, :] < read_len[:, None]
+    inside = np.arange(L, dtype=np.int32)[None, :] < read_len[:, None]
     return mm & inside
 
 

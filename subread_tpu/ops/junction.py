@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .extend import genome_base
+from .extend import genome_base, genome_window
 
 MAX_INTRON = 500_000  # core.h:218 default maximum intron length
 # base codes (A=0,G=1,C=2,T=3): GT..AG fwd donor, CT..AC rev donor
@@ -42,19 +42,23 @@ def junction_split_scan(
     1 = CT..AC (the BED strand column).
     """
     R, L = oriented.shape
-    ar = jnp.arange(L, dtype=jnp.int32)[None, :]
+    ar = np.arange(L, dtype=np.int32)[None, :]
     inside = ar < read_len[:, None]
 
-    # head mismatches: read i vs genome head_pos + i
-    gpos_h = head_pos[:, None] + ar.astype(jnp.uint32)
-    mm_h = (genome_base(genome_u32, gpos_h) != oriented.astype(jnp.uint32)) & inside
+    # head/tail genome base grids (scalar gathers measured faster than
+    # word-window slicing on this backend; see ops/extend.py note)
+    ar2 = np.arange(L + 2, dtype=np.uint32)[None, :]
+    win_h = genome_base(genome_u32, head_pos[:, None] + ar2)
+    win_t = genome_base(
+        genome_u32,
+        head_pos[:, None] + gap[:, None].astype(jnp.uint32) - np.uint32(2) + ar2,
+    )
+    mm_h = (win_h[:, :L] != oriented.astype(jnp.uint32)) & inside
     prefix = jnp.cumsum(
         jnp.pad(mm_h.astype(jnp.int32), ((0, 0), (1, 0))), axis=1
     )  # [R, L+1] mism in read[0:s]
 
-    # tail mismatches: read i vs genome head_pos + D + i
-    gpos_t = gpos_h + gap[:, None].astype(jnp.uint32)
-    mm_t = (genome_base(genome_u32, gpos_t) != oriented.astype(jnp.uint32)) & inside
+    mm_t = (win_t[:, 2 : L + 2] != oriented.astype(jnp.uint32)) & inside
     rev = jnp.flip(mm_t.astype(jnp.int32), axis=1)
     suffix = jnp.flip(jnp.cumsum(rev, axis=1), axis=1)
     suffix = jnp.concatenate([suffix, jnp.zeros((R, 1), jnp.int32)], axis=1)
@@ -62,19 +66,18 @@ def junction_split_scan(
     total = prefix + suffix  # [R, L+1] mismatches if split at s
 
     # donor/acceptor motifs at each split: fwd GT at head_pos+s, AG ending
-    # at head_pos+D+s-1; rev CT / AC.
-    s_grid = jnp.arange(L + 1, dtype=jnp.uint32)[None, :]
-    d1 = genome_base(genome_u32, head_pos[:, None] + s_grid)          # intron base 1
-    d2 = genome_base(genome_u32, head_pos[:, None] + s_grid + 1)      # intron base 2
-    gapu = gap[:, None].astype(jnp.uint32)
-    a1 = genome_base(genome_u32, head_pos[:, None] + gapu + s_grid - 2)
-    a2 = genome_base(genome_u32, head_pos[:, None] + gapu + s_grid - 1)
+    # at head_pos+D+s-1; rev CT / AC.  All read from the two windows:
+    # d1,d2 = win_h[s], win_h[s+1]; a1,a2 = win_t[s], win_t[s+1]
+    # (win_t starts at head_pos+D-2, so win_t[s] = genome[head_pos+D+s-2]).
+    d1 = win_h[:, 0 : L + 1]
+    d2 = win_h[:, 1 : L + 2]
+    a1 = win_t[:, 0 : L + 1]
+    a2 = win_t[:, 1 : L + 2]
     donor_fwd = (d1 == G) & (d2 == T) & (a1 == A) & (a2 == G)
     donor_rev = (d1 == C) & (d2 == T) & (a1 == A) & (a2 == C)
 
-    in_range = (s_grid.astype(jnp.int32) >= 8) & (
-        s_grid.astype(jnp.int32) <= read_len[:, None] - 8
-    )
+    s_grid = np.arange(L + 1, dtype=np.int32)[None, :]
+    in_range = (s_grid >= 8) & (s_grid <= read_len[:, None] - 8)
     big = jnp.int32(1 << 20)
     tf = jnp.where(in_range & donor_fwd & valid[:, None], total, big)
     tr = jnp.where(in_range & donor_rev & valid[:, None], total, big)

@@ -124,10 +124,14 @@ def gather_hits(
     """Branchless lower-bound binary search per probe + fixed-width hit gather.
 
     Reference: the in-bucket binary search of gehash_go_q
-    (sorted-hashtable.c:960-981) including the scan-left-to-first-equal-key
-    step (ours lands on lower_bound directly).
+    (sorted-hashtable.c:960-981).  Perf note: both a vmapped dynamic_slice
+    (coalesced (H,2) window per probe) and an interleaved [N,2] pair array
+    measured SLOWER than plain scalar gathers from two 1-D arrays — XLA's
+    TPU gather is fastest in its simplest form.
     Returns (hit_pos uint32 [R, P, H], hit_valid bool [R, P, H]).
     """
+    R, P = probe_keys.shape
+    N = len(positions)
     B = np.uint32(buckets_number)
     bucket = (probe_keys % B).astype(jnp.int32)
     q = (probe_keys // B).astype(jnp.int32)
@@ -145,10 +149,12 @@ def gather_hits(
 
     H = params.max_hits
     idx = left[:, :, None] + np.arange(H, dtype=np.int32)[None, None, :]  # [R,P,H]
-    idx_c = jnp.minimum(idx, len(short_keys) - 1)
+    idx_c = jnp.minimum(idx, N - 1)
     k_at = short_keys[idx_c]
-    hit_valid = (idx < hi[:, :, None]) & (k_at == q[:, :, None]) & probe_valid[:, :, None]
     hit_pos = positions[idx_c]
+    hit_valid = (
+        (idx < hi[:, :, None]) & (k_at == q[:, :, None]) & probe_valid[:, :, None]
+    )
     return hit_pos, hit_valid
 
 
@@ -236,7 +242,7 @@ def vote_batch(
     read_len: jnp.ndarray,     # int32 [R]
     bucket_start: jnp.ndarray,
     short_keys: jnp.ndarray,
-    positions: jnp.ndarray,
+    positions: jnp.ndarray,    # uint32 [N]
     buckets_number: int,
     params: VoteParams,
 ) -> VoteResult:

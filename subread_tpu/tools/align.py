@@ -54,15 +54,31 @@ def main(argv=None) -> int:
     return run_align(args, subjunc=False)
 
 
-def run_align(args, subjunc: bool) -> int:
-    from ..align.pipeline import Aligner
-    from ..config import aligner_config, subjunc_config
+def load_index_any(prefix: str):
+    """Load a native (.genome.npz/.hash.npz) or reference-built
+    ({prefix}.00.b.tab/.array/.reads) index."""
+    import os
+
     from ..index.build import HashIndex
     from ..index.genome import Genome
 
+    if os.path.exists(prefix + ".hash.npz"):
+        return Genome.load(prefix), HashIndex.load(prefix)
+    if os.path.exists(prefix + ".00.b.tab"):
+        from ..index.interop import read_reference_index
+
+        return read_reference_index(prefix)
+    raise FileNotFoundError(
+        f"no index at '{prefix}' (need .hash.npz or .00.b.tab)"
+    )
+
+
+def run_align(args, subjunc: bool) -> int:
+    from ..align.pipeline import Aligner
+    from ..config import aligner_config, subjunc_config
+
     t0 = time.time()
-    genome = Genome.load(args.index)
-    index = HashIndex.load(args.index)
+    genome, index = load_index_any(args.index)
 
     mk = subjunc_config if subjunc else aligner_config
     overrides = dict(

@@ -28,6 +28,9 @@ def main(argv=None) -> int:
                     help="memory budget MB (compatibility; unused)")
     ap.add_argument("-f", "--threshold", type=int, default=100,
                     help="repeat threshold for uninformative 16-mers")
+    ap.add_argument("--reference-format", action="store_true",
+                    help="also emit byte-exact reference-format artifacts "
+                         "({prefix}.00.b.tab/.array)")
     ap.add_argument("fasta", nargs="+", help="reference FASTA file(s)")
     args = ap.parse_args(argv)
 
@@ -44,6 +47,11 @@ def main(argv=None) -> int:
     index = build_hash_index(genome, index_gap=gap, repeat_threshold=args.threshold)
     genome.save(args.output)
     index.save(args.output)
+    if args.reference_format:
+        from ..index.interop import write_reference_index
+
+        write_reference_index(genome, args.output, index_gap=gap,
+                              repeat_threshold=args.threshold)
     with open(args.output + ".log", "w") as f:
         f.write(
             f"contigs={len(genome.names)} bases={int(genome.lengths.sum())} "

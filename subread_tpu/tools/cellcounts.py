@@ -32,8 +32,9 @@ def main(argv=None) -> int:
     from ..quant.featurecounts import FCOptions, FeatureCounter, _ChromIndex
     from .. import dna
 
-    genome = Genome.load(args.index)
-    index = HashIndex.load(args.index)
+    from .align import load_index_any
+
+    genome, index = load_index_any(args.index)
     ann = load_annotation(args.annotation, fmt=args.anno_format)
     whitelist = [l.strip() for l in open(args.cell_barcodes) if l.strip()]
     matcher = BarcodeMatcher(whitelist)

@@ -46,6 +46,8 @@ def chr901_index(chr901_genome):
     return build_hash_index(chr901_genome, index_gap=1)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test gets the same deterministic stream
+    # regardless of which other tests ran before it
     return np.random.default_rng(901)

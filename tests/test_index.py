@@ -12,14 +12,14 @@ def make_contig(name, seq):
 
 
 def test_genome_layout_reference_convention():
-    # [pad] c0 [pad][pad] c1 [pad]; .reads end = start + len + pad
-    # (index-builder.c:114-134, 179-213)
+    # reference convention with the 16-base window-prefill lag
+    # (index-builder.c:130-213): ends[c] = start + len + pad - 16
     g = build_genome([make_contig("c0", "ACGT" * 10), make_contig("c1", "T" * 30)])
     assert g.starts[0] == PADDING
-    assert g.ends[0] == PADDING + 40 + PADDING
+    assert g.ends[0] == PADDING + 40 + PADDING - 16
     assert g.starts[1] == g.ends[0] + PADDING
-    assert g.ends[1] == g.starts[1] + 30 + PADDING
-    assert g.total == g.ends[1]  # ends[last] includes the final trailing pad
+    assert g.ends[1] == g.starts[1] + 30 + PADDING - 16
+    assert g.total == g.ends[1] + 16
     idx, off = g.linear_to_chro(np.array([g.starts[0] + 5, g.starts[1] + 7]))
     assert list(idx) == [0, 1]
     assert list(off) == [5, 7]
