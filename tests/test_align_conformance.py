@@ -1,0 +1,60 @@
+"""Record-level conformance vs the reference aligner binary.
+
+Fixtures: tests/data/sim20k-chr901.fq.gz (20k simulated 100bp reads,
+1% error, 10% indels) and the first 6 SAM columns of the output of the
+compiled reference subread-align v2.0.6 (`--SAMoutput -t1 -T1` against a
+`-B -F` chr901 index).
+"""
+
+import gzip
+import pathlib
+
+import pytest
+
+jax = pytest.importorskip("jax")
+
+HERE = pathlib.Path(__file__).parent
+FQ = HERE / "data" / "sim20k-chr901.fq.gz"
+REF = HERE / "data" / "sim20k-chr901.ref-align.tsv.gz"
+
+
+def test_position_agreement_with_reference(tmp_path, chr901_genome, chr901_index):
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+
+    al = Aligner(chr901_genome, chr901_index, aligner_config(batch_reads=2048))
+    out = tmp_path / "ours.sam"
+    al.align_file(str(FQ), str(out))
+
+    ref = {}
+    with gzip.open(REF, "rt") as f:
+        for line in f:
+            q, flag, rname, pos, _mapq, _cigar = line.rstrip("\n").split("\t")
+            ref[q] = (int(flag) & 0x4, rname, int(pos))
+
+    both = agree = ref_only = ours_only = 0
+    for line in open(out):
+        if line.startswith("@"):
+            continue
+        fds = line.split("\t")
+        r = ref.get(fds[0])
+        if r is None:
+            continue
+        ours_unmapped = bool(int(fds[1]) & 0x4)
+        if r[0] and ours_unmapped:
+            continue
+        if r[0]:
+            ours_only += 1
+            continue
+        if ours_unmapped:
+            ref_only += 1
+            continue
+        both += 1
+        if r[1] == fds[2] and abs(r[2] - int(fds[3])) <= 5:
+            agree += 1
+
+    assert both > 17000, f"both-mapped too low: {both}"
+    rate = agree / both
+    assert rate >= 0.99, f"position agreement {rate:.4f} ({agree}/{both})"
+    # we should not lose many reads the reference maps
+    assert ref_only < 400, f"reference-only mapped: {ref_only}"
