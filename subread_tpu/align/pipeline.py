@@ -42,6 +42,7 @@ from ..ops.extend import (
     mismatch_matrix,
     oriented_read,
     place_single_indel,
+    softclip_bounds,
 )
 from ..ops.vote import VoteParams, VoteResult, vote_batch
 
@@ -232,7 +233,51 @@ class Aligner:
         sc = self._score_candidates(codes, ambig, lens, genome_u32, v)
         if self.cfg.detect_junctions:
             return self._select_se_junc(codes, lens, genome_u32, v, sc)
-        return self._select_se(lens, sc)
+        res = self._select_se(lens, sc)
+        if self.cfg.show_soft_clipping:
+            res = self._apply_softclip(codes, lens, genome_u32, res)
+        return res
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _apply_softclip(self, codes, lens, genome_u32, res):
+        """Soft-clip noisy read ends of plain (non-indel) alignments.
+
+        Reference behaviour: soft-clipping is shown by default and the
+        mismatch limit applies to the unclipped region (show_soft_cliping /
+        find_soft_clipping, gene-algorithms.h:102); -J disables display.
+        """
+        cfg = self.cfg
+        R, L = codes.shape
+        oriented = oriented_read(codes, lens, res["strand"])
+        mm = mismatch_matrix(genome_u32, oriented, lens, res["pos"])
+        cl, cr = softclip_bounds(mm, lens)
+        skip = (res["indel"] != 0) | (cl + cr >= lens - 16)
+        cl = jnp.where(skip, 0, cl)
+        cr = jnp.where(skip, 0, cr)
+        mmi = mm.astype(jnp.int32)
+        pc = jnp.cumsum(mmi, axis=1)  # pc[i] = mism in [0..i]
+        total = pc[:, -1]
+        head = jnp.where(cl > 0, jnp.take_along_axis(
+            pc, jnp.maximum(cl - 1, 0)[:, None], axis=1)[:, 0], 0)
+        last_keep = jnp.clip(lens - cr - 1, 0, L - 1)
+        upto = jnp.take_along_axis(pc, last_keep[:, None], axis=1)[:, 0]
+        mism_clipped = jnp.maximum(upto - head, 0)
+        clipped_ok = (res["indel"] == 0) & (mism_clipped <= cfg.max_mismatches)
+        valid_pos = res["pos"] != np.uint32(0xFFFFFFFF)
+        out = dict(res)
+        out["clip_l"] = cl
+        out["clip_r"] = cr
+        out["mism"] = jnp.where(res["indel"] == 0, mism_clipped, res["mism"])
+        out["mapped"] = jnp.where(
+            res["indel"] == 0,
+            clipped_ok & valid_pos & (res["votes"] >= cfg.min_votes),
+            res["mapped"],
+        )
+        out["pos"] = jnp.where(
+            out["mapped"] & (res["indel"] == 0),
+            res["pos"] + cl.astype(jnp.uint32), res["pos"],
+        )
+        return out
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _select_se_junc(self, codes, lens, genome_u32, v: VoteResult, sc):
@@ -356,7 +401,14 @@ class Aligner:
         sc2 = self._score_candidates(
             c2, a2, l2, genome_u32, v2, min_votes=self.cfg.min_votes_second
         )
-        return self._select_pe(l1, l2, sc1, sc2)
+        r1, r2 = self._select_pe(l1, l2, sc1, sc2)
+        if self.cfg.show_soft_clipping:
+            p1, p2 = r1.pop("proper"), r2.pop("proper")
+            r1 = self._apply_softclip(c1, l1, genome_u32, r1)
+            r2 = self._apply_softclip(c2, l2, genome_u32, r2)
+            r1["proper"] = p1 & r1["mapped"] & r2["mapped"]
+            r2["proper"] = r1["proper"]
+        return r1, r2
 
     # --- host orchestration -------------------------------------------------
 
@@ -437,12 +489,15 @@ class Aligner:
         flags = np.where(mapped, np.where(strand == 1, 16, 0), 4).astype(np.int32)
         indel = np.where(mapped, res["indel"], 0).astype(np.int32)
         nm = (np.asarray(res["mism"], np.int32) + np.abs(indel)).astype(np.int32)
+        clip_l = np.asarray(res["clip_l"], np.int32) if "clip_l" in res else None
+        clip_r = np.asarray(res["clip_r"], np.int32) if "clip_r" in res else None
         blob = native.format_sam_records(
             batch.names,
             batch.codes, batch.quals, batch.lengths.astype(np.int32),
             flags, cidx.astype(np.int32), (coff + 1).astype(np.int32),
             np.asarray(res["mapq"], np.int32), indel,
             np.asarray(res["split"], np.int32), None,
+            clip_l, clip_r,
             mapped.astype(np.uint8), nm, g.names,
         )
         if blob is None:
@@ -536,7 +591,10 @@ class Aligner:
                 cigar = f"{split}M{ins}I{L - split - ins}M"
                 summary.indels += 1
             else:
-                cigar = f"{L}M"
+                cl = int(res.get("clip_l", np.zeros(1, np.int32))[i]) if "clip_l" in res else 0
+                cr = int(res.get("clip_r", np.zeros(1, np.int32))[i]) if "clip_r" in res else 0
+                mid = L - cl - cr
+                cigar = (f"{cl}S" if cl else "") + f"{mid}M" + (f"{cr}S" if cr else "")
             if indel != 0 and indel_events is not None:
                 ins_seq = seq[split : split - indel] if indel < 0 else ""
                 key = (int(cidx[i]), int(coff[i]) + split - 1, indel)
@@ -620,7 +678,13 @@ class Aligner:
                     cigar = f"{split}M{-indel}I{L - split + indel}M"
                     summary.indels += 1
                 else:
-                    cigar = f"{L}M"
+                    cl = int(res["clip_l"][i]) if "clip_l" in res else 0
+                    cr = int(res["clip_r"][i]) if "clip_r" in res else 0
+                    cigar = (
+                        (f"{cl}S" if cl else "")
+                        + f"{L - cl - cr}M"
+                        + (f"{cr}S" if cr else "")
+                    )
                 if strand:
                     flag |= samio.FLAG_REVERSE
                 if bool(res.get("proper", np.zeros(1))[i]):
@@ -666,6 +730,7 @@ class Aligner:
         writer = samio.make_writer(
             out_sam, self.genome.names, [int(x) for x in self.genome.lengths],
             sam_output=self.cfg.sam_output or out_sam.endswith(".sam"),
+            sort_by_coordinates=self.cfg.sort_by_coordinates,
             rg_id=self.cfg.rg_id, rg_extra=list(self.cfg.rg_extra) or None,
         )
         try:
@@ -699,6 +764,7 @@ class Aligner:
             self.genome.names,
             [int(x) for x in self.genome.lengths],
             sam_output=self.cfg.sam_output or out_sam.endswith(".sam"),
+            sort_by_coordinates=self.cfg.sort_by_coordinates,
             rg_id=self.cfg.rg_id,
             rg_extra=list(self.cfg.rg_extra) or None,
         )

@@ -39,6 +39,7 @@ class AlignConfig:
     show_soft_clipping: bool = True   # -J disables
     phred_offset: int = 33            # -P
     sam_output: bool = False          # --SAMoutput
+    sort_by_coordinates: bool = False # --sortReadsByCoordinates (+BAI)
     rg_id: str | None = None
     rg_extra: tuple[str, ...] = ()
 

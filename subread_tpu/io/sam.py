@@ -152,8 +152,13 @@ class BamRecordWriter:
 
 
 def make_writer(path, contig_names, contig_lengths, sam_output: bool,
-                **kw):
+                sort_by_coordinates: bool = False, **kw):
+    if sort_by_coordinates and not sam_output:
+        from .bamsort import CoordSortBamWriter
+
+        return CoordSortBamWriter(path, contig_names, contig_lengths, **kw)
     cls = SamWriter if sam_output else BamRecordWriter
+    kw["sorted_by_coord"] = sort_by_coordinates
     return cls(path, contig_names, contig_lengths, **kw)
 
 

@@ -56,6 +56,7 @@ def format_sam_records(
     flags: np.ndarray, cidx: np.ndarray, pos1: np.ndarray,
     mapqs: np.ndarray, indel: np.ndarray, split: np.ndarray,
     junc_gap: np.ndarray | None,
+    clip_l: np.ndarray | None, clip_r: np.ndarray | None,
     mapped: np.ndarray, nm: np.ndarray,
     contig_names: list[str],
 ) -> bytes | None:
@@ -84,6 +85,8 @@ def format_sam_records(
         mapqs=c(mapqs, np.int32), indel=c(indel, np.int32),
         split=c(split, np.int32),
         junc=c(junc_gap if junc_gap is not None else np.zeros(n), np.int32),
+        clip_l=c(clip_l if clip_l is not None else np.zeros(n), np.int32),
+        clip_r=c(clip_r if clip_r is not None else np.zeros(n), np.int32),
         mapped=c(mapped, np.uint8), nm=c(nm, np.int32),
     )
     ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
@@ -93,7 +96,8 @@ def format_sam_records(
         ptr(a_codes), ptr(a_quals), ptr(arrs["lens"]), ctypes.c_int32(Lmax),
         ptr(arrs["flags"]), ptr(arrs["cidx"]), ptr(arrs["pos1"]),
         ptr(arrs["mapqs"]), ptr(arrs["indel"]), ptr(arrs["split"]),
-        ptr(arrs["junc"]), ptr(arrs["mapped"]), ptr(arrs["nm"]),
+        ptr(arrs["junc"]), ptr(arrs["clip_l"]), ptr(arrs["clip_r"]),
+        ptr(arrs["mapped"]), ptr(arrs["nm"]),
         ctypes.c_char_p(contig_blob), ptr(contig_off),
         out, ctypes.c_int64(cap),
     )

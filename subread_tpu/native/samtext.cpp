@@ -40,6 +40,7 @@ extern "C" long format_sam_records(
     const int32_t *pos1, const int32_t *mapqs,
     const int32_t *indel, const int32_t *split,
     const int32_t *junc_gap,
+    const int32_t *clip_l, const int32_t *clip_r,
     const uint8_t *mapped, const int32_t *nm,
     const char *contigs, const int64_t *contig_off,    // [n_contigs+1]
     char *out, int64_t outcap)
@@ -84,7 +85,11 @@ extern "C" long format_sam_records(
                 p = put_i32(p, -ind); *p++ = 'I';
                 p = put_i32(p, L - sp + ind); *p++ = 'M';
             } else {
-                p = put_i32(p, L); *p++ = 'M';
+                int32_t cl = clip_l ? clip_l[i] : 0;
+                int32_t cr = clip_r ? clip_r[i] : 0;
+                if (cl > 0) { p = put_i32(p, cl); *p++ = 'S'; }
+                p = put_i32(p, L - cl - cr); *p++ = 'M';
+                if (cr > 0) { p = put_i32(p, cr); *p++ = 'S'; }
             }
             p = put_str(p, "\t*\t0\t0\t", 7);
         }

@@ -41,6 +41,9 @@ def build_parser(prog="subread_tpu-align", subjunc=False):
     ap.add_argument("-Q", dest="quality_break", action="store_true",
                     help="quality-score tie-break (compat)")
     ap.add_argument("--SAMoutput", action="store_true", help="write SAM text")
+    ap.add_argument("--sortReadsByCoordinates", dest="sort_coords",
+                    action="store_true",
+                    help="coordinate-sort the BAM output and write a BAI")
     ap.add_argument("--gzFASTQinput", action="store_true",
                     help="compat flag; gz detected automatically")
     ap.add_argument("--rg-id", dest="rg_id")
@@ -89,6 +92,7 @@ def run_align(args, subjunc: bool) -> int:
         phred_offset=64 if args.phred == "6" else 33,
         show_soft_clipping=not args.hide_softclip,
         sam_output=args.SAMoutput,
+        sort_by_coordinates=args.sort_coords,
         rg_id=args.rg_id,
         rg_extra=tuple(args.rg),
         multi_best=args.multi_best,

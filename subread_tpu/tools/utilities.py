@@ -436,6 +436,45 @@ def mergevcf(argv=None) -> int:
     return 0
 
 
+# --- samMappedBases -----------------------------------------------------------
+
+def sammappedbases(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="samMappedBases")
+    ap.add_argument("-i", "--input", required=True)
+    args = ap.parse_args(argv)
+    from ..io.sam import parse_cigar
+
+    total = 0
+    for f in _sam_records(args.input):
+        if int(f[1]) & 0x4 or f[5] == "*":
+            continue
+        total += sum(n for n, op in parse_cigar(f[5]) if op in "M=X")
+    print(f"MappedBases\t{total}")
+    return 0
+
+
+# --- filterJunctionTable ------------------------------------------------------
+
+def filterjunctiontable(argv=None) -> int:
+    """Filter a .junction.bed by minimum supporting reads."""
+    ap = argparse.ArgumentParser(prog="filterJunctionTable")
+    ap.add_argument("-i", "--input", required=True, help=".junction.bed")
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("-n", "--min-support", type=int, default=2)
+    args = ap.parse_args(argv)
+    kept = 0
+    with open(args.output, "w") as out:
+        for line in open(args.input):
+            if line.startswith("#"):
+                out.write(line)
+                continue
+            if int(line.split("\t")[4]) >= args.min_support:
+                out.write(line)
+                kept += 1
+    print(f"// filterJunctionTable: kept {kept}", file=sys.stderr)
+    return 0
+
+
 TOOLS = {
     "propmapped": propmapped,
     "qualityScores": qualityscores,
@@ -449,6 +488,8 @@ TOOLS = {
     "genRandomReads": genrandomreads,
     "detectionCall": detectioncall,
     "mergeVCF": mergevcf,
+    "samMappedBases": sammappedbases,
+    "filterJunctionTable": filterjunctiontable,
 }
 
 

@@ -104,3 +104,33 @@ def test_removedup(tmp_path):
     # r=1 removes everything mapped
     body = [l for l in out.read_text().splitlines() if not l.startswith("@")]
     assert all(int(l.split("\t")[1]) & 0x4 for l in body)
+
+
+def test_coord_sorted_bam_with_bai(tmp_path):
+    """CoordSortBamWriter produces a sorted BAM + structurally valid BAI."""
+    import struct
+
+    from subread_tpu.io.bam import BamReader
+    from subread_tpu.io.bamsort import CoordSortBamWriter
+    from subread_tpu.io.sam import SamRecord
+
+    w = CoordSortBamWriter(str(tmp_path / "s.bam"), ["c1", "c2"], [50000, 40000])
+    recs = [
+        ("r1", "c2", 100), ("r2", "c1", 900), ("r3", "c1", 50),
+        ("r4", "c2", 20000), ("r5", "c1", 12345),
+    ]
+    for name, chro, pos in recs:
+        w.write(SamRecord(name, 0, chro, pos, 40, "50M", seq="A" * 50,
+                          qual="I" * 50))
+    w.close()
+
+    r = BamReader(str(tmp_path / "s.bam"))
+    got = [(rec.qname, r.ref_names[rec.ref_id], rec.pos + 1) for rec in r]
+    assert got == [
+        ("r3", "c1", 50), ("r2", "c1", 900), ("r5", "c1", 12345),
+        ("r1", "c2", 100), ("r4", "c2", 20000),
+    ]
+    bai = open(str(tmp_path / "s.bam.bai"), "rb").read()
+    assert bai[:4] == b"BAI\x01"
+    (n_ref,) = struct.unpack_from("<i", bai, 4)
+    assert n_ref == 2
