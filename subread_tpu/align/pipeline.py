@@ -121,11 +121,10 @@ class Aligner:
             indel_tolerance=max(cfg.max_indel, 1),
             top_k=cfg.top_k,
             index_gap=index.index_gap,
-            search_iters=max(int(np.ceil(np.log2(max(index.max_bucket, 2)))) + 1, 4),
         )
         # device-resident index (replicated single-chip)
         self.d_bucket_start = jnp.asarray(index.bucket_start)
-        self.d_keys = jnp.asarray(index.keys)
+        self.d_check = jnp.asarray(index.check_words)
         self.d_positions = jnp.asarray(index.positions)
         self.d_genome = jnp.asarray(
             dna.packed_as_u32(dna.pack_2bit(genome.codes))
@@ -139,7 +138,7 @@ class Aligner:
     # into a tailspin (>>10min compiles) for no runtime benefit.
 
     def _device_align(
-        self, codes, ambig, lens, bucket_start, keys, positions, genome_u32
+        self, codes, ambig, lens, bucket_start, check, positions, genome_u32
     ):
         """Full single-end alignment step: votes + scan-2 selection.
 
@@ -148,8 +147,8 @@ class Aligner:
         """
         v = vote_batch(
             codes, ambig, lens,
-            bucket_start, keys, positions,
-            self.index.buckets_number, self.vote_params,
+            bucket_start, check, positions,
+            self.index.bucket_bits, self.vote_params,
         )
         return self._scan2(codes, ambig, lens, genome_u32, v)
 
@@ -392,11 +391,11 @@ class Aligner:
         return r1, r2
 
     def _device_align_pe(
-        self, c1, a1, l1, c2, a2, l2, bucket_start, keys, positions, genome_u32
+        self, c1, a1, l1, c2, a2, l2, bucket_start, check, positions, genome_u32
     ):
-        B = self.index.buckets_number
-        v1 = vote_batch(c1, a1, l1, bucket_start, keys, positions, B, self.vote_params)
-        v2 = vote_batch(c2, a2, l2, bucket_start, keys, positions, B, self.vote_params)
+        B = self.index.bucket_bits
+        v1 = vote_batch(c1, a1, l1, bucket_start, check, positions, B, self.vote_params)
+        v2 = vote_batch(c2, a2, l2, bucket_start, check, positions, B, self.vote_params)
         sc1 = self._score_candidates(c1, a1, l1, genome_u32, v1)
         sc2 = self._score_candidates(
             c2, a2, l2, genome_u32, v2, min_votes=self.cfg.min_votes_second
@@ -441,7 +440,7 @@ class Aligner:
                 jnp.asarray(ambig[i : i + bs]),
                 jnp.asarray(lens[i : i + bs]),
                 self.d_bucket_start,
-                self.d_keys,
+                self.d_check,
                 self.d_positions,
                 self.d_genome,
             )
@@ -620,7 +619,7 @@ class Aligner:
             r1, r2 = self._device_align_pe(
                 jnp.asarray(c1[sl]), jnp.asarray(a1[sl]), jnp.asarray(l1[sl]),
                 jnp.asarray(c2[sl]), jnp.asarray(a2[sl]), jnp.asarray(l2[sl]),
-                self.d_bucket_start, self.d_keys, self.d_positions, self.d_genome,
+                self.d_bucket_start, self.d_check, self.d_positions, self.d_genome,
             )
             parts1.append(jax.device_get(r1))
             parts2.append(jax.device_get(r2))

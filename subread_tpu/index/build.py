@@ -2,18 +2,25 @@
 
 Reference equivalents: `gehash_t` + builder (sorted-hashtable.c:77-281,
 index-builder.c:78-445).  The reference stores per-bucket sorted short
-keys + positions in 64K slab groups; the TPU-native layout is three flat
-arrays designed for vectorised device binary search:
+keys + positions in 64K slab groups with bucket = key % B and an
+in-bucket binary search (sorted-hashtable.c:960-981).  The TPU-native
+layout is co-designed with the gather engine instead — on TPU every
+gathered element costs a fixed ~12ns issue slot, so the layout minimises
+gathered elements per probe:
 
-    bucket_start : int32 [B+1]  prefix offsets of each bucket's slab
-    keys         : int32 [N]    in-bucket short key (key // B), sorted per bucket
-    positions    : uint32[N]    linear genome position, ascending within equal keys
+    bucket_start : int32 [B+1]      B = 2**bucket_bits, bucket = key >> (32-bits)
+    check_words  : uint32 [N/4+pad] byte i%4 of word i//4 = check(full_key_i)
+    positions    : uint32 [N]       sorted by (full key, position)
 
-A 16-mer key k lives in bucket k % B with short key k // B (reference
-sorted-hashtable.c:951, 191-192).  B is chosen with the reference's rule
-(calculate_buckets_by_size, sorted-hashtable.c:42-75): items/31, /3 when
-index_gap>=3, minimum 0x3ffff+4, rounded up to a number coprime with all
-primes <= 13 — so that short keys always fit in 16 bits.
+Because the bucket is the *high* bits of the key, entries end up globally
+sorted by full key.  B is sized so the average bucket holds well under
+one entry; a probe then gathers its whole bucket window in one
+fixed-width gather with NO binary search, and verifies key identity from
+the packed check bytes at 1/4 gather cost (4 bytes per gathered word).
+An 8-bit check byte can alias two distinct keys sharing a bucket
+(~2^-8 of the ~10% shared-bucket cases); aliases only add isolated
+vote-noise candidates that the clustering threshold (>=3 consistent
+probes) filters out.
 
 Uninformative 16-mers occurring more than `repeat_threshold` (=100) times
 are excluded, mirroring scan_gene_index/add_repeated_subread
@@ -30,48 +37,35 @@ from .. import dna
 from .genome import Genome, genome_from_fasta
 
 REPEAT_THRESHOLD = 100  # reference index-builder default (-f 100)
-GEHASH_BUCKET_LENGTH = 31  # sorted-hashtable.h:32 (VER2: 100 - 69)
-MIN_BUCKETS_VER2 = 0x3FFFF + 4
-
-
-def calculate_buckets(n_items: int, index_gap: int) -> int:
-    b = n_items // GEHASH_BUCKET_LENGTH
-    if index_gap >= 3:
-        b //= 3
-    if b <= MIN_BUCKETS_VER2:
-        b = MIN_BUCKETS_VER2
-    while any(b % p == 0 for p in (2, 3, 5, 7, 11, 13)):
-        b += 1
-    return int(b)
+MAX_BUCKET_BITS = 28    # 1GB bucket_start ceiling (human full index)
 
 
 @dataclass
 class HashIndex:
-    buckets_number: int
+    bucket_bits: int          # B = 1 << bucket_bits; bucket = key >> (32 - bits)
     bucket_start: np.ndarray  # int32 [B+1]
-    keys: np.ndarray          # int32 [N] (short key = full_key // B)
+    keys: np.ndarray          # uint32 [N] full 16-mer keys, sorted (host-side)
+    check_words: np.ndarray   # uint32 [N//4 + pad] packed low bytes of keys
     positions: np.ndarray     # uint32 [N]
     index_gap: int
     padding: int
-    max_bucket: int           # longest bucket (for binary-search depth)
+    max_bucket: int           # longest bucket (diagnostics)
+
+    @property
+    def buckets_number(self) -> int:
+        return 1 << self.bucket_bits
 
     @property
     def n_items(self) -> int:
         return len(self.keys)
 
-    def kp_pairs(self) -> np.ndarray:
-        """Interleaved (short_key, position) int32 [N, 2] for the device's
-        coalesced per-probe hit slices (ops.vote.gather_hits)."""
-        return np.stack(
-            [self.keys.astype(np.int32), self.positions.view(np.int32)], axis=1
-        )
-
     def save(self, prefix: str) -> None:
         np.savez_compressed(
             prefix + ".hash.npz",
-            buckets_number=np.int64(self.buckets_number),
+            version=np.int64(2),
+            bucket_bits=np.int64(self.bucket_bits),
             bucket_start=self.bucket_start,
-            keys=self.keys.astype(np.int16),
+            keys=self.keys,
             positions=self.positions,
             index_gap=np.int64(self.index_gap),
             padding=np.int64(self.padding),
@@ -81,15 +75,76 @@ class HashIndex:
     @classmethod
     def load(cls, prefix: str) -> "HashIndex":
         z = np.load(prefix + ".hash.npz")
-        return cls(
-            buckets_number=int(z["buckets_number"]),
+        if "version" not in z:  # v1 mod-B layout: rebuild native from full keys
+            B = np.uint64(int(z["buckets_number"]))
+            short = z["keys"].astype(np.uint64)
+            bucket_start = z["bucket_start"]
+            counts = np.diff(bucket_start.astype(np.int64))
+            bucket = np.repeat(
+                np.arange(len(counts), dtype=np.uint64), counts
+            )
+            full = (short * B + bucket).astype(np.uint32)
+            return native_layout(
+                full, z["positions"], int(z["index_gap"]), int(z["padding"])
+            )
+        idx = cls(
+            bucket_bits=int(z["bucket_bits"]),
             bucket_start=z["bucket_start"],
-            keys=z["keys"].astype(np.int32),
+            keys=z["keys"],
+            check_words=np.zeros(0, np.uint32),
             positions=z["positions"],
             index_gap=int(z["index_gap"]),
             padding=int(z["padding"]),
             max_bucket=int(z["max_bucket"]),
         )
+        idx.check_words = pack_check_bytes(idx.keys, idx.bucket_bits)
+        return idx
+
+
+def check_byte(keys_u32: np.ndarray, bucket_bits: int):
+    """8-bit key checksum: the highest byte of the in-bucket remainder.
+    Monotone non-decreasing within a bucket (keys are sorted), which lets
+    the gather kernel reason about run placement without extra gathers."""
+    rem = keys_u32 << np.uint32(bucket_bits)  # remainder in the high bits
+    return (rem >> np.uint32(24)).astype(np.uint8)
+
+
+def pack_check_bytes(keys_u32: np.ndarray, bucket_bits: int) -> np.ndarray:
+    """check_byte of every key packed 4-per-uint32, padded so a fixed-width
+    word window starting at any entry never reads past the end."""
+    n = len(keys_u32)
+    npad = ((n + 3) // 4 + 16) * 4
+    b = np.zeros(npad, np.uint8)
+    b[:n] = check_byte(keys_u32, bucket_bits)
+    return b.view(np.uint32)
+
+
+def native_layout(
+    keys: np.ndarray, positions: np.ndarray, index_gap: int, padding: int
+) -> HashIndex:
+    """Sort (key, position) pairs into the native device layout."""
+    keys = keys.astype(np.uint32)
+    n = max(len(keys), 2)
+    bucket_bits = min(MAX_BUCKET_BITS, max(10, int(np.ceil(np.log2(n))) + 2))
+    order = np.lexsort((positions, keys))
+    ks = keys[order]
+    ps = positions[order].astype(np.uint32)
+    shift = np.uint32(32 - bucket_bits)
+    bucket = (ks >> shift).astype(np.int64)
+    counts = np.bincount(bucket, minlength=1 << bucket_bits)
+    bucket_start = np.zeros((1 << bucket_bits) + 1, dtype=np.int64)
+    np.cumsum(counts, out=bucket_start[1:])
+    assert bucket_start[-1] < 2**31
+    return HashIndex(
+        bucket_bits=bucket_bits,
+        bucket_start=bucket_start.astype(np.int32),
+        keys=ks,
+        check_words=pack_check_bytes(ks, bucket_bits),
+        positions=ps,
+        index_gap=index_gap,
+        padding=padding,
+        max_bucket=int(counts.max(initial=0)),
+    )
 
 
 def _stepped_kmers(genome: Genome, gap: int) -> tuple[np.ndarray, np.ndarray]:
@@ -133,34 +188,7 @@ def build_hash_index(
     run_len = np.diff(np.concatenate((boundaries, [len(ks)])))
     keep_run = run_len <= repeat_threshold
     keep = np.repeat(keep_run, run_len)
-    ks, ps = ks[keep], ps[keep]
-
-    n = len(ks)
-    B = calculate_buckets(n, index_gap)
-    bucket = (ks % np.uint32(B)).astype(np.int64)
-    short = (ks // np.uint32(B)).astype(np.int32)
-    assert short.max(initial=0) < 32768, "short key must fit int16"
-
-    # Final layout sort: (bucket, short_key, position).
-    order2 = np.lexsort((ps, short, bucket))
-    short = short[order2]
-    ps = ps[order2]
-    bucket = bucket[order2]
-
-    counts = np.bincount(bucket, minlength=B)
-    bucket_start = np.zeros(B + 1, dtype=np.int64)
-    np.cumsum(counts, out=bucket_start[1:])
-    max_bucket = int(counts.max(initial=0))
-    assert bucket_start[-1] < 2**31
-    return HashIndex(
-        buckets_number=B,
-        bucket_start=bucket_start.astype(np.int32),
-        keys=short,
-        positions=ps,
-        index_gap=index_gap,
-        padding=genome.padding,
-        max_bucket=max_bucket,
-    )
+    return native_layout(ks[keep], ps[keep], index_gap, genome.padding)
 
 
 def build_index(

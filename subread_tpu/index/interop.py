@@ -28,8 +28,24 @@ import struct
 import numpy as np
 
 from .. import dna
-from .build import HashIndex, _stepped_kmers
+from .build import HashIndex, _stepped_kmers, native_layout
 from .genome import Genome
+
+GEHASH_BUCKET_LENGTH = 31  # sorted-hashtable.h:32 (VER2: 100 - 69)
+MIN_BUCKETS_VER2 = 0x3FFFF + 4
+
+
+def calculate_buckets(n_items: int, index_gap: int) -> int:
+    """The reference's bucket-count rule (calculate_buckets_by_size,
+    sorted-hashtable.c:42-75), used only for byte-exact dump interchange."""
+    b = n_items // GEHASH_BUCKET_LENGTH
+    if index_gap >= 3:
+        b //= 3
+    if b <= MIN_BUCKETS_VER2:
+        b = MIN_BUCKETS_VER2
+    while any(b % p == 0 for p in (2, 3, 5, 7, 11, 13)):
+        b += 1
+    return int(b)
 
 SUBREAD_INDEX_OPTION_INDEX_GAP = 0x0101
 SUBREAD_INDEX_OPTION_INDEX_PADDING = 0x0102
@@ -37,8 +53,6 @@ SUBREAD_INDEX_OPTION_INDEX_PADDING = 0x0102
 
 def reference_dump_buckets(index_gap: int, one_block: bool = True,
                            memory_mb: int | None = None) -> int:
-    from .build import GEHASH_BUCKET_LENGTH, MIN_BUCKETS_VER2
-
     if memory_mb is None:
         memory_mb = 22000 if index_gap == 1 else 11500
     expected_items = int(memory_mb * 1024.0 / 8.0) * 1024
@@ -239,13 +253,11 @@ def read_reference_index(prefix: str, block: int = 0) -> tuple[Genome, HashIndex
         ambig=np.packbits(np.zeros(len(codes), bool), bitorder="little"),
         padding=padding,
     )
-    index = HashIndex(
-        buckets_number=B,
-        bucket_start=bucket_start.astype(np.int64 if bucket_start[-1] >= 2**31 else np.int32),
-        keys=keys_out,
-        positions=pos_out,
-        index_gap=index_gap,
-        padding=padding,
-        max_bucket=int(counts.max(initial=0)),
+    # reconstruct full keys (key = short*B + bucket, sorted-hashtable.c:951)
+    # and re-sort into the native high-bit-bucket device layout
+    bucket_of = np.repeat(np.arange(B, dtype=np.uint64), counts)
+    full = (keys_out.astype(np.uint64) * np.uint64(B) + bucket_of).astype(
+        np.uint32
     )
+    index = native_layout(full, pos_out, index_gap, padding)
     return genome, index

@@ -30,28 +30,29 @@ def genome_base(genome_u32: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
 def genome_window(genome_u32: jnp.ndarray, start: jnp.ndarray, L: int) -> jnp.ndarray:
     """Bases of genome[start : start+L] per row — [R, L] uint32.
 
-    Coalesced formulation: each row is one dynamic_slice of packed uint32
-    words (16 bases/word) followed by an in-register unpack and a row-local
-    realignment slice, instead of L scalar gathers per row (scalar gathers
-    are the TPU's weakest memory op; windows are its bread and butter).
+    Gathers only ceil(L/16)+1 packed words per row, then realigns to the
+    in-word phase with elementwise bit shifts (word j of the shifted
+    stream holds bases start+16j .. start+16j+15) and unpacks with static
+    shifts.  Everything after the word gather is elementwise — no second
+    gather.  (An earlier variant that materialised unpacked bases and
+    realigned rows with vmapped dynamic_slice measured SLOWER than per-base
+    scalar gathers: XLA lowers the per-row realignment slice to a gather of
+    the same element count, so it paid both costs.)
     """
     start = start.astype(jnp.uint32)
-    nwords = L // 16 + 2
-    w0 = jnp.minimum(start >> 4, np.uint32(max(len(genome_u32) - nwords, 0)))
-
-    def slice_words(w):
-        return jax.lax.dynamic_slice(genome_u32, (w,), (nwords,))
-
-    words = jax.vmap(slice_words)(w0)  # [R, nwords]
-    # unpack every word to 16 bases: [R, nwords*16]
-    shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
-    bases = ((words[:, :, None] >> shifts) & 3).reshape(words.shape[0], nwords * 16)
-    off = (start & 15).astype(jnp.int32)
-
-    def align_row(row, o):
-        return jax.lax.dynamic_slice(row, (o,), (L,))
-
-    return jax.vmap(align_row)(bases, off)
+    nw = L // 16 + 2
+    w0 = jnp.minimum(start >> 4, np.uint32(max(len(genome_u32) - nw, 0)))
+    widx = w0[:, None] + np.arange(nw, dtype=np.uint32)[None, :]
+    w = genome_u32[widx]  # [R, nw] — the only gather
+    ph = ((start & 15) << 1).astype(jnp.uint32)[:, None]  # bit phase (2 bits/base)
+    shifted = (w[:, :-1] >> ph) | jnp.where(
+        ph > 0, w[:, 1:] << (np.uint32(32) - ph), np.uint32(0)
+    )  # [R, nw-1]
+    base_sh = (np.uint32(2) * np.arange(16, dtype=np.uint32))[None, None, :]
+    bases = ((shifted[:, :, None] >> base_sh) & 3).reshape(
+        shifted.shape[0], (nw - 1) * 16
+    )
+    return bases[:, :L]
 
 
 def oriented_read(
@@ -77,8 +78,7 @@ def mismatch_matrix(
     """bool [R, L]: mismatch of read base i vs genome base pos+i (False
     beyond read_len)."""
     R, L = oriented.shape
-    gpos = pos[:, None].astype(jnp.uint32) + np.arange(L, dtype=np.uint32)[None, :]
-    g = genome_base(genome_u32, gpos)
+    g = genome_window(genome_u32, pos, L)
     mm = g != oriented.astype(jnp.uint32)
     inside = np.arange(L, dtype=np.int32)[None, :] < read_len[:, None]
     return mm & inside
@@ -112,12 +112,9 @@ def place_single_indel(
     # tail mismatches: read i ↔ genome head_pos + i + indel (uint32 modular
     # arithmetic; genuine positions never underflow because head_pos >= the
     # 1210-base contig padding)
-    gpos_tail = (
-        head_pos[:, None].astype(jnp.uint32)
-        + ar.astype(jnp.uint32)
-        + indel[:, None].astype(jnp.uint32)
+    g_tail = genome_window(
+        genome_u32, head_pos.astype(jnp.uint32) + indel.astype(jnp.uint32), L
     )
-    g_tail = genome_base(genome_u32, gpos_tail)
     mm_tail = (g_tail != oriented.astype(jnp.uint32)) & inside
     # suffix[i] = mismatches in read[i:L] under the tail alignment
     rev = jnp.flip(mm_tail.astype(jnp.int32), axis=1)

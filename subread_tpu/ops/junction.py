@@ -45,13 +45,13 @@ def junction_split_scan(
     ar = np.arange(L, dtype=np.int32)[None, :]
     inside = ar < read_len[:, None]
 
-    # head/tail genome base grids (scalar gathers measured faster than
-    # word-window slicing on this backend; see ops/extend.py note)
-    ar2 = np.arange(L + 2, dtype=np.uint32)[None, :]
-    win_h = genome_base(genome_u32, head_pos[:, None] + ar2)
-    win_t = genome_base(
+    # head/tail genome base grids via the packed-word window fetch
+    # (ceil(L/16)+1 gathered words per row instead of L scalar gathers)
+    win_h = genome_window(genome_u32, head_pos, L + 2)
+    win_t = genome_window(
         genome_u32,
-        head_pos[:, None] + gap[:, None].astype(jnp.uint32) - np.uint32(2) + ar2,
+        head_pos.astype(jnp.uint32) + gap.astype(jnp.uint32) - np.uint32(2),
+        L + 2,
     )
     mm_h = (win_h[:, :L] != oriented.astype(jnp.uint32)) & inside
     prefix = jnp.cumsum(

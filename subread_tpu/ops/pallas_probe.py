@@ -140,7 +140,9 @@ def pad_index_for_pallas(keys: np.ndarray, positions: np.ndarray):
     n = len(keys)
     npad = ((n + ALIGN - 1) // ALIGN) * ALIGN + SLAB
     keys_pad = np.full(npad, SENT_KEY, dtype=np.int32)
-    keys_pad[:n] = keys.astype(np.int32)
+    keys_pad[:n] = (
+        keys.view(np.int32) if keys.dtype == np.uint32 else keys.astype(np.int32)
+    )
     pos_pad = np.zeros(npad, dtype=np.int32)
     pos_pad[:n] = positions.view(np.int32)
     return keys_pad, pos_pad

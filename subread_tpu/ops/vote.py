@@ -38,12 +38,11 @@ SENTINEL = np.uint32(0xFFFFFFFF)  # numpy, NOT jnp: device scalars cost minutes 
 
 class VoteParams(NamedTuple):
     total_subreads: int = 10      # 10 DNA-seq / 14 RNA-seq (core-indel.c:4473)
-    max_hits: int = 24            # hits gathered per probe (GENE_VOTE_SPACE analog)
+    max_hits: int = 16            # bucket-window width per probe (GENE_VOTE_SPACE analog)
     indel_tolerance: int = 5      # cluster tolerance (max indel length, -I)
     window: int = 32              # max cluster candidates scanned per anchor
     top_k: int = 4                # candidate clusters kept per read
     index_gap: int = 1            # 1 = full index (-F), 3 = gapped
-    search_iters: int = 20        # binary-search depth >= log2(max bucket)
 
 
 class VoteResult(NamedTuple):
@@ -116,44 +115,52 @@ def gather_hits(
     probe_keys: jnp.ndarray,    # uint32 [R, P]
     probe_valid: jnp.ndarray,   # bool [R, P]
     bucket_start: jnp.ndarray,  # int32 [B+1]
-    short_keys: jnp.ndarray,    # int32 [N]
+    check_words: jnp.ndarray,   # uint32 [~N/4] packed low key bytes
     positions: jnp.ndarray,     # uint32 [N]
-    buckets_number: int,
+    bucket_bits: int,
     params: VoteParams,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Branchless lower-bound binary search per probe + fixed-width hit gather.
+    """Whole-bucket window gather with packed-byte key verification.
 
-    Reference: the in-bucket binary search of gehash_go_q
-    (sorted-hashtable.c:960-981).  Perf note: both a vmapped dynamic_slice
-    (coalesced (H,2) window per probe) and an interleaved [N,2] pair array
-    measured SLOWER than plain scalar gathers from two 1-D arrays — XLA's
-    TPU gather is fastest in its simplest form.
+    Replaces the reference's in-bucket binary search
+    (sorted-hashtable.c:960-981): with B = 2**bucket_bits high-bit buckets
+    the average bucket holds <1 entry, so the H-wide window [lo, lo+H)
+    almost always covers the probe's whole key run and the binary search
+    disappears.  Key identity is verified from low-byte checksums packed 4
+    per word: ceil(H/4)+1 word gathers instead of H key gathers.  On TPU
+    every gathered element costs a fixed issue slot (~12ns measured), so
+    per-probe cost drops from 2 + log2(bucket) + 2H to 2 + H/4 + H.
+
     Returns (hit_pos uint32 [R, P, H], hit_valid bool [R, P, H]).
     """
     R, P = probe_keys.shape
     N = len(positions)
-    B = np.uint32(buckets_number)
-    bucket = (probe_keys % B).astype(jnp.int32)
-    q = (probe_keys // B).astype(jnp.int32)
+    H = params.max_hits
+    shift = np.uint32(32 - bucket_bits)
+    bucket = (probe_keys >> shift).astype(jnp.int32)
     lo = bucket_start[bucket]
     hi = bucket_start[bucket + 1]
 
-    def body(_, lr):
-        left, right = lr
-        mid = (left + right) >> 1
-        km = short_keys[jnp.minimum(mid, len(short_keys) - 1)]
-        go = (km < q) & (left < right)
-        return jnp.where(go, mid + 1, left), jnp.where(go, right, jnp.where(left < right, mid, right))
+    # --- packed check bytes for entries lo .. lo+H-1 ----------------------
+    W = H // 4 + (1 if H % 4 == 0 else 2)  # words covering H bytes + phase
+    wbase = (lo >> 2)[:, :, None]
+    widx = jnp.minimum(wbase + np.arange(W, dtype=np.int32), len(check_words) - 1)
+    w = check_words[widx]  # [R, P, W] uint32
+    ph = ((lo & 3) << 3).astype(jnp.uint32)[:, :, None]  # bit phase of lo
+    shifted = (w[:, :, :-1] >> ph) | jnp.where(
+        ph > 0, w[:, :, 1:] << (np.uint32(32) - ph), np.uint32(0)
+    )  # byte j of shifted stream = check byte of entry lo+j
+    byte_sh = (np.uint32(8) * np.arange(4, dtype=np.uint32))[None, None, None, :]
+    checks = ((shifted[:, :, :, None] >> byte_sh) & np.uint32(0xFF)).reshape(
+        R, P, (W - 1) * 4
+    )[:, :, :H]
 
-    left, _ = jax.lax.fori_loop(0, params.search_iters, body, (lo, hi))
-
-    H = params.max_hits
-    idx = left[:, :, None] + np.arange(H, dtype=np.int32)[None, None, :]  # [R,P,H]
-    idx_c = jnp.minimum(idx, N - 1)
-    k_at = short_keys[idx_c]
-    hit_pos = positions[idx_c]
+    idx = lo[:, :, None] + np.arange(H, dtype=np.int32)[None, None, :]  # [R,P,H]
+    hit_pos = positions[jnp.minimum(idx, N - 1)]
+    # checksum = high byte of the in-bucket key remainder (index.build.check_byte)
+    qcheck = ((probe_keys << np.uint32(bucket_bits)) >> np.uint32(24))[:, :, None]
     hit_valid = (
-        (idx < hi[:, :, None]) & (k_at == q[:, :, None]) & probe_valid[:, :, None]
+        (idx < hi[:, :, None]) & (checks == qcheck) & probe_valid[:, :, None]
     )
     return hit_pos, hit_valid
 
@@ -234,16 +241,16 @@ def _cluster_stats(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("buckets_number", "params")
+    jax.jit, static_argnames=("bucket_bits", "params")
 )
 def vote_batch(
     codes: jnp.ndarray,        # uint8 [R, L]
     ambig: jnp.ndarray,        # bool [R, L]
     read_len: jnp.ndarray,     # int32 [R]
     bucket_start: jnp.ndarray,
-    short_keys: jnp.ndarray,
+    check_words: jnp.ndarray,  # uint32 packed low key bytes
     positions: jnp.ndarray,    # uint32 [N]
-    buckets_number: int,
+    bucket_bits: int,
     params: VoteParams,
 ) -> VoteResult:
     """Full vote step for a read batch over both strands."""
@@ -269,7 +276,7 @@ def vote_batch(
 
         keys, valid = extract_probe_keys(c, a, read_len, off)
         hit_pos, hit_valid = gather_hits(
-            keys, valid, bucket_start, short_keys, positions, buckets_number, params
+            keys, valid, bucket_start, check_words, positions, bucket_bits, params
         )
         kv = jnp.where(
             hit_valid, hit_pos - off[:, :, None].astype(jnp.uint32), SENTINEL

@@ -54,8 +54,8 @@ def sharded_align_step(mesh: Mesh, aligner):
     whose leading dim divides the mesh size; outputs live sharded on the
     mesh.  The index arrays are replicated once.
     """
-    d_bucket, d_keys, d_pos, d_gen = replicate(
-        mesh, aligner.d_bucket_start, aligner.d_keys, aligner.d_positions,
+    d_bucket, d_check, d_pos, d_gen = replicate(
+        mesh, aligner.d_bucket_start, aligner.d_check, aligner.d_positions,
         aligner.d_genome,
     )
 
@@ -64,8 +64,8 @@ def sharded_align_step(mesh: Mesh, aligner):
             mesh, jnp.asarray(codes), jnp.asarray(ambig), jnp.asarray(lens)
         )
         v = vote_batch(
-            c, a, l, d_bucket, d_keys, d_pos,
-            aligner.index.buckets_number, aligner.vote_params,
+            c, a, l, d_bucket, d_check, d_pos,
+            aligner.index.bucket_bits, aligner.vote_params,
         )
         return aligner._scan2(c, a, l, d_gen, v)
 

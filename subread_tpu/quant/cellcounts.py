@@ -6,11 +6,13 @@ Reference: cell-counts.c — barcode matching with hamming≤1 rescue
 with hamming≤1 UMI merging (:3523-3620), CellRanger-style sparse output
 (cellCounts_run_counting :4837).
 
-Round-1 scope: FASTQ input mode (R1 = barcode+UMI, R2 = cDNA), exact +
-hamming≤1 barcode matching, device alignment via align.Aligner, gene
-assignment via the featureCounts interval engine, UMI dedup with
-hamming≤1 merge, sparse matrix-market output.  BCL input and sample-sheet
-demux land with io/blc (later round).
+Input modes (cell-counts.c `--inputMode`): FASTQ (R1 = barcode+UMI,
+R2 = cDNA) and raw BCL/CBCL run directories with sample-sheet demultiplex
+(io/bcl.py; sample-index matching with hamming<=1 rescue like the
+cell-barcode rescue, input-blc.h:52).  Exact + hamming<=1 cell-barcode
+matching, device alignment via align.Aligner, gene assignment via the
+featureCounts interval engine, UMI dedup with hamming<=1 merge, sparse
+matrix-market output.
 """
 
 from __future__ import annotations
@@ -153,3 +155,110 @@ class CellCounter:
             f.write(f"{len(self.gene_names)} {len(cells)} {len(entries)}\n")
             for g, c, n in entries:
                 f.write(f"{g + 1} {c + 1} {n}\n")
+
+
+def _hamming(a: str, b: str) -> int:
+    return sum(1 for x, y in zip(a, b) if x != y)
+
+
+def demux_bcl(data_dir: str, entries, umi_guess: bool = True):
+    """Demultiplex a raw run dir into per-sample (R1, R2) ReadBatches.
+
+    entries: SampleEntry list from the rawdir sample sheet.  The sample
+    index read is the IsIndexedRead segment (both for dual index); the
+    barcode/UMI read is the first non-index segment and the cDNA read the
+    last.  Index matching = exact, then unique hamming<=1 (the reference
+    applies the same <=1 rescue to sample indices as to cell barcodes).
+    Returns {sample_name: (ReadBatch r1, ReadBatch r2, n_reads)}.
+    """
+    from ..io.bcl import LANE_ALL, BclReader
+    from ..io.fastq import ReadBatch
+    from .. import dna
+
+    rd = BclReader(data_dir)
+    segs = rd.segments
+    nonidx = [i for i, sg in enumerate(segs) if not sg.is_index]
+    idxseg = [i for i, sg in enumerate(segs) if sg.is_index]
+    assert len(nonidx) >= 2, "need barcode and cDNA reads in RunInfo.xml"
+    r1_i, r2_i = nonidx[0], nonidx[-1]
+
+    per_sample: dict[str, list] = {e.sample: [] for e in entries}
+    for lane in rd.layout.lanes:
+        lr = rd.read_lane(lane)
+        cands = [
+            e for e in entries if e.lane == LANE_ALL or e.lane == lane
+        ]
+        if not cands:
+            continue
+        n = lr.n_pf
+        idx_seq = None
+        if idxseg:
+            idx_mat = np.concatenate(
+                [lr.segments[i][0] for i in idxseg], axis=1
+            )
+            idx_seq = [row.tobytes().decode() for row in idx_mat]
+        for r in range(n):
+            sample = None
+            if idx_seq is None:
+                if len(cands) == 1:
+                    sample = cands[0].sample
+            else:
+                q = idx_seq[r]
+                best, best_d = None, 2
+                ambiguous = False
+                for e in cands:
+                    want = (e.index or "").replace("-", "")
+                    d = _hamming(q, want[: len(q)])
+                    if d < best_d:
+                        best, best_d, ambiguous = e, d, False
+                    elif d == best_d and best is not None:
+                        ambiguous = True
+                if best is not None and not ambiguous and best_d <= 1:
+                    sample = best.sample
+            if sample is None:
+                continue
+            per_sample[sample].append((lane, r))
+
+    out = {}
+    for e in entries:
+        picks = per_sample[e.sample]
+        out[e.sample] = (picks, r1_i, r2_i, rd)
+    return out
+
+
+def batches_from_bcl(picks, r1_i: int, r2_i: int, rd, lane_cache: dict):
+    """Build (r1, r2) ReadBatches for one sample's (lane, row) picks."""
+    import numpy as np
+
+    from ..io.fastq import ReadBatch
+    from .. import dna
+
+    def get_lane(lane):
+        if lane not in lane_cache:
+            lane_cache[lane] = rd.read_lane(lane)
+        return lane_cache[lane]
+
+    def mk_batch(seg_i):
+        seqs, quals, names = [], [], []
+        for lane, r in picks:
+            lr = get_lane(lane)
+            seqs.append(lr.segments[seg_i][0][r])
+            quals.append(lr.segments[seg_i][1][r])
+            names.append(f"R{len(names):08d}:L{lane:03d}")
+        if not seqs:
+            return None
+        seq = np.stack(seqs)
+        qual = np.stack(quals)
+        n, L = seq.shape
+        codes = np.zeros((n, L), np.uint8)
+        ambig = np.zeros((n, L), bool)
+        for i in range(n):
+            srow = seq[i].tobytes()
+            codes[i] = dna.encode(srow)
+            ambig[i] = dna.ambig_mask(srow)
+        return ReadBatch(
+            names=names, codes=codes,
+            lengths=np.full(n, L, np.int32), quals=qual, ambig=ambig,
+        )
+
+    return mk_batch(r1_i), mk_batch(r2_i)

@@ -1,55 +1,29 @@
-"""cellCounts CLI (reference cell-counts.c:4853, FASTQ input mode)."""
+"""cellCounts CLI (reference cell-counts.c:4853).
+
+Input modes (`--inputMode`, cell-counts.c:401): FASTQ (R1 barcode+UMI /
+R2 cDNA files) and BCL (raw Illumina run directory + `--sampleSheetFile`
+demultiplex).  Long options mirror the reference table
+(cell-counts.c:399-422); the short options are this tool's shorthand.
+"""
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(prog="subread_tpu-cellCounts")
-    ap.add_argument("-i", "--index", required=True, help="index prefix")
-    ap.add_argument("-r", "--reads", required=True,
-                    help="R1 FASTQ (cell barcode + UMI)")
-    ap.add_argument("-R", "--reads2", required=True, help="R2 FASTQ (cDNA)")
-    ap.add_argument("-a", "--annotation", required=True, help="GTF/SAF")
-    ap.add_argument("-F", "--anno-format", default="GTF", choices=["GTF", "SAF"])
-    ap.add_argument("-c", "--cell-barcodes", required=True,
-                    help="cell barcode whitelist (one per line)")
-    ap.add_argument("-o", "--output", required=True, help="output directory")
-    ap.add_argument("--umi-len", type=int, default=10)
-    args = ap.parse_args(argv)
-
+def _count_batches(aligner, genome, fcview, counter, batch_pairs):
+    """Run alignment + gene assignment + cell/UMI accumulation over
+    (R1, R2) ReadBatch pairs (cellCounts_run_mapping/_run_counting,
+    cell-counts.c:3425/4837)."""
     import numpy as np
 
-    from ..align.pipeline import Aligner
-    from ..config import subjunc_config
-    from ..index.build import HashIndex
-    from ..index.genome import Genome
-    from ..io.fastq import FastqReader
-    from ..io.gtf import load_annotation
-    from ..quant.cellcounts import BarcodeMatcher, CellCounter
-    from ..quant.featurecounts import FCOptions, FeatureCounter, _ChromIndex
     from .. import dna
 
-    from .align import load_index_any
-
-    genome, index = load_index_any(args.index)
-    ann = load_annotation(args.annotation, fmt=args.anno_format)
-    whitelist = [l.strip() for l in open(args.cell_barcodes) if l.strip()]
-    matcher = BarcodeMatcher(whitelist)
-    counter = CellCounter(matcher, ann.gene_names, umi_len=args.umi_len)
-    fcview = FeatureCounter(ann, FCOptions())  # reuse its interval index
-
-    aligner = Aligner(genome, index, subjunc_config(batch_reads=2048))
-
-    r1 = FastqReader(args.reads)
-    r2 = FastqReader(args.reads2)
-    while True:
-        b1 = r1.next_batch(1 << 16)
-        b2 = r2.next_batch(1 << 16, pad_to=aligner.cfg.pad_read_len)
-        if b1 is None or b2 is None:
-            break
+    for b1, b2 in batch_pairs:
+        if b1 is None or b2 is None or len(b2) == 0:
+            continue
         res = aligner.align_batch(b2)
         lin = res["pos"].astype(np.int64)
         cidx, coff = genome.linear_to_chro(lin)
@@ -69,15 +43,108 @@ def main(argv=None) -> int:
                         gene_idx = hits.pop()
             L1 = int(b1.lengths[i])
             counter.add(dna.decode(b1.codes[i, :L1]), gene_idx)
-    r1.close()
-    r2.close()
-    counter.write_matrix(args.output)
-    print(
-        f"// cellCounts: {counter.stats['reads']} reads, "
-        f"{counter.stats['barcode_matched']} barcode-matched, "
-        f"{counter.stats['assigned']} assigned -> {args.output}",
-        file=sys.stderr,
-    )
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="subread_tpu-cellCounts")
+    ap.add_argument("-i", "--index", required=True, help="index prefix")
+    ap.add_argument("--inputMode", default=None, choices=["FASTQ", "BCL"],
+                    help="FASTQ (default) or raw BCL/CBCL run directory")
+    ap.add_argument("--dataset", default=None,
+                    help="BCL run directory (BCL mode)")
+    ap.add_argument("--sampleSheetFile", default=None,
+                    help="Illumina sample sheet for BCL demultiplexing")
+    ap.add_argument("-r", "--reads", default=None,
+                    help="R1 FASTQ (cell barcode + UMI)")
+    ap.add_argument("-R", "--reads2", default=None, help="R2 FASTQ (cDNA)")
+    ap.add_argument("-a", "--annotation", required=True, help="GTF/SAF")
+    ap.add_argument("-F", "--anno-format", default="GTF", choices=["GTF", "SAF"])
+    ap.add_argument("--isGTFannotation", action="store_true")
+    ap.add_argument("-c", "--cell-barcodes", "--cellBarcodeFile",
+                    dest="cell_barcodes", required=True,
+                    help="cell barcode whitelist (one per line, may be .gz)")
+    ap.add_argument("-o", "--output", required=True,
+                    help="output directory (per-sample subdirs in BCL mode)")
+    ap.add_argument("--umi-len", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    from ..align.pipeline import Aligner
+    from ..config import subjunc_config
+    from ..io.bcl import parse_cell_barcodes
+    from ..io.fastq import FastqReader
+    from ..io.gtf import load_annotation
+    from ..quant.cellcounts import BarcodeMatcher, CellCounter
+    from ..quant.featurecounts import FCOptions, FeatureCounter
+
+    from .align import load_index_any
+
+    mode = args.inputMode or ("BCL" if args.dataset else "FASTQ")
+    genome, index = load_index_any(args.index)
+    fmt = "GTF" if args.isGTFannotation else args.anno_format
+    ann = load_annotation(args.annotation, fmt=fmt)
+    whitelist = parse_cell_barcodes(args.cell_barcodes)
+    fcview = FeatureCounter(ann, FCOptions())  # reuse its interval index
+    aligner = Aligner(genome, index, subjunc_config(batch_reads=2048))
+
+    if mode == "FASTQ":
+        if not (args.reads and args.reads2):
+            ap.error("FASTQ mode needs -r/--reads and -R/--reads2")
+        matcher = BarcodeMatcher(whitelist)
+        counter = CellCounter(matcher, ann.gene_names, umi_len=args.umi_len)
+        r1 = FastqReader(args.reads)
+        r2 = FastqReader(args.reads2)
+
+        def pairs():
+            while True:
+                b1 = r1.next_batch(1 << 16)
+                b2 = r2.next_batch(1 << 16, pad_to=aligner.cfg.pad_read_len)
+                if b1 is None or b2 is None:
+                    return
+                yield b1, b2
+
+        _count_batches(aligner, genome, fcview, counter, pairs())
+        r1.close()
+        r2.close()
+        counter.write_matrix(args.output)
+        print(
+            f"// cellCounts: {counter.stats['reads']} reads, "
+            f"{counter.stats['barcode_matched']} barcode-matched, "
+            f"{counter.stats['assigned']} assigned -> {args.output}",
+            file=sys.stderr,
+        )
+        return 0
+
+    # ---- BCL mode: sample-sheet demux, one matrix per sample ------------
+    if not (args.dataset and args.sampleSheetFile):
+        ap.error("BCL mode needs --dataset and --sampleSheetFile")
+    from ..io.bcl import parse_sample_sheet
+    from ..quant.cellcounts import batches_from_bcl, demux_bcl
+
+    sheet_fmt, entries = parse_sample_sheet(args.sampleSheetFile)
+    if sheet_fmt != "rawdir":
+        ap.error("BCL mode needs a rawdir (Lane,...) sample sheet")
+    demux = demux_bcl(args.dataset, entries)
+    lane_cache: dict = {}
+    for sample, (picks, r1_i, r2_i, rd) in demux.items():
+        matcher = BarcodeMatcher(whitelist)
+        counter = CellCounter(matcher, ann.gene_names, umi_len=args.umi_len)
+        b1, b2 = batches_from_bcl(picks, r1_i, r2_i, rd, lane_cache)
+        if b2 is not None and b2.codes.shape[1] < aligner.cfg.pad_read_len:
+            import numpy as np
+
+            pad = aligner.cfg.pad_read_len - b2.codes.shape[1]
+            b2.codes = np.pad(b2.codes, ((0, 0), (0, pad)))
+            b2.quals = np.pad(b2.quals, ((0, 0), (0, pad)))
+            b2.ambig = np.pad(b2.ambig, ((0, 0), (0, pad)))
+        _count_batches(aligner, genome, fcview, counter, [(b1, b2)])
+        out_dir = os.path.join(args.output, sample)
+        counter.write_matrix(out_dir)
+        print(
+            f"// cellCounts[{sample}]: {counter.stats['reads']} reads, "
+            f"{counter.stats['barcode_matched']} barcode-matched, "
+            f"{counter.stats['assigned']} assigned -> {out_dir}",
+            file=sys.stderr,
+        )
     return 0
 
 

@@ -86,3 +86,63 @@ def test_cellcounts_end_to_end(tmp_path, chr901_genome, chr901_index, rng):
     for l in mtx[2:]:
         gi, ci, cnt = map(int, l.split())
         assert gene_of_cell.setdefault(ci, gi) == gi
+
+
+def test_cellcounts_bcl_mode(tmp_path, chr901_genome, chr901_index, rng):
+    """BCL-mode end-to-end: synthetic CBCL run + rawdir sample sheet ->
+    demultiplexed per-sample matrices (cell-counts.c --inputMode BCL)."""
+    from subread_tpu.io.bcl import ReadSegment, write_synthetic_run
+    from subread_tpu.tools.cellcounts import main
+
+    g = chr901_genome
+    gtf = tmp_path / "genes.gtf"
+    genes = [("geneA", 1000, 50000), ("geneB", 300000, 360000)]
+    with open(gtf, "w") as f:
+        for name, s, e in genes:
+            f.write(
+                f"chr901\tsim\texon\t{s}\t{e}\t.\t+\t0\tgene_id \"{name}\";\n"
+            )
+    barcodes = ["AAACCCAAGAAACACT", "TTTGGGTTCTTTGTGA"]
+    wl = tmp_path / "barcodes.txt"
+    wl.write_text("\n".join(barcodes) + "\n")
+    indices = {"sampleA": "ACGTACGT", "sampleB": "TTTTCCCC"}
+    sheet = tmp_path / "sheet.csv"
+    sheet.write_text(
+        "[Data]\nLane,Sample_ID,Sample_Name,index\n"
+        "*,S1,sampleA,ACGTACGT\n*,S2,sampleB,TTTTCCCC\n"
+    )
+
+    segments = [ReadSegment(26, False), ReadSegment(8, True), ReadSegment(100, False)]
+    n = 120
+    reads = []
+    for i in range(n):
+        sample = "sampleA" if i % 2 == 0 else "sampleB"
+        gene = genes[i % 2]
+        cell = barcodes[i % 2]
+        umi = dna.decode(rng.integers(0, 4, size=10).astype(np.uint8))
+        pos = int(rng.integers(gene[1], gene[2] - 101))
+        lin = g.chro_to_linear(0, pos - 1)
+        seq = dna.decode(g.codes[lin : lin + 100])
+        reads.append((cell + umi, indices[sample], seq))
+    run = str(tmp_path / "run")
+    write_synthetic_run(run, {1: reads}, segments, mode="cbcl", tiles_per_lane=2)
+
+    prefix = str(tmp_path / "idx")
+    chr901_genome.save(prefix)
+    chr901_index.save(prefix)
+    out = tmp_path / "counts"
+    assert main([
+        "-i", prefix, "--inputMode", "BCL", "--dataset", run,
+        "--sampleSheetFile", str(sheet), "-a", str(gtf), "-c", str(wl),
+        "-o", str(out),
+    ]) == 0
+
+    for sample, gene_i in (("sampleA", 1), ("sampleB", 2)):
+        mtx = (out / sample / "matrix.mtx").read_text().splitlines()
+        cells = (out / sample / "barcodes.tsv").read_text().splitlines()
+        assert cells == [barcodes[0] if sample == "sampleA" else barcodes[1]]
+        total = sum(int(l.split()[2]) for l in mtx[2:])
+        assert total > 0.8 * (n // 2)
+        for l in mtx[2:]:
+            gi, ci, cnt = map(int, l.split())
+            assert gi == gene_i  # each sample sees only its gene

@@ -2,7 +2,8 @@ import numpy as np
 import pytest
 
 from subread_tpu import dna
-from subread_tpu.index.build import HashIndex, build_hash_index, calculate_buckets
+from subread_tpu.index.build import HashIndex, build_hash_index
+from subread_tpu.index.interop import calculate_buckets
 from subread_tpu.index.genome import PADDING, build_genome
 from subread_tpu.io.fasta import Contig
 
@@ -36,7 +37,7 @@ def test_calculate_buckets_reference_rule():
 
 def test_hash_index_lookup_roundtrip(chr901_genome, chr901_index):
     g, idx = chr901_genome, chr901_index
-    B = idx.buckets_number
+    shift = 32 - idx.bucket_bits
     rng = np.random.default_rng(7)
     # pick random true genome positions, verify their 16-mer is findable
     s0 = int(g.starts[0])
@@ -44,15 +45,10 @@ def test_hash_index_lookup_roundtrip(chr901_genome, chr901_index):
     for _ in range(300):
         p = int(rng.integers(s0, s0 + int(g.lengths[0]) - 16))
         key = dna.kmer_keys(g.codes[p : p + 16])[0]
-        b = int(key % np.uint32(B))
-        q = int(key // np.uint32(B))
+        b = int(key) >> shift
         lo, hi = int(idx.bucket_start[b]), int(idx.bucket_start[b + 1])
         seg = idx.keys[lo:hi]
-        j = np.searchsorted(seg, q, side="left")
-        hits = []
-        while j < len(seg) and seg[j] == q:
-            hits.append(int(idx.positions[lo + j]))
-            j += 1
+        hits = [int(idx.positions[lo + j]) for j in np.flatnonzero(seg == key)]
         if not hits:
             # only allowed if the 16-mer was uninformative (>100 occurrences)
             all_keys = dna.kmer_keys(g.codes[s0 : s0 + int(g.lengths[0])])
@@ -63,19 +59,18 @@ def test_hash_index_lookup_roundtrip(chr901_genome, chr901_index):
     assert n_checked > 250
 
 
-def test_hash_index_sorted_within_buckets(chr901_index):
+def test_hash_index_globally_sorted(chr901_index):
     idx = chr901_index
-    bs = idx.bucket_start
-    # verify a sample of buckets are sorted by (key, position)
-    rng = np.random.default_rng(3)
-    for b in rng.integers(0, idx.buckets_number, size=200):
-        lo, hi = int(bs[b]), int(bs[b + 1])
-        if hi - lo < 2:
-            continue
-        k = idx.keys[lo:hi].astype(np.int64)
-        p = idx.positions[lo:hi].astype(np.int64)
-        comb = k * (1 << 33) + p
-        assert np.all(np.diff(comb) > 0)  # strictly: no duplicate (key,pos)
+    # high-bit buckets => entries globally sorted by (full key, position)
+    comb = (idx.keys.astype(np.uint64) << np.uint64(33)) | idx.positions.astype(
+        np.uint64
+    )
+    assert np.all(np.diff(comb.astype(np.int64)) > 0)
+    # check bytes round-trip
+    from subread_tpu.index.build import check_byte
+
+    b = idx.check_words.view(np.uint8)[: idx.n_items]
+    assert np.array_equal(b, check_byte(idx.keys, idx.bucket_bits))
 
 
 def test_index_save_load(tmp_path, chr901_genome, chr901_index):
@@ -102,9 +97,7 @@ def test_uninformative_filter():
     idx = build_hash_index(g, index_gap=1, repeat_threshold=100)
     # the ACGT-repeat 16mers occur ~197 times > 100 → dropped
     key_rep = dna.kmer_keys(dna.encode("ACGT" * 4))[0]
-    B = np.uint32(idx.buckets_number)
-    b = int(key_rep % B)
+    b = int(key_rep) >> (32 - idx.bucket_bits)
     lo, hi = int(idx.bucket_start[b]), int(idx.bucket_start[b + 1])
-    q = int(key_rep // B)
-    assert q not in idx.keys[lo:hi]
+    assert key_rep not in idx.keys[lo:hi]
     assert idx.n_items > 0  # unique tail survived

@@ -28,9 +28,8 @@ def test_pallas_probe_matches_oracle(chr901_genome, chr901_index):
     keys = np.array(
         [dna.kmer_keys(g.codes[p : p + 16])[0] for p in pos], dtype=np.uint32
     )
-    B = np.uint32(idx.buckets_number)
-    bucket = (keys % B).astype(np.int64)
-    q = (keys // B).astype(np.int32)
+    bucket = (keys >> np.uint32(32 - idx.bucket_bits)).astype(np.int64)
+    q = keys.view(np.int32)
     lo = bs[bucket].astype(np.int32)
     hi = bs[bucket + 1].astype(np.int32)
     off = rng.integers(0, 84, size=P).astype(np.int32)

@@ -39,7 +39,7 @@ def test_sharded_align_matches_single_device(
         single = jax.device_get(
             al._device_align(
                 jax.numpy.asarray(codes), jax.numpy.asarray(ambig),
-                jax.numpy.asarray(lens), al.d_bucket_start, al.d_keys,
+                jax.numpy.asarray(lens), al.d_bucket_start, al.d_check,
                 al.d_positions, al.d_genome,
             )
         )
