@@ -184,6 +184,7 @@ class Aligner:
             flat(lens_k[:, :, None])[:, 0],
             flat(pos_k[:, :, None])[:, 0],
             flat(indel_k[:, :, None])[:, 0],
+            max_indel_static=cfg.max_indel,
         )
         split_k = split_f.reshape(R, K)
         mism_k = mism_f.reshape(R, K)

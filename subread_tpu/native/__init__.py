@@ -20,13 +20,16 @@ _TRIED = False
 
 
 def _build() -> pathlib.Path | None:
-    src = _HERE / "samtext.cpp"
+    srcs = [_HERE / "samtext.cpp", _HERE / "fccount.cpp"]
     out = _HERE / "libsamtext.so"
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    if out.exists() and all(
+        out.stat().st_mtime >= s.stat().st_mtime for s in srcs
+    ):
         return out
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", str(out), str(src)],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", str(out)]
+            + [str(s) for s in srcs],
             check=True, capture_output=True, timeout=120,
         )
         return out
@@ -46,6 +49,7 @@ def get_lib():
         return None
     lib = ctypes.CDLL(str(path))
     lib.format_sam_records.restype = ctypes.c_long
+    lib.fc_count_sam_simple.restype = ctypes.c_long
     _LIB = lib
     return _LIB
 
@@ -104,3 +108,54 @@ def format_sam_records(
     if written < 0:
         return None
     return out.raw[:written]
+
+
+# featureCounts fast-path summary slot order (fccount.cpp enum)
+FC_SUMMARY_SLOTS = [
+    "Assigned", "Unassigned_Unmapped", "Unassigned_NoFeatures",
+    "Unassigned_Ambiguity", "Unassigned_MultiMapping",
+    "Unassigned_MappingQuality", "Unassigned_Duplicate",
+]
+
+
+def fc_count_sam_simple(
+    sam_bytes: bytes,
+    chrom_names: list[str],
+    feat_start: np.ndarray, feat_end: np.ndarray,
+    feat_pmax_end: np.ndarray, feat_target: np.ndarray,
+    feat_strand: np.ndarray, chrom_feat_off: np.ndarray,
+    n_targets: int,
+    min_mapq: int, primary_only: bool, ignore_dup: bool,
+    count_multi: bool, strandness: int, max_mop: int,
+):
+    """Native single-end featureCounts pass.  Returns (counts, summary
+    dict, n_records) or None when unavailable / the file needs the full
+    python engine."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    blob = "".join(chrom_names).encode()
+    off = np.zeros(len(chrom_names) + 1, np.int64)
+    np.cumsum([len(c.encode()) for c in chrom_names], out=off[1:])
+    counts = np.zeros(n_targets, np.float64)
+    summary = np.zeros(len(FC_SUMMARY_SLOTS), np.int64)
+    c = lambda a, t: np.ascontiguousarray(a, dtype=t)
+    arrs = dict(
+        fs=c(feat_start, np.int32), fe=c(feat_end, np.int32),
+        pm=c(feat_pmax_end, np.int32), tg=c(feat_target, np.int64),
+        st=c(feat_strand, np.int8), co=c(chrom_feat_off, np.int64),
+    )
+    ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    rv = lib.fc_count_sam_simple(
+        ctypes.c_char_p(sam_bytes), ctypes.c_long(len(sam_bytes)),
+        ctypes.c_char_p(blob), ptr(off), ctypes.c_int32(len(chrom_names)),
+        ptr(arrs["fs"]), ptr(arrs["fe"]), ptr(arrs["pm"]), ptr(arrs["tg"]),
+        ptr(arrs["st"]), ptr(arrs["co"]), ctypes.c_int64(n_targets),
+        ctypes.c_int32(min_mapq), ctypes.c_int32(int(primary_only)),
+        ctypes.c_int32(int(ignore_dup)), ctypes.c_int32(int(count_multi)),
+        ctypes.c_int32(strandness), ctypes.c_int32(max_mop),
+        ptr(counts), ptr(summary),
+    )
+    if rv < 0:
+        return None
+    return counts, dict(zip(FC_SUMMARY_SLOTS, summary.tolist())), int(rv)

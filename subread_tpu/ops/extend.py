@@ -90,6 +90,7 @@ def place_single_indel(
     read_len: jnp.ndarray,
     head_pos: jnp.ndarray,   # [R] uint32
     indel: jnp.ndarray,      # [R] int32 net indel: >0 deletion, <0 insertion
+    max_indel_static: int = 16,  # static |indel| bound (config max_indel)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Optimal split s for a single indel of known size.
 
@@ -123,8 +124,16 @@ def place_single_indel(
 
     ins_len = jnp.maximum(-indel, 0)[:, None]  # inserted read bases skip scoring
     s_grid = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
-    tail_from = jnp.minimum(s_grid + ins_len, L)
-    total = prefix + jnp.take_along_axis(suffix, tail_from, axis=1)
+    # suffix shifted left by ins_len per row, i.e. suffix[min(s+ins, L)].
+    # ins_len is tiny and bounded (|indel| <= max_indel), so a static-shift
+    # where-chain stays elementwise — a take_along_axis here would gather
+    # [R, L+1] elements, which measured ~40ms per 32K-candidate batch.
+    max_ins = int(max_indel_static)
+    tail_sel = suffix
+    for k in range(1, max_ins + 1):
+        sh_k = jnp.pad(suffix[:, k:], ((0, 0), (0, k)))  # zeros: suffix[L]=0
+        tail_sel = jnp.where(ins_len == k, sh_k, tail_sel)
+    total = prefix + tail_sel
     # valid split range: 1 <= s <= read_len - 1 - ins_len (both segments nonempty)
     valid = (s_grid >= 1) & (s_grid + ins_len <= read_len[:, None] - 1)
     total = jnp.where(valid, total, 1 << 20)

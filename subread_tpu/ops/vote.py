@@ -88,6 +88,41 @@ def subread_offsets(read_len: jnp.ndarray, params: VoteParams) -> tuple[jnp.ndar
     return offsets, sub_id
 
 
+def rolling_keys(codes: jnp.ndarray, ambig: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-offset 16-mer keys and window-ambiguity over whole reads.
+
+    keymat[:, i] = big-endian 2-bit key of codes[:, i:i+16] (garbage within
+    15 of the right edge — callers mask by read length); built from 16
+    static column shifts, all elementwise — no gather.  wamb[:, i] = any
+    ambiguous base in the window.
+    """
+    R, L = codes.shape
+    acc = jnp.zeros((R, L), jnp.uint32)
+    wamb = jnp.zeros((R, L), bool)
+    c32 = codes.astype(jnp.uint32)
+    for j in range(KMER):
+        sh = np.uint32(2 * (KMER - 1 - j))
+        cj = jnp.pad(c32[:, j:], ((0, 0), (0, j)))
+        aj = jnp.pad(ambig[:, j:], ((0, 0), (0, j)))
+        acc = acc | (cj << sh)
+        wamb = wamb | aj
+    return acc, wamb
+
+
+def revcomp_keys(keys: jnp.ndarray) -> jnp.ndarray:
+    """Reverse-complement of packed 16-mer keys, elementwise.
+
+    Complement: codes are A=0,G=1,C=2,T=3 with 3-x the complement, so a
+    bitwise NOT complements every 2-bit group; then reverse the sixteen
+    2-bit groups with the classic swap ladder."""
+    x = ~keys
+    m2, m4, m8 = np.uint32(0x33333333), np.uint32(0x0F0F0F0F), np.uint32(0x00FF00FF)
+    x = ((x & m2) << 2) | ((x >> 2) & m2)
+    x = ((x & m4) << 4) | ((x >> 4) & m4)
+    x = ((x & m8) << 8) | ((x >> 8) & m8)
+    return (x << 16) | (x >> 16)
+
+
 def extract_probe_keys(
     codes: jnp.ndarray,     # uint8/int32 [R, L]
     ambig: jnp.ndarray,     # bool [R, L]
@@ -96,16 +131,13 @@ def extract_probe_keys(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Big-endian-packed 16-mer keys at each probe offset: [R, P] uint32,
     plus validity (inside read, no ambiguous base): [R, P] bool."""
-    R, L = codes.shape
-    idx = offsets[:, :, None] + np.arange(KMER, dtype=np.int32)[None, None, :]  # [R,P,16]
-    idx_c = jnp.minimum(idx, L - 1)
-    b = jnp.take_along_axis(codes.astype(jnp.uint32), idx_c.reshape(R, -1), axis=1).reshape(idx.shape)
-    a = jnp.take_along_axis(ambig, idx_c.reshape(R, -1), axis=1).reshape(idx.shape)
-    shifts = (2 * (KMER - 1 - np.arange(KMER))).astype(np.uint32)
-    keys = jnp.sum(b << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+    keymat, wamb = rolling_keys(codes, ambig)
+    off_c = jnp.minimum(offsets, codes.shape[1] - 1)
+    keys = jnp.take_along_axis(keymat, off_c, axis=1)
+    wa = jnp.take_along_axis(wamb, off_c, axis=1)
     valid = (
         (offsets + KMER <= read_len[:, None])
-        & ~jnp.any(a, axis=-1)
+        & ~wa
         & (read_len[:, None] >= KMER)
     )
     return keys, valid
@@ -260,28 +292,32 @@ def vote_batch(
     H = params.max_hits
     C = P * H
 
+    # One rolling key matrix serves both strands: the probe at offset o of
+    # the reverse-complemented read is the revcomp of the forward window at
+    # m = read_len - KMER - o, so strand 1 needs no rc read construction —
+    # just an elementwise key transform and a mirrored offset gather.
+    keymat, wamb = rolling_keys(codes, ambig)
+    rckeymat = revcomp_keys(keymat)
+    in_read = (offsets + KMER <= read_len[:, None]) & (read_len[:, None] >= KMER)
+
     per_strand = []
     for strand in (0, 1):
         if strand == 0:
-            c, a = codes, ambig
-            off = offsets
+            src = offsets
+            km = keymat
         else:
-            # reverse-complement: complement = 3 - code; reversal must respect
-            # per-read length (pad sits on the right both before and after).
-            ridx = read_len[:, None] - 1 - np.arange(L, dtype=np.int32)[None, :]
-            ridx_c = jnp.clip(ridx, 0, L - 1)
-            c = (3 - jnp.take_along_axis(codes, ridx_c, axis=1)).astype(codes.dtype)
-            a = jnp.take_along_axis(ambig, ridx_c, axis=1) | (ridx < 0)
-            off = offsets  # same spacing on the rc read
-
-        keys, valid = extract_probe_keys(c, a, read_len, off)
+            src = read_len[:, None] - KMER - offsets  # mirrored fwd offset
+            km = rckeymat
+        src_c = jnp.clip(src, 0, L - 1)
+        keys = jnp.take_along_axis(km, src_c, axis=1)
+        valid = in_read & ~jnp.take_along_axis(wamb, src_c, axis=1)
         hit_pos, hit_valid = gather_hits(
             keys, valid, bucket_start, check_words, positions, bucket_bits, params
         )
         kv = jnp.where(
-            hit_valid, hit_pos - off[:, :, None].astype(jnp.uint32), SENTINEL
+            hit_valid, hit_pos - offsets[:, :, None].astype(jnp.uint32), SENTINEL
         ).reshape(R, C)
-        probe_off = jnp.broadcast_to(off[:, :, None], (R, P, H)).reshape(R, C)
+        probe_off = jnp.broadcast_to(offsets[:, :, None], (R, P, H)).reshape(R, C)
         sub_id_c = np.broadcast_to(sub_id[:, None], (P, H)).reshape(C)
         per_strand.append(_vote_one_strand(kv, sub_id_c, probe_off, params))
 

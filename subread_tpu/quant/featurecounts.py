@@ -429,9 +429,66 @@ class FeatureCounter:
         for fields in pending.values():
             self._assign([_parse_rec(fields)])
 
+    # --- native fast path --------------------------------------------------
+
+    def _native_eligible(self) -> bool:
+        """True when the active options are inside the subset the C++
+        fast path implements exactly (single-end, default overlap rules)."""
+        o = self.opts
+        return not (
+            o.paired or o.allow_multi_overlap or o.fraction
+            or o.largest_overlap or o.min_overlap > 1 or o.frac_overlap > 0
+            or o.read2pos or o.ext5 or o.ext3 or o.split_only
+            or o.non_split_only or o.count_junctions
+        )
+
+    def _native_tables(self):
+        if not hasattr(self, "_nt"):
+            names, fs, fe, pm, tg, st = [], [], [], [], [], []
+            offs = [0]
+            for alias, ci in self.by_chrom.items():
+                names.append(alias)
+                fs.append(ci.starts)
+                fe.append(ci.ends)
+                pm.append(ci.prefix_max_end)
+                tg.append(self.feat_target[ci.feat_idx])
+                st.append(self.ann.feat_strand[ci.feat_idx])
+                offs.append(offs[-1] + len(ci.starts))
+            cat = lambda a: (
+                np.concatenate(a) if a else np.zeros(0, np.int64)
+            )
+            self._nt = (
+                names, cat(fs), cat(fe), cat(pm), cat(tg), cat(st),
+                np.asarray(offs, np.int64),
+            )
+        return self._nt
+
+    def _count_sam_native(self, path: str) -> bool:
+        from .. import native
+
+        o = self.opts
+        nt = self._native_tables()
+        with open(path, "rb") as f:
+            data = f.read()
+        res = native.fc_count_sam_simple(
+            data, *nt, n_targets=self.n_targets,
+            min_mapq=o.min_mapq, primary_only=o.primary_only,
+            ignore_dup=o.ignore_dup, count_multi=o.count_multi,
+            strandness=o.strand, max_mop=o.max_mop,
+        )
+        if res is None:
+            return False
+        counts, summ, _n = res
+        self.counts += counts
+        for k, v in summ.items():
+            self.summary[k] += v
+        return True
+
     def count_sam(self, path: str) -> None:
         """Stream a SAM text file; mates re-paired by name (the SAM_pairer
         analog, input-files.c:2562 — here a host hash of pending mates)."""
+        if self._native_eligible() and self._count_sam_native(path):
+            return
         o = self.opts
         pending: dict[str, list[str]] = {}
         with open(path) as f:
