@@ -307,6 +307,15 @@ class Aligner:
         out["junc"] = use
         out["junc_gap"] = jnp.where(use, pair["gap"], 0)
         out["junc_donor_strand"] = jr["donor_strand"]
+        if self.cfg.all_junctions:
+            # export the vote clusters for host-side fusion detection
+            # (align/fusion.py; write_fusion_final_results analog)
+            out["vk_pos"] = v.pos
+            out["vk_strand"] = v.strand
+            out["vk_votes"] = v.votes
+            out["vk_cov_s"] = v.cov_start
+            out["vk_cov_e"] = v.cov_end
+            out["best_k"] = jnp.argmax(sc["score_k"], axis=1).astype(jnp.int32)
         return out
 
     @functools.partial(jax.jit, static_argnames=("self",))
@@ -770,6 +779,7 @@ class Aligner:
         )
         junctions: dict | None = {} if self.cfg.detect_junctions else None
         indel_events: dict = {}
+        breakpoints: dict | None = {} if self.cfg.all_junctions else None
         try:
             while True:
                 t0 = time.time()
@@ -779,6 +789,13 @@ class Aligner:
                 t1 = time.time()
                 res = self.align_batch(batch)
                 t2 = time.time()
+                if breakpoints is not None and "vk_pos" in res:
+                    from .fusion import accumulate_breakpoints, detect_fusion_pairs
+
+                    pairs = detect_fusion_pairs(
+                        res, batch.lengths, self.cfg.max_indel
+                    )
+                    accumulate_breakpoints(breakpoints, pairs)
                 self._emit_sam(writer, batch, res, summary,
                                junctions=junctions, indel_events=indel_events)
                 t3 = time.time()
@@ -789,5 +806,11 @@ class Aligner:
             writer.close()
         if junctions is not None:
             write_junction_bed(out_sam + ".junction.bed", junctions)
+        if breakpoints is not None:
+            from .fusion import write_breakpoints_vcf
+
+            write_breakpoints_vcf(
+                out_sam + ".breakpoints.vcf", self.genome, breakpoints
+            )
         write_indel_vcf(out_sam + ".indel.vcf", self.genome, indel_events)
         return summary

@@ -96,6 +96,7 @@ def run_align(args, subjunc: bool) -> int:
         rg_id=args.rg_id,
         rg_extra=tuple(args.rg),
         multi_best=args.multi_best,
+        all_junctions=getattr(args, "allJunctions", False),
     )
     if not subjunc and args.type == 1:
         overrides["is_rna_seq"] = False

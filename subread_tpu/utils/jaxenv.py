@@ -15,6 +15,15 @@ def ensure_compile_cache(path: str | None = None) -> None:
     global _DONE
     if _DONE:
         return
+    # Keep XLA_FLAGS identical across pytest (which needs the 8-device CPU
+    # mesh) and CLI/bench runs: the flag string participates in the
+    # persistent-cache key, so a mismatch splits the cache into two
+    # universes that each recompile everything (~10min/graph via tunnel).
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
     import jax
 
     cache = path or os.environ.get(
