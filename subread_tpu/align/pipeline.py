@@ -85,6 +85,62 @@ def write_indel_vcf(path: str, genome: Genome, indels: dict) -> None:
             )
 
 
+def collect_junctions(res: dict, batch, genome, table: dict) -> dict | None:
+    """Accumulate junction events from a result batch into the shared
+    event table; also returns {(left_lin, right_lin): donor_strand}."""
+    if "junc" not in res:
+        return None
+    donor_of = {}
+    sel = np.flatnonzero(np.asarray(res["junc"], bool))
+    if len(sel) == 0:
+        return donor_of
+    lin = res["pos"].astype(np.int64)
+    cidx, coff = genome.linear_to_chro(lin)
+    for i in sel:
+        split = int(res["split"][i])
+        gap = int(res["junc_gap"][i])
+        L = int(batch.lengths[i])
+        p0 = int(coff[i])
+        left_edge = p0 + split - 1
+        right_edge = p0 + split + gap
+        key = (
+            genome.names[int(cidx[i])], left_edge, right_edge,
+            int(res["junc_donor_strand"][i]),
+        )
+        sup, ml, mr = table.get(key, (0, 0, 0))
+        table[key] = (sup + 1, max(ml, split), max(mr, L - split))
+        donor_of[(int(lin[i]) + split - 1, int(lin[i]) + split + gap)] = int(
+            res["junc_donor_strand"][i]
+        )
+    return donor_of
+
+
+def junction_event_arrays(
+    genome, table: dict
+) -> tuple[np.ndarray, np.ndarray, dict]:
+    """Sorted (left, right) linear-coordinate arrays for the device
+    rescue kernel, plus (left,right)->donor map."""
+    lefts, rights, donor = [], [], {}
+    name_to_idx = {n: i for i, n in enumerate(genome.names)}
+    for (chro, le, re_, ds) in table:
+        c = name_to_idx.get(chro)
+        if c is None:
+            continue
+        ll = int(genome.chro_to_linear(c, le))
+        rl = int(genome.chro_to_linear(c, re_))
+        lefts.append(ll)
+        rights.append(rl)
+        donor[(ll, rl)] = ds
+    if not lefts:
+        return np.zeros(0, np.uint32), np.zeros(0, np.uint32), donor
+    order = np.argsort(lefts)
+    return (
+        np.asarray(lefts, np.uint32)[order],
+        np.asarray(rights, np.uint32)[order],
+        donor,
+    )
+
+
 def write_junction_bed(path: str, junctions: dict) -> None:
     """Write the .junction.bed table (write_junction_final_results,
     core-junction.c:4286): BED12-ish rows with flanking block sizes;
@@ -316,6 +372,70 @@ class Aligner:
             out["vk_cov_s"] = v.cov_start
             out["vk_cov_e"] = v.cov_end
             out["best_k"] = jnp.argmax(sc["score_k"], axis=1).astype(jnp.int32)
+        return out
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _junction_rescue_step(self, codes, lens, genome_u32, pos, strand,
+                              ev_left, ev_right):
+        from ..ops.junction import junction_rescue
+
+        oriented = oriented_read(codes, lens, strand)
+        return junction_rescue(genome_u32, oriented, lens, pos, ev_left, ev_right)
+
+    def rescue_with_events(self, batch: ReadBatch, res: dict,
+                           ev_left: np.ndarray, ev_right: np.ndarray) -> dict:
+        """Scan-2 event-table sharing (explain_read, core-junction.c:2617):
+        re-explain every anchored read against the global junction table;
+        a table junction that explains the read with fewer mismatches (or
+        rescues an unmapped read) replaces the plain alignment."""
+        cfg = self.cfg
+        if len(ev_left) == 0 or "junc" not in res:
+            return res
+        # pad the event table to a power of two (shape-stable jit)
+        E = 1 << max(4, int(np.ceil(np.log2(len(ev_left)))))
+        pad = np.full(E - len(ev_left), 0xFFFFFFFF, np.uint32)
+        d_left = jnp.asarray(np.concatenate([ev_left, pad]))
+        d_right = jnp.asarray(np.concatenate([ev_right, pad]))
+
+        codes, ambig, lens, R = self._pad_batch(batch)
+        n = len(lens)
+        pos_p = np.full(n, 0xFFFFFFFF, np.uint32)
+        pos_p[:R] = res["pos"]
+        strand_p = np.zeros(n, np.int32)
+        strand_p[:R] = res["strand"]
+        bs = cfg.batch_reads
+        parts = []
+        for i in range(0, n, bs):
+            sl = slice(i, i + bs)
+            rj = self._junction_rescue_step(
+                jnp.asarray(codes[sl]), jnp.asarray(lens[sl]), self.d_genome,
+                jnp.asarray(pos_p[sl]), jnp.asarray(strand_p[sl]),
+                d_left, d_right,
+            )
+            parts.append(jax.device_get(rj))
+        rj = {k: np.concatenate([p[k] for p in parts])[:R] for k in parts[0]}
+
+        anchored = res["pos"] != np.uint32(0xFFFFFFFF)
+        accept = (
+            rj["ok"] & anchored & ~res["junc"].astype(bool)
+            & (rj["mism"] <= cfg.max_mismatches)
+            & ((rj["mism"] + 1 < res["mism"]) | ~res["mapped"].astype(bool))
+        )
+        out = dict(res)
+        out["junc"] = np.where(accept, True, res["junc"]).astype(bool)
+        out["split"] = np.where(accept, rj["split"], res["split"])
+        out["junc_gap"] = np.where(accept, rj["gap"], res["junc_gap"])
+        out["mism"] = np.where(accept, rj["mism"], res["mism"])
+        out["indel"] = np.where(accept, 0, res["indel"])
+        out["mapped"] = res["mapped"] | accept
+        # donor strand of a rescued read comes from the event table
+        if "junc_donor_strand" in res and hasattr(self, "_ev_donor"):
+            le = res["pos"].astype(np.int64) + out["split"].astype(np.int64) - 1
+            re_ = le + out["junc_gap"].astype(np.int64) + 1
+            ds = out["junc_donor_strand"].copy()
+            for i in np.flatnonzero(accept):
+                ds[i] = self._ev_donor.get((int(le[i]), int(re_[i])), 0)
+            out["junc_donor_strand"] = ds
         return out
 
     @functools.partial(jax.jit, static_argnames=("self",))
@@ -788,6 +908,17 @@ class Aligner:
                     break
                 t1 = time.time()
                 res = self.align_batch(batch)
+                if junctions is not None:
+                    # scan-2 event-table sharing: junctions discovered in
+                    # this chunk (plus all earlier chunks) rescue reads
+                    # without their own minor vote cluster
+                    prelim = dict(junctions)
+                    collect_junctions(res, batch, self.genome, prelim)
+                    ev_l, ev_r, donor = junction_event_arrays(
+                        self.genome, prelim
+                    )
+                    self._ev_donor = donor
+                    res = self.rescue_with_events(batch, res, ev_l, ev_r)
                 t2 = time.time()
                 if breakpoints is not None and "vk_pos" in res:
                     from .fusion import accumulate_breakpoints, detect_fusion_pairs

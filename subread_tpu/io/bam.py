@@ -54,22 +54,41 @@ def bgzf_decompress(path: str) -> bytes:
     return b"".join(_bgzf_blocks(raw))
 
 
-def bgzf_compress_chunks(data: bytes, level: int = 5):
-    """Yield BGZF blocks (<=64KB payload each) for `data`."""
+def _bgzf_block(payload: bytes, level: int) -> bytes:
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    comp = co.compress(payload) + co.flush()
+    bsize = len(comp) + 25 + 1
+    return (
+        b"\x1f\x8b\x08\x04" + b"\x00" * 6 + b"\x06\x00BC\x02\x00"
+        + struct.pack("<H", bsize - 1)
+        + comp
+        + struct.pack("<I", zlib.crc32(payload))
+        + struct.pack("<I", len(payload))
+    )
+
+
+def bgzf_compress_chunks(data: bytes, level: int = 5, threads: int | None = None):
+    """Yield BGZF blocks (<=64KB payload each) for `data`.
+
+    Deflate runs on a worker pool for large buffers — the reference's
+    master/worker BGZF compressor (sambam-file.h:131-148,
+    worker_master_mutex_t); zlib releases the GIL so Python threads give
+    real parallel compression.  Blocks are yielded in order.
+    """
     CHUNK = 0xFF00
-    for i in range(0, len(data) or 1, CHUNK):
-        payload = data[i : i + CHUNK]
-        co = zlib.compressobj(level, zlib.DEFLATED, -15)
-        comp = co.compress(payload) + co.flush()
-        bsize = len(comp) + 25 + 1
-        block = (
-            b"\x1f\x8b\x08\x04" + b"\x00" * 6 + b"\x06\x00BC\x02\x00"
-            + struct.pack("<H", bsize - 1)
-            + comp
-            + struct.pack("<I", zlib.crc32(payload))
-            + struct.pack("<I", len(payload))
-        )
-        yield block
+    payloads = [data[i : i + CHUNK] for i in range(0, len(data) or 1, CHUNK)]
+    if len(payloads) >= 8:
+        import concurrent.futures as cf
+        import os
+
+        n = threads or min(8, os.cpu_count() or 1)
+        with cf.ThreadPoolExecutor(max_workers=n) as pool:
+            yield from pool.map(
+                _bgzf_block, payloads, [level] * len(payloads), chunksize=4
+            )
+    else:
+        for payload in payloads:
+            yield _bgzf_block(payload, level)
 
 
 @dataclass

@@ -50,6 +50,7 @@ def get_lib():
     lib = ctypes.CDLL(str(path))
     lib.format_sam_records.restype = ctypes.c_long
     lib.fc_count_sam_simple.restype = ctypes.c_long
+    lib.fc_count_bam_simple.restype = ctypes.c_long
     _LIB = lib
     return _LIB
 
@@ -149,6 +150,45 @@ def fc_count_sam_simple(
     rv = lib.fc_count_sam_simple(
         ctypes.c_char_p(sam_bytes), ctypes.c_long(len(sam_bytes)),
         ctypes.c_char_p(blob), ptr(off), ctypes.c_int32(len(chrom_names)),
+        ptr(arrs["fs"]), ptr(arrs["fe"]), ptr(arrs["pm"]), ptr(arrs["tg"]),
+        ptr(arrs["st"]), ptr(arrs["co"]), ctypes.c_int64(n_targets),
+        ctypes.c_int32(min_mapq), ctypes.c_int32(int(primary_only)),
+        ctypes.c_int32(int(ignore_dup)), ctypes.c_int32(int(count_multi)),
+        ctypes.c_int32(strandness), ctypes.c_int32(max_mop),
+        ptr(counts), ptr(summary),
+    )
+    if rv < 0:
+        return None
+    return counts, dict(zip(FC_SUMMARY_SLOTS, summary.tolist())), int(rv)
+
+
+def fc_count_bam_simple(
+    bam_records: bytes,          # uncompressed BAM alignment section
+    ref2chrom: np.ndarray,       # int32 [n_refs] BAM ref id -> chrom table id
+    feat_start: np.ndarray, feat_end: np.ndarray,
+    feat_pmax_end: np.ndarray, feat_target: np.ndarray,
+    feat_strand: np.ndarray, chrom_feat_off: np.ndarray,
+    n_targets: int,
+    min_mapq: int, primary_only: bool, ignore_dup: bool,
+    count_multi: bool, strandness: int, max_mop: int,
+):
+    """Native single-end featureCounts pass over BAM records."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = np.zeros(n_targets, np.float64)
+    summary = np.zeros(len(FC_SUMMARY_SLOTS), np.int64)
+    c = lambda a, t: np.ascontiguousarray(a, dtype=t)
+    arrs = dict(
+        r2c=c(ref2chrom, np.int32),
+        fs=c(feat_start, np.int32), fe=c(feat_end, np.int32),
+        pm=c(feat_pmax_end, np.int32), tg=c(feat_target, np.int64),
+        st=c(feat_strand, np.int8), co=c(chrom_feat_off, np.int64),
+    )
+    ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    rv = lib.fc_count_bam_simple(
+        ctypes.c_char_p(bam_records), ctypes.c_long(len(bam_records)),
+        ptr(arrs["r2c"]), ctypes.c_int32(len(ref2chrom)),
         ptr(arrs["fs"]), ptr(arrs["fe"]), ptr(arrs["pm"]), ptr(arrs["tg"]),
         ptr(arrs["st"]), ptr(arrs["co"]), ctypes.c_int64(n_targets),
         ctypes.c_int32(min_mapq), ctypes.c_int32(int(primary_only)),

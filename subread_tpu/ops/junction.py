@@ -144,3 +144,79 @@ def pick_junction_pair(v, sc, max_indel: int):
         valid=pair_valid,
         strand=b_strand,
     )
+
+
+def junction_rescue(
+    genome_u32: jnp.ndarray,
+    oriented: jnp.ndarray,    # [R, L] read codes in genome orientation
+    read_len: jnp.ndarray,    # [R]
+    pos: jnp.ndarray,         # [R] uint32 anchor alignment start
+    ev_left: jnp.ndarray,     # [E] uint32 sorted junction left edges (linear)
+    ev_right: jnp.ndarray,    # [E] uint32 matching right edges
+    n_cand: int = 4,
+):
+    """Re-explain reads against the global junction event table.
+
+    Reference: explain_read / search_events_to_back-front
+    (core-junction.c:2617, :125, :588) — scan 2 walks the event space
+    around each read's anchor so reads WITHOUT their own minor vote
+    cluster still get junction CIGARs, and junction support counts include
+    them.  Here: the n_cand events whose left edge falls inside the read
+    span are tested with the fixed-split mismatch scan; the best
+    (fewest-mismatch) event wins.
+
+    Returns dict(mism, split, gap, ok) for the best event per read.
+    """
+    R, L = oriented.shape
+    E = ev_left.shape[0]
+    ar = np.arange(L, dtype=np.int32)[None, :]
+    inside = ar < read_len[:, None]
+
+    # head mismatch prefix (read i vs genome pos+i)
+    win_h = genome_window(genome_u32, pos, L)
+    mm_h = (win_h != oriented.astype(jnp.uint32)) & inside
+    prefix = jnp.cumsum(
+        jnp.pad(mm_h.astype(jnp.int32), ((0, 0), (1, 0))), axis=1
+    )  # [R, L+1]
+
+    # candidate events: left edge in [pos+7, pos+len-8]
+    first = jnp.searchsorted(ev_left, pos + np.uint32(7))  # [R]
+    cidx = jnp.minimum(first[:, None] + np.arange(n_cand, dtype=np.int32), E - 1)
+    c_left = ev_left[cidx]    # [R, n_cand]
+    c_right = ev_right[cidx]
+    split = (c_left - pos[:, None] + np.uint32(1)).astype(jnp.int32)  # [R, C]
+    gap = (c_right - c_left - np.uint32(1)).astype(jnp.int32)
+    valid = (
+        (split >= 8)
+        & (split <= read_len[:, None] - 8)
+        & (gap > 0)
+        & (cidx < E)
+    )
+
+    best_mism = jnp.full((R,), 1 << 20, jnp.int32)
+    best_split = jnp.zeros((R,), jnp.int32)
+    best_gap = jnp.zeros((R,), jnp.int32)
+    for c in range(n_cand):
+        # tail mismatches under genome offset gap_c: read i vs pos+i+gap
+        g_tail = genome_window(
+            genome_u32, pos + gap[:, c].astype(jnp.uint32), L
+        )
+        mm_t = (g_tail != oriented.astype(jnp.uint32)) & inside
+        rev = jnp.flip(mm_t.astype(jnp.int32), axis=1)
+        suffix = jnp.flip(jnp.cumsum(rev, axis=1), axis=1)  # [R, L]
+        suffix = jnp.concatenate(
+            [suffix, jnp.zeros((R, 1), jnp.int32)], axis=1
+        )
+        s_c = jnp.clip(split[:, c], 0, L)
+        m = jnp.take_along_axis(prefix, s_c[:, None], axis=1)[:, 0] + \
+            jnp.take_along_axis(suffix, s_c[:, None], axis=1)[:, 0]
+        m = jnp.where(valid[:, c], m, 1 << 20)
+        better = m < best_mism
+        best_mism = jnp.where(better, m, best_mism)
+        best_split = jnp.where(better, split[:, c], best_split)
+        best_gap = jnp.where(better, gap[:, c], best_gap)
+
+    return dict(
+        mism=best_mism, split=best_split, gap=best_gap,
+        ok=best_mism < (1 << 20),
+    )

@@ -410,7 +410,36 @@ class FeatureCounter:
         else:
             self.count_sam(path)
 
+    def _count_bam_native(self, path: str) -> bool:
+        from .. import native
+        from ..io.bam import BamReader
+
+        o = self.opts
+        nt = self._native_tables()
+        names = nt[0]
+        rd = BamReader(path)
+        name_to_ci = {n: i for i, n in enumerate(names)}
+        ref2chrom = np.asarray(
+            [name_to_ci.get(n, -1) for n in rd.ref_names], np.int32
+        )
+        res = native.fc_count_bam_simple(
+            bytes(rd._data[rd._off :]), ref2chrom,
+            *nt[1:], n_targets=self.n_targets,
+            min_mapq=o.min_mapq, primary_only=o.primary_only,
+            ignore_dup=o.ignore_dup, count_multi=o.count_multi,
+            strandness=o.strand, max_mop=o.max_mop,
+        )
+        if res is None:
+            return False
+        counts, summ, _n = res
+        self.counts += counts
+        for k, v in summ.items():
+            self.summary[k] += v
+        return True
+
     def count_bam(self, path: str) -> None:
+        if self._native_eligible() and self._count_bam_native(path):
+            return
         from ..io.bam import bam_to_sam_lines
 
         o = self.opts

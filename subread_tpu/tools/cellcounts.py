@@ -13,13 +13,17 @@ import os
 import sys
 
 
-def _count_batches(aligner, genome, fcview, counter, batch_pairs):
+def _count_batches(aligner, genome, fcview, counter, batch_pairs,
+                   writer=None, gene_names=None):
     """Run alignment + gene assignment + cell/UMI accumulation over
     (R1, R2) ReadBatch pairs (cellCounts_run_mapping/_run_counting,
-    cell-counts.c:3425/4837)."""
+    cell-counts.c:3425/4837).  With `writer`, also emits the cDNA
+    alignments with CellRanger-style CB/UB/GX tags (the reference's
+    per-sample BAM output, cell-counts.c:4837+)."""
     import numpy as np
 
     from .. import dna
+    from ..io import sam as samio
 
     for b1, b2 in batch_pairs:
         if b1 is None or b2 is None or len(b2) == 0:
@@ -42,7 +46,36 @@ def _count_batches(aligner, genome, fcview, counter, batch_pairs):
                     if len(hits) == 1:
                         gene_idx = hits.pop()
             L1 = int(b1.lengths[i])
-            counter.add(dna.decode(b1.codes[i, :L1]), gene_idx)
+            r1seq = dna.decode(b1.codes[i, :L1])
+            counter.add(r1seq, gene_idx)
+            if writer is not None:
+                bl = counter.matcher.barcode_len
+                cb = r1seq[:bl]
+                ub = r1seq[bl : bl + counter.umi_len]
+                L2 = int(b2.lengths[i])
+                strand = int(res["strand"][i])
+                seq_codes = b2.codes[i, :L2]
+                qual = b2.quals[i, :L2].tobytes().decode()
+                if strand == 1 and res["mapped"][i]:
+                    seq = dna.decode(dna.revcomp(seq_codes))
+                    qual = qual[::-1]
+                else:
+                    seq = dna.decode(seq_codes)
+                tags = [f"CB:Z:{cb}-1", f"UB:Z:{ub}"]
+                if gene_idx >= 0 and gene_names is not None:
+                    tags.append(f"GX:Z:{gene_names[gene_idx]}")
+                if not res["mapped"][i]:
+                    writer.write(samio.SamRecord(
+                        b2.names[i], samio.FLAG_UNMAPPED, "*", 0, 0, "*",
+                        seq=seq, qual=qual, tags=tags,
+                    ))
+                else:
+                    flag = samio.FLAG_REVERSE if strand else 0
+                    writer.write(samio.SamRecord(
+                        b2.names[i], flag, genome.names[int(cidx[i])],
+                        int(coff[i]) + 1, int(res["mapq"][i]),
+                        f"{L2}M", seq=seq, qual=qual, tags=tags,
+                    ))
 
 
 def main(argv=None) -> int:
@@ -123,6 +156,8 @@ def main(argv=None) -> int:
     sheet_fmt, entries = parse_sample_sheet(args.sampleSheetFile)
     if sheet_fmt != "rawdir":
         ap.error("BCL mode needs a rawdir (Lane,...) sample sheet")
+    from ..io import sam as samio
+
     demux = demux_bcl(args.dataset, entries)
     lane_cache: dict = {}
     for sample, (picks, r1_i, r2_i, rd) in demux.items():
@@ -136,8 +171,18 @@ def main(argv=None) -> int:
             b2.codes = np.pad(b2.codes, ((0, 0), (0, pad)))
             b2.quals = np.pad(b2.quals, ((0, 0), (0, pad)))
             b2.ambig = np.pad(b2.ambig, ((0, 0), (0, pad)))
-        _count_batches(aligner, genome, fcview, counter, [(b1, b2)])
         out_dir = os.path.join(args.output, sample)
+        os.makedirs(out_dir, exist_ok=True)
+        bam = samio.make_writer(
+            os.path.join(out_dir, f"{sample}.bam"),
+            genome.names, [int(x) for x in genome.lengths],
+            sam_output=False,
+        )
+        try:
+            _count_batches(aligner, genome, fcview, counter, [(b1, b2)],
+                           writer=bam, gene_names=ann.gene_names)
+        finally:
+            bam.close()
         counter.write_matrix(out_dir)
         print(
             f"// cellCounts[{sample}]: {counter.stats['reads']} reads, "

@@ -383,29 +383,168 @@ def genrandomreads(argv=None) -> int:
 # --- detectionCall (detection-calls.c) ---------------------------------------
 
 def detectioncall(argv=None) -> int:
-    """Detected/not-detected calls per gene: exon coverage tested against
-    intron background (detection-calls.c)."""
+    """GC-annotated detection-call inputs (detection-calls.c): per-exon
+    rows carrying the gene-level GC fraction over the exon union, plus a
+    `<output>-bins` file of 2000bp background bins over intergenic gaps
+    (or intron gaps with -I), for the downstream detected/not-detected
+    statistic.  Reference: DTCparse_GTF_and_Genome (:317-425),
+    DTCanno_fill_gap (:196), DTCtotal_GC_bases (:165)."""
     ap = argparse.ArgumentParser(prog="detectionCall")
-    ap.add_argument("-a", "--annotation", required=True, help="GTF")
-    ap.add_argument("-i", "--input", required=True, help="SAM/BAM")
+    ap.add_argument("-a", "--annotation", required=True, help="GTF/SAF")
+    ap.add_argument("-G", "--genome", required=True, help="genome FASTA")
     ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("-F", "--anno-format", default="GTF", choices=["GTF", "SAF"])
+    ap.add_argument("-g", "--gene-id", default="gene_id")
+    ap.add_argument("-e", "--feature-type", default="exon")
+    ap.add_argument("-I", "--intron-bins", action="store_true",
+                    help="background bins from intron gaps, not intergenic")
     args = ap.parse_args(argv)
-    from ..io.gtf import load_annotation
-    from ..quant.featurecounts import FCOptions, FeatureCounter
+    import numpy as np
 
-    ann = load_annotation(args.annotation)
-    fc = FeatureCounter(ann, FCOptions(allow_multi_overlap=True))
-    fc.count_file(args.input)
-    lengths = ann.gene_lengths()
-    total_assigned = max(fc.counts.sum(), 1.0)
-    with open(args.output, "w") as out:
-        out.write("GeneID\tLength\tCount\tRPKM\tDetected\n")
-        for gidx, gname in enumerate(ann.gene_names):
-            c = fc.counts[gidx]
-            rpkm = c * 1e9 / (max(int(lengths[gidx]), 1) * total_assigned)
-            out.write(
-                f"{gname}\t{int(lengths[gidx])}\t{int(c)}\t{rpkm:.3f}\t"
-                f"{'YES' if c > 0 else 'NO'}\n"
+    from ..io.fasta import read_fasta
+    from ..io.gtf import load_annotation
+
+    BIN = 2000  # DTC_GAP_BIN_MIN_LENGTH
+
+    contigs = {}
+    for c in read_fasta(args.genome):
+        # GC when code in {G=1, C=2} and not ambiguous; total = ACGT bases
+        is_gc = ((c.codes == 1) | (c.codes == 2)) & ~c.ambig
+        gc_cum = np.zeros(len(c.codes) + 1, np.int64)
+        np.cumsum(is_gc, out=gc_cum[1:])
+        tot_cum = np.zeros(len(c.codes) + 1, np.int64)
+        np.cumsum(~c.ambig, out=tot_cum[1:])
+        contigs[c.name] = (gc_cum, tot_cum, len(c.codes))
+
+    def find_contig(chro):
+        if chro in contigs:
+            return contigs[chro]
+        if len(chro) < 3 and "chr" + chro in contigs:
+            return contigs["chr" + chro]
+        if chro.lower().startswith("chr") and chro[3:] in contigs:
+            return contigs[chro[3:]]
+        return None
+
+    def gc_total(chro, start, end):
+        # 1-based inclusive, like DTCtotal_GC_bases
+        ct = find_contig(chro)
+        if ct is None or end > ct[2]:
+            return 0, 0
+        gc_cum, tot_cum, _ = ct
+        return int(gc_cum[end] - gc_cum[start - 1]), int(
+            tot_cum[end] - tot_cum[start - 1]
+        )
+
+    ann = load_annotation(args.annotation, fmt=args.anno_format)
+
+    # per-gene exon-union GC over each chromosome (sweep in start order)
+    gene_gc: dict[str, list[int]] = {}
+    gene_span: dict[tuple[str, str], list[int]] = {}  # (chro, gene) -> span
+    order = np.lexsort((ann.feat_start, np.asarray(ann.feat_chro)))
+    for i in order:
+        chro = ann.feat_chro[i]
+        gname = ann.gene_names[int(ann.feat_gene[i])]
+        s, e = int(ann.feat_start[i]), int(ann.feat_end[i])
+        acc = gene_gc.setdefault(gname, [0, 0])
+        span = gene_span.get((chro, gname))
+        if span is None:
+            gene_span[(chro, gname)] = [s, e]
+            g, t = gc_total(chro, s, e)
+            acc[0] += g
+            acc[1] += t
+        else:
+            ns = max(s, span[1] + 1)
+            if ns <= e:
+                g, t = gc_total(chro, ns, e)
+                acc[0] += g
+                acc[1] += t
+                span[1] = max(span[1], e)
+
+    fill_no = 0
+
+    def fill_gap(fbin, chro, start, stop):
+        # DTCanno_fill_gap: >=2000bp bins, last bin absorbs the remainder
+        nonlocal fill_no
+        if stop < start:
+            return
+        cur = start
+        while True:
+            bin_end = cur + BIN
+            if bin_end > stop + 1 - BIN:
+                bin_end = stop + 1
+            g, t = gc_total(chro, cur, bin_end - 1)
+            fc = g / t if t else 0.0
+            fbin.write(
+                f"_fill_bin_{fill_no:07d}\t{chro}\t{cur}\t{bin_end - 1}"
+                f"\t+\t{fc:.5f}\n"
+            )
+            fill_no += 1
+            if bin_end >= stop:
+                break
+            cur += BIN
+
+    with open(args.output, "w") as fg, open(args.output + "-bins", "w") as fb:
+        header = "GeneID\tChr\tStart\tEnd\tStrand\tGCfraction\n"
+        fg.write(header)
+        fb.write(header)
+        # background bins per chromosome
+        by_chro: dict[str, list[tuple[int, int]]] = {}
+        for (chro, gname), (s, e) in gene_span.items():
+            by_chro.setdefault(chro, []).append((s, e))
+        if args.intron_bins:
+            # gaps between merged exon blocks inside gene spans
+            exons_by_chro: dict[str, list[tuple[int, int]]] = {}
+            for i in range(ann.n_features):
+                exons_by_chro.setdefault(ann.feat_chro[i], []).append(
+                    (int(ann.feat_start[i]), int(ann.feat_end[i]))
+                )
+            for chro, ivs in sorted(exons_by_chro.items()):
+                ivs.sort()
+                merged = []
+                cs, ce = ivs[0]
+                for s, e in ivs[1:]:
+                    if s > ce:
+                        merged.append((cs, ce))
+                        cs, ce = s, e
+                    else:
+                        ce = max(ce, e)
+                merged.append((cs, ce))
+                spans = sorted(by_chro.get(chro, []))
+                max_gene_end = 0
+                last_end = 0
+                for (s, e) in merged:
+                    if last_end > 0 and s > last_end + 1:
+                        fill_gap(fb, chro, last_end + 1, s - 1)
+                    max_gene_end = max(
+                        max_gene_end,
+                        max((ge for gs, ge in spans if gs <= s), default=0),
+                    )
+                    last_end = e if max_gene_end > e else 0
+        else:
+            for chro, spans in sorted(by_chro.items()):
+                ct = find_contig(chro)
+                if ct is None:
+                    continue
+                spans.sort()
+                top_s, top_e = spans[0]
+                fill_gap(fb, chro, 1, top_s)
+                for s, e in spans[1:]:
+                    if top_e < s:
+                        fill_gap(fb, chro, top_e + 1, s - 1)
+                        top_s, top_e = s, e
+                    else:
+                        top_e = max(top_e, e)
+                fill_gap(fb, chro, top_e + 1, ct[2] - 1)
+        # per-exon rows with gene-level GC fraction (DTCwrite_annotations)
+        strands = "+-."
+        for i in range(ann.n_features):
+            gname = ann.gene_names[int(ann.feat_gene[i])]
+            g, t = gene_gc.get(gname, (0, 0))
+            fc = g / t if t else 0.0
+            st = "-" if strands[int(ann.feat_strand[i])] == "-" else "+"
+            fg.write(
+                f"{gname}\t{ann.feat_chro[i]}\t{int(ann.feat_start[i])}"
+                f"\t{int(ann.feat_end[i])}\t{st}\t{fc:.5f}\n"
             )
     return 0
 

@@ -137,6 +137,8 @@ def test_cellcounts_bcl_mode(tmp_path, chr901_genome, chr901_index, rng):
         "-o", str(out),
     ]) == 0
 
+    from subread_tpu.io.bam import BamReader
+
     for sample, gene_i in (("sampleA", 1), ("sampleB", 2)):
         mtx = (out / sample / "matrix.mtx").read_text().splitlines()
         cells = (out / sample / "barcodes.tsv").read_text().splitlines()
@@ -146,3 +148,12 @@ def test_cellcounts_bcl_mode(tmp_path, chr901_genome, chr901_index, rng):
         for l in mtx[2:]:
             gi, ci, cnt = map(int, l.split())
             assert gi == gene_i  # each sample sees only its gene
+        # per-sample BAM with CB/UB/GX tags (cell-counts.c per-sample output)
+        bam = out / sample / f"{sample}.bam"
+        assert bam.exists()
+        recs = list(BamReader(str(bam)))
+        assert len(recs) == n // 2
+        want_cb = barcodes[0] if sample == "sampleA" else barcodes[1]
+        n_cb = sum(1 for r in recs if r.tags.get("CB") == want_cb + "-1")
+        assert n_cb == n // 2
+        assert any("GX" in r.tags for r in recs)

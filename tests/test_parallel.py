@@ -68,3 +68,30 @@ def test_mesh_summary_reduction(cpu_devices):
         return (v % 2 == 0).sum()
 
     assert int(total_mapped(xs)) == 32
+
+
+def test_distributed_helpers_single_process():
+    """distributed.py helpers in the single-process regime (the multi-host
+    paths need jax.distributed; logic shared with the single path)."""
+    import numpy as np
+
+    from subread_tpu.parallel.distributed import (
+        allgather_event_table,
+        host_shard_range,
+        init_distributed,
+        psum_stats,
+    )
+
+    assert init_distributed() is False  # no coordinator configured
+    r = host_shard_range(100, 0, 3)
+    assert (r.start, r.stop) == (0, 34)
+    assert host_shard_range(100, 2, 3).stop == 100
+    s = psum_stats({"mapped": 5, "total": 10})
+    assert s == {"mapped": 5, "total": 10}
+    l, r_, sup = allgather_event_table(
+        np.array([10, 10, 20], np.uint32),
+        np.array([50, 50, 70], np.uint32),
+        np.array([2, 3, 1], np.int64),
+    )
+    assert l.tolist() == [10, 20] and r_.tolist() == [50, 70]
+    assert sup.tolist() == [5, 1]

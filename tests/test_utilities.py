@@ -134,3 +134,51 @@ def test_coord_sorted_bam_with_bai(tmp_path):
     assert bai[:4] == b"BAI\x01"
     (n_ref,) = struct.unpack_from("<i", bai, 4)
     assert n_ref == 2
+
+
+def test_detectioncall_gc_annotation(tmp_path):
+    """detectionCall writes per-exon rows with gene-level GC over the exon
+    union, plus 2000bp background bins over intergenic gaps
+    (detection-calls.c DTCparse_GTF_and_Genome/DTCanno_fill_gap)."""
+    from subread_tpu.tools.utilities import detectioncall
+
+    # 12kb contig: gene1 exons [1001,2000]+[3001,4000]; all-GC in exon1
+    seq = ["A"] * 12000
+    for i in range(1000, 2000):
+        seq[i] = "G"
+    for i in range(3000, 4000):
+        seq[i] = "C" if i % 2 else "A"
+    fa = tmp_path / "g.fa"
+    fa.write_text(">c1\n" + "".join(seq) + "\n")
+    gtf = tmp_path / "a.gtf"
+    gtf.write_text(
+        'c1\tx\texon\t1001\t2000\t.\t+\t0\tgene_id "g1";\n'
+        'c1\tx\texon\t3001\t4000\t.\t+\t0\tgene_id "g1";\n'
+        'c1\tx\texon\t1501\t2500\t.\t+\t0\tgene_id "g2";\n'
+    )
+    out = tmp_path / "out.txt"
+    assert detectioncall(["-a", str(gtf), "-G", str(fa), "-o", str(out)]) == 0
+
+    rows = [l.split("\t") for l in out.read_text().splitlines()[1:]]
+    assert len(rows) == 3  # one row per exon feature
+    g1 = [r for r in rows if r[0] == "g1"]
+    # g1 union = 2000 bases, 1000 G + 500 C = 0.75
+    assert abs(float(g1[0][5]) - 0.75) < 1e-4
+    g2 = [r for r in rows if r[0] == "g2"][0]
+    # g2 = [1501,2500]: 500 G of 1000 -> 0.5
+    assert abs(float(g2[5]) - 0.5) < 1e-4
+
+    bins = [l.split("\t") for l in (tmp_path / "out.txt-bins").read_text().splitlines()[1:]]
+    assert bins and all(b[0].startswith("_fill_bin_") for b in bins)
+    # gaps: [1,1000] (short: one bin) and [4001,11999] (8000bp -> 3 bins:
+    # 2000+2000+3999-tail absorbing the remainder)
+    first = bins[0]
+    # the reference's edge fill is fill_gap(1, top_start) INCLUSIVE of the
+    # first gene base (detection-calls.c:404) — replicated as-is
+    assert int(first[2]) == 1 and int(first[3]) == 1001
+    tail_bins = [b for b in bins if int(b[2]) >= 4001]
+    assert tail_bins[0][2] == "4001"
+    assert int(tail_bins[-1][3]) == 11999
+    # every base of the gap is covered exactly once
+    covered = sum(int(b[3]) - int(b[2]) + 1 for b in tail_bins)
+    assert covered == 11999 - 4001 + 1
