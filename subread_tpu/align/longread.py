@@ -2,25 +2,27 @@
 
 Reference: longread-one/ (~6 kLoC standalone LRM copies) — subread voting
 over many subreads followed by *chaining* of vote clusters along the read
-(longread-mapping.c:529-660) and banded DP between anchors; reads up to
-1.2 Mbp (LRMconfig.h:25).
+(longread-mapping.c:529-660), indel/junction events between chained
+anchors (LRMchro-event.c), reads up to 1.2 Mbp (LRMconfig.h:25).
 
 TPU formulation: a long read is a batch of fixed 100bp windows (the
 sequence axis becomes the batch axis — the reference's chaining loop is
 replaced by one more round of *voting*, this time over window diagonals):
 
-  1. each window votes through the standard vote kernel;
+  1. windows of MANY reads are mapped in one device batch;
   2. every window candidate contributes a diagonal d = pos - 100·w;
-  3. diagonals are clustered with a tolerance (the chain = the diagonal
-     cluster with the most distinct windows, exactly the seed-and-vote
-     trick applied one level up);
-  4. the chained span is emitted with head/tail soft-clips for unchained
-     windows.
+  3. per read, diagonals are clustered with a tolerance (the chain = the
+     diagonal cluster with the most distinct windows — seed-and-vote one
+     level up);
+  4. within the winning chain, genome-vs-read distance deltas between
+     consecutive chained windows become D/I CIGAR events (N when the
+     deletion is intron-sized) — the LRMchro-event analog;
+  5. unchained head/tail windows become soft clips.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -29,7 +31,8 @@ from ..io import sam as samio
 from ..io.fastq import batch_from_records
 
 WINDOW = 100
-CHAIN_TOL = 800  # diagonal tolerance: indel drift allowed along the read
+CHAIN_TOL = 800    # diagonal tolerance: indel drift allowed along the read
+MIN_INTRON = 50    # deletions at least this long are written as N (intron)
 
 
 @dataclass
@@ -39,81 +42,161 @@ class LongReadHit:
     strand: int = 0
     clip_left: int = 0
     clip_right: int = 0
+    cigar_ops: list = field(default_factory=list)  # [(n, op)] between clips
     span: int = 0         # genome bases covered
     n_windows: int = 0
     votes: int = 0
 
 
-def map_long_read(aligner, seq_codes: np.ndarray, min_windows: int = 2) -> LongReadHit:
-    """Map one long read (uint8 codes) with the window/chain scheme."""
-    L = len(seq_codes)
-    n_win = max(L // WINDOW, 1)
-    seqs = []
-    for w in range(n_win):
-        chunk = seq_codes[w * WINDOW : (w + 1) * WINDOW]
-        seqs.append(dna.decode(chunk).encode())
-    batch = batch_from_records(
-        [f"w{w}" for w in range(n_win)], seqs, [b"I" * len(s) for s in seqs],
-        pad_to=aligner.cfg.pad_read_len,
-    )
-    res = aligner.align_batch(batch)
-    sc_votes = res["votes"]
+def _chain_to_cigar(wins: np.ndarray, gpos: np.ndarray, L: int, strand: int):
+    """CIGAR ops for one chained window set.
 
-    # diagonal voting across windows, per strand
-    best = LongReadHit(mapped=False)
-    for strand in (0, 1):
-        diags, weights, wins = [], [], []
-        for w in range(n_win):
-            if not res["mapped"][w] or int(res["strand"][w]) != strand:
-                continue
-            p = int(res["pos"][w])
-            # a reverse-strand window at read offset w*WINDOW sits at the
-            # *end* of the reverse alignment
-            if strand == 0:
-                d = p - w * WINDOW
-            else:
-                d = p + w * WINDOW
-            diags.append(d)
-            weights.append(int(sc_votes[w]))
-            wins.append(w)
-        if not diags:
+    wins: window indices (fwd-read numbering), gpos: genome start of each
+    window's 100bp block.  For strand 1 the blocks are emitted in genome
+    order (reversed window order) since the SAM record holds the rc read.
+    Returns (clip_left, ops, clip_right, genome_pos) in SAM (genome)
+    orientation."""
+    order = np.argsort(gpos)
+    w = wins[order]
+    g = gpos[order]
+    n = len(w)
+    ops: list[tuple[int, str]] = [(WINDOW, "M")]
+    for i in range(1, n):
+        # read distance between consecutive blocks, in genome orientation
+        dw = abs(int(w[i]) - int(w[i - 1])) - 1
+        dr = dw * WINDOW
+        dg = int(g[i]) - (int(g[i - 1]) + WINDOW)
+        if dg < 0:
+            # overlapping blocks (repeat artefact): merge conservatively
+            ops.append((max(WINDOW + dg, 1), "M"))
             continue
-        order = np.argsort(diags)
-        darr = np.asarray(diags)[order]
-        warr = np.asarray(wins)[order]
-        varr = np.asarray(weights)[order]
-        # cluster sorted diagonals within CHAIN_TOL
-        i = 0
-        n = len(darr)
+        m = min(dr, dg)
+        if m:
+            ops.append((m, "M"))
+        if dg > dr:
+            ops.append((dg - dr, "N" if dg - dr >= MIN_INTRON else "D"))
+        elif dr > dg:
+            ops.append((dr - dg, "I"))
+        ops.append((WINDOW, "M"))
+    # merge adjacent Ms
+    merged: list[tuple[int, str]] = []
+    for nn, op in ops:
+        if merged and merged[-1][1] == op:
+            merged[-1] = (merged[-1][0] + nn, op)
+        else:
+            merged.append((nn, op))
+    wmin, wmax = int(w.min()), int(w.max())
+    if strand == 0:
+        clip_l = wmin * WINDOW
+        clip_r = max(L - (wmax + 1) * WINDOW, 0)
+    else:
+        # rc record: the read tail maps at the smallest genome coordinate
+        clip_l = max(L - (wmax + 1) * WINDOW, 0)
+        clip_r = wmin * WINDOW
+    # read bases consumed by ops must equal L - clips: pad the last M for
+    # the read tail that falls inside the final partial window
+    consumed = sum(nn for nn, op in merged if op in "MI")
+    want = L - clip_l - clip_r
+    if want > consumed:
+        # extend the tail-side M into the partial window
+        if merged[-1][1] == "M":
+            merged[-1] = (merged[-1][0] + (want - consumed), "M")
+        else:
+            merged.append((want - consumed, "M"))
+    elif want < consumed:
+        # trim from the tail M
+        nn, op = merged[-1]
+        merged[-1] = (max(nn - (consumed - want), 1), op)
+    return clip_l, merged, clip_r, int(g[0])
+
+
+def chain_read(
+    res: dict, rows: np.ndarray, wins: np.ndarray, L: int, min_windows: int
+) -> LongReadHit:
+    """Chain the mapped windows (batch rows `rows`, window ids `wins`) of
+    one read into the best diagonal cluster."""
+    best = LongReadHit(mapped=False)
+    mapped = np.asarray(res["mapped"], bool)[rows]
+    if not mapped.any():
+        return best
+    pos = res["pos"].astype(np.int64)[rows]
+    strand = np.asarray(res["strand"])[rows]
+    votes = np.asarray(res["votes"])[rows]
+    for st in (0, 1):
+        sel = mapped & (strand == st)
+        if not sel.any():
+            continue
+        w = wins[sel]
+        p = pos[sel]
+        v = votes[sel]
+        d = p - w * WINDOW if st == 0 else p + w * WINDOW
+        order = np.argsort(d)
+        darr, warr, parr, varr = d[order], w[order], p[order], v[order]
+        i, n = 0, len(darr)
         while i < n:
             j = i
             while j < n and darr[j] - darr[i] <= CHAIN_TOL:
                 j += 1
             members = np.arange(i, j)
-            n_windows = len(set(warr[members].tolist()))
-            votes = int(varr[members].sum())
+            # one block per distinct window (best-vote member wins)
+            uw = {}
+            for m in members:
+                k = int(warr[m])
+                if k not in uw or varr[m] > varr[uw[k]]:
+                    uw[k] = m
+            n_windows = len(uw)
+            vsum = int(varr[members].sum())
             if n_windows >= min_windows and (
                 not best.mapped or n_windows > best.n_windows
-                or (n_windows == best.n_windows and votes > best.votes)
+                or (n_windows == best.n_windows and vsum > best.votes)
             ):
-                wmin = int(warr[members].min())
-                wmax = int(warr[members].max())
-                if strand == 0:
-                    pos = int(darr[members].min()) + wmin * WINDOW
-                    clip_left = wmin * WINDOW
-                    clip_right = L - min((wmax + 1) * WINDOW, L)
-                else:
-                    pos = int(darr[members].min()) - wmax * WINDOW
-                    clip_left = L - min((wmax + 1) * WINDOW, L)
-                    clip_right = wmin * WINDOW
-                span = (wmax - wmin + 1) * WINDOW
+                midx = np.asarray(sorted(uw.values()))
+                cl, ops, cr, gpos0 = _chain_to_cigar(
+                    warr[midx], parr[midx], L, st
+                )
+                span = sum(nn for nn, op in ops if op in "MDN")
                 best = LongReadHit(
-                    mapped=True, pos=pos, strand=strand,
-                    clip_left=clip_left, clip_right=clip_right,
-                    span=min(span, L), n_windows=n_windows, votes=votes,
+                    mapped=True, pos=gpos0, strand=st,
+                    clip_left=cl, clip_right=cr, cigar_ops=ops,
+                    span=span, n_windows=n_windows, votes=vsum,
                 )
             i = j
     return best
+
+
+def map_long_read(aligner, seq_codes: np.ndarray, min_windows: int = 2) -> LongReadHit:
+    """Map one long read (uint8 codes) with the window/chain scheme."""
+    hits = map_long_reads(aligner, [seq_codes], min_windows=min_windows)
+    return hits[0]
+
+
+def map_long_reads(
+    aligner, reads: list[np.ndarray], min_windows: int = 2
+) -> list[LongReadHit]:
+    """Map many long reads in one device batch of 100bp windows."""
+    names, seqs, owner, winid = [], [], [], []
+    for r, codes in enumerate(reads):
+        n_win = max(len(codes) // WINDOW, 1)
+        for w in range(n_win):
+            chunk = codes[w * WINDOW : (w + 1) * WINDOW]
+            seqs.append(dna.decode(chunk).encode())
+            names.append(f"r{r}w{w}")
+            owner.append(r)
+            winid.append(w)
+    batch = batch_from_records(
+        names, seqs, [b"I" * len(s) for s in seqs],
+        pad_to=aligner.cfg.pad_read_len,
+    )
+    res = aligner.align_batch(batch)
+    owner = np.asarray(owner)
+    winid = np.asarray(winid)
+    out = []
+    for r, codes in enumerate(reads):
+        rows = np.flatnonzero(owner == r)
+        out.append(
+            chain_read(res, rows, winid[rows], len(codes), min_windows)
+        )
+    return out
 
 
 def sublong_file(aligner, fastq_path: str, out_sam: str, min_windows: int = 2):
@@ -134,20 +217,20 @@ def sublong_file(aligner, fastq_path: str, out_sam: str, min_windows: int = 2):
         sam_output=out_sam.endswith(".sam"),
     )
     mapped = total = 0
-    with opener(fastq_path) as f:
-        while True:
-            hdr = f.readline()
-            if not hdr:
-                break
-            seq = f.readline().strip()
-            f.readline()
-            qual = f.readline().strip()
-            name = hdr[1:].split()[0].decode()
-            total += 1
-            codes = dna.encode(seq)
-            hit = map_long_read(aligner, codes, min_windows=min_windows)
-            seq_s = seq.decode()
-            qual_s = qual.decode()
+    # chunk reads so one device batch holds ~batch_reads windows
+    per_chunk_windows = max(aligner.cfg.batch_reads, 256)
+    pend_names, pend_codes, pend_quals = [], [], []
+    pend_win = 0
+
+    def flush():
+        nonlocal mapped, total, pend_win
+        if not pend_codes:
+            return
+        hits = map_long_reads(aligner, pend_codes, min_windows=min_windows)
+        for name, codes, qual_s, hit in zip(
+            pend_names, pend_codes, pend_quals, hits
+        ):
+            seq_s = dna.decode(codes)
             if not hit.mapped:
                 writer.write(
                     samio.SamRecord(name, samio.FLAG_UNMAPPED, "*", 0, 0, "*",
@@ -159,12 +242,10 @@ def sublong_file(aligner, fastq_path: str, out_sam: str, min_windows: int = 2):
             if hit.strand:
                 seq_s = dna.decode(dna.revcomp(codes))
                 qual_s = qual_s[::-1]
-            L = len(codes)
-            mid = L - hit.clip_left - hit.clip_right
             cigar = ""
             if hit.clip_left:
                 cigar += f"{hit.clip_left}S"
-            cigar += f"{mid}M"
+            cigar += "".join(f"{n}{op}" for n, op in hit.cigar_ops)
             if hit.clip_right:
                 cigar += f"{hit.clip_right}S"
             flag = samio.FLAG_REVERSE if hit.strand else 0
@@ -176,5 +257,26 @@ def sublong_file(aligner, fastq_path: str, out_sam: str, min_windows: int = 2):
                     tags=[f"NW:i:{hit.n_windows}"],
                 )
             )
+        pend_names.clear()
+        pend_codes.clear()
+        pend_quals.clear()
+        pend_win = 0
+
+    with opener(fastq_path) as f:
+        while True:
+            hdr = f.readline()
+            if not hdr:
+                break
+            seq = f.readline().strip()
+            f.readline()
+            qual = f.readline().strip()
+            total += 1
+            pend_names.append(hdr[1:].split()[0].decode())
+            pend_codes.append(dna.encode(seq))
+            pend_quals.append(qual.decode())
+            pend_win += max(len(seq) // WINDOW, 1)
+            if pend_win >= per_chunk_windows:
+                flush()
+    flush()
     writer.close()
     return mapped, total

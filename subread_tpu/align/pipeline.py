@@ -44,7 +44,7 @@ from ..ops.extend import (
     place_single_indel,
     softclip_bounds,
 )
-from ..ops.vote import VoteParams, VoteResult, vote_batch
+from ..ops.vote import VoteParams, VoteResult, merge_vote_results, vote_batch
 
 
 @dataclass
@@ -164,24 +164,44 @@ def write_junction_bed(path: str, junctions: dict) -> None:
             )
 
 
+def uniform_length(lens: np.ndarray) -> int | None:
+    """The common read length when every (real) read shares it, else None
+    — a static hint that turns reverse-complementing into a static flip."""
+    nz = lens[lens > 0]
+    if len(nz) and (nz == nz[0]).all():
+        return int(nz[0])
+    return None
+
+
 class Aligner:
     """Single-chip aligner; the multi-chip variant shards the batch axis."""
 
-    def __init__(self, genome: Genome, index: HashIndex, cfg: AlignConfig):
+    def __init__(self, genome: Genome, index, cfg: AlignConfig):
+        # index: a HashIndex or a list of position-range blocks (the
+        # memory-bounded split index, index-builder.c -M); votes are
+        # accumulated across blocks like read_chunk_circles' per-block
+        # voting loop (core.c:3562-3613)
+        self.blocks = list(index) if isinstance(index, (list, tuple)) else [index]
         self.genome = genome
-        self.index = index
+        self.index = self.blocks[0]
         self.cfg = cfg
         self.vote_params = VoteParams(
             total_subreads=cfg.total_subreads,
             max_hits=cfg.max_hits_per_probe,
             indel_tolerance=max(cfg.max_indel, 1),
             top_k=cfg.top_k,
-            index_gap=index.index_gap,
+            index_gap=self.index.index_gap,
         )
-        # device-resident index (replicated single-chip)
-        self.d_bucket_start = jnp.asarray(index.bucket_start)
-        self.d_check = jnp.asarray(index.check_words)
-        self.d_positions = jnp.asarray(index.positions)
+        # device-resident index blocks (replicated single-chip)
+        self.d_blocks = [
+            (
+                jnp.asarray(b.bucket_start),
+                jnp.asarray(b.check_words),
+                jnp.asarray(b.positions),
+            )
+            for b in self.blocks
+        ]
+        self.d_bucket_start, self.d_check, self.d_positions = self.d_blocks[0]
         self.d_genome = jnp.asarray(
             dna.packed_as_u32(dna.pack_2bit(genome.codes))
         )
@@ -194,7 +214,8 @@ class Aligner:
     # into a tailspin (>>10min compiles) for no runtime benefit.
 
     def _device_align(
-        self, codes, ambig, lens, bucket_start, check, positions, genome_u32
+        self, codes, ambig, lens, bucket_start, check, positions, genome_u32,
+        uniform_len=None,
     ):
         """Full single-end alignment step: votes + scan-2 selection.
 
@@ -206,11 +227,24 @@ class Aligner:
             bucket_start, check, positions,
             self.index.bucket_bits, self.vote_params,
         )
-        return self._scan2(codes, ambig, lens, genome_u32, v)
+        for blk, (d_bs, d_ck, d_po) in zip(self.blocks[1:], self.d_blocks[1:]):
+            vb = vote_batch(
+                codes, ambig, lens, d_bs, d_ck, d_po,
+                blk.bucket_bits, self.vote_params,
+            )
+            v = self._merge_votes(v, vb)
+        return self._scan2(codes, ambig, lens, genome_u32, v, uniform_len)
 
-    @functools.partial(jax.jit, static_argnames=("self", "min_votes"))
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _merge_votes(self, a: VoteResult, b: VoteResult) -> VoteResult:
+        return merge_vote_results(a, b, self.vote_params)
+
+    @functools.partial(
+        jax.jit, static_argnames=("self", "min_votes", "uniform_len")
+    )
     def _score_candidates(self, codes, ambig, lens, genome_u32, v: VoteResult,
-                          min_votes: int | None = None):
+                          min_votes: int | None = None,
+                          uniform_len: int | None = None):
         """Realignment scoring of every top-K candidate: mismatches via the
         single-indel split scan, plus the reference's integer score
         (core.c:2731-2739).  Returns per-candidate [R, K] arrays."""
@@ -221,7 +255,7 @@ class Aligner:
         # orient reads once per strand; candidates flattened to one [R*K]
         # batched split-scan call (keeps the compiled graph small).
         fwd = codes
-        rev = oriented_read(codes, lens, jnp.ones((R,), jnp.int32))
+        rev = oriented_read(codes, lens, jnp.ones((R,), jnp.int32), uniform_len)
 
         pos_k = v.pos                     # [R, K] uint32
         strand_k = v.strand               # [R, K]
@@ -285,17 +319,21 @@ class Aligner:
             mapq=mapq,
         )
 
-    def _scan2(self, codes, ambig, lens, genome_u32, v: VoteResult):
-        sc = self._score_candidates(codes, ambig, lens, genome_u32, v)
+    def _scan2(self, codes, ambig, lens, genome_u32, v: VoteResult,
+               uniform_len=None):
+        sc = self._score_candidates(codes, ambig, lens, genome_u32, v,
+                                    uniform_len=uniform_len)
         if self.cfg.detect_junctions:
-            return self._select_se_junc(codes, lens, genome_u32, v, sc)
+            return self._select_se_junc(codes, lens, genome_u32, v, sc,
+                                        uniform_len=uniform_len)
         res = self._select_se(lens, sc)
         if self.cfg.show_soft_clipping:
-            res = self._apply_softclip(codes, lens, genome_u32, res)
+            res = self._apply_softclip(codes, lens, genome_u32, res,
+                                       uniform_len=uniform_len)
         return res
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _apply_softclip(self, codes, lens, genome_u32, res):
+    @functools.partial(jax.jit, static_argnames=("self", "uniform_len"))
+    def _apply_softclip(self, codes, lens, genome_u32, res, uniform_len=None):
         """Soft-clip noisy read ends of plain (non-indel) alignments.
 
         Reference behaviour: soft-clipping is shown by default and the
@@ -304,7 +342,7 @@ class Aligner:
         """
         cfg = self.cfg
         R, L = codes.shape
-        oriented = oriented_read(codes, lens, res["strand"])
+        oriented = oriented_read(codes, lens, res["strand"], uniform_len)
         mm = mismatch_matrix(genome_u32, oriented, lens, res["pos"])
         cl, cr = softclip_bounds(mm, lens)
         skip = (res["indel"] != 0) | (cl + cr >= lens - 16)
@@ -335,8 +373,9 @@ class Aligner:
         )
         return out
 
-    @functools.partial(jax.jit, static_argnames=("self",))
-    def _select_se_junc(self, codes, lens, genome_u32, v: VoteResult, sc):
+    @functools.partial(jax.jit, static_argnames=("self", "uniform_len"))
+    def _select_se_junc(self, codes, lens, genome_u32, v: VoteResult, sc,
+                        uniform_len=None):
         """SE selection + junction discovery (subjunc mode).
 
         A junction (head cluster, tail cluster, donor-motif split) replaces
@@ -347,7 +386,7 @@ class Aligner:
 
         base = self._select_se(lens, sc)
         pair = pick_junction_pair(v, sc, self.cfg.max_indel)
-        oriented = oriented_read(codes, lens, base["strand"])
+        oriented = oriented_read(codes, lens, base["strand"], uniform_len)
         jr = junction_split_scan(
             genome_u32, oriented, lens, pair["head_pos"], pair["gap"], pair["valid"]
         )
@@ -521,20 +560,22 @@ class Aligner:
         return r1, r2
 
     def _device_align_pe(
-        self, c1, a1, l1, c2, a2, l2, bucket_start, check, positions, genome_u32
+        self, c1, a1, l1, c2, a2, l2, bucket_start, check, positions, genome_u32,
+        ul1=None, ul2=None,
     ):
         B = self.index.bucket_bits
         v1 = vote_batch(c1, a1, l1, bucket_start, check, positions, B, self.vote_params)
         v2 = vote_batch(c2, a2, l2, bucket_start, check, positions, B, self.vote_params)
-        sc1 = self._score_candidates(c1, a1, l1, genome_u32, v1)
+        sc1 = self._score_candidates(c1, a1, l1, genome_u32, v1, uniform_len=ul1)
         sc2 = self._score_candidates(
-            c2, a2, l2, genome_u32, v2, min_votes=self.cfg.min_votes_second
+            c2, a2, l2, genome_u32, v2, min_votes=self.cfg.min_votes_second,
+            uniform_len=ul2,
         )
         r1, r2 = self._select_pe(l1, l2, sc1, sc2)
         if self.cfg.show_soft_clipping:
             p1, p2 = r1.pop("proper"), r2.pop("proper")
-            r1 = self._apply_softclip(c1, l1, genome_u32, r1)
-            r2 = self._apply_softclip(c2, l2, genome_u32, r2)
+            r1 = self._apply_softclip(c1, l1, genome_u32, r1, uniform_len=ul1)
+            r2 = self._apply_softclip(c2, l2, genome_u32, r2, uniform_len=ul2)
             r1["proper"] = p1 & r1["mapped"] & r2["mapped"]
             r2["proper"] = r1["proper"]
         return r1, r2
@@ -561,6 +602,7 @@ class Aligner:
         codes, ambig, lens, R = self._pad_batch(batch)
         out = {}
         n = len(lens)
+        ul = uniform_length(lens[:R])
         bs = self.cfg.batch_reads
         parts = []
         pending = None
@@ -573,6 +615,7 @@ class Aligner:
                 self.d_check,
                 self.d_positions,
                 self.d_genome,
+                uniform_len=ul,
             )
             if pending is not None:
                 parts.append(jax.device_get(pending))
@@ -742,6 +785,7 @@ class Aligner:
     def align_batch_pe(self, b1: ReadBatch, b2: ReadBatch):
         c1, a1, l1, R = self._pad_batch(b1)
         c2, a2, l2, _ = self._pad_batch(b2)
+        ul1, ul2 = uniform_length(l1[:R]), uniform_length(l2[:R])
         bs = self.cfg.batch_reads
         parts1, parts2 = [], []
         for i in range(0, len(l1), bs):
@@ -750,6 +794,7 @@ class Aligner:
                 jnp.asarray(c1[sl]), jnp.asarray(a1[sl]), jnp.asarray(l1[sl]),
                 jnp.asarray(c2[sl]), jnp.asarray(a2[sl]), jnp.asarray(l2[sl]),
                 self.d_bucket_start, self.d_check, self.d_positions, self.d_genome,
+                ul1=ul1, ul2=ul2,
             )
             parts1.append(jax.device_get(r1))
             parts2.append(jax.device_get(r2))

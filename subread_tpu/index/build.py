@@ -191,20 +191,85 @@ def build_hash_index(
     return native_layout(ks[keep], ps[keep], index_gap, genome.padding)
 
 
+def split_index_blocks(
+    idx: HashIndex, memory_mb: int, overlap: int | None = None
+) -> list[HashIndex]:
+    """Split an index into position-range blocks bounded by memory.
+
+    Reference: memory-bounded index splitting (build_gene_index,
+    index-builder.c:78-445): each block covers a contiguous genome range
+    with a MIN_READ_SPLICING overlap so reads straddling the cut vote in
+    both blocks.  Vote tables are merged per read afterwards
+    (ops.vote.merge_vote_results).
+    """
+    # ~6 bytes/entry device footprint (positions 4 + check 1 + bucket amort)
+    max_entries = max(int(memory_mb * (1 << 20) / 6), 1 << 16)
+    n = idx.n_items
+    if n <= max_entries:
+        return [idx]
+    n_blocks = -(-n // max_entries)
+    overlap = idx.padding if overlap is None else overlap
+    order = np.argsort(idx.positions, kind="stable")
+    pos_sorted = idx.positions[order]
+    keys_sorted = idx.keys[order]
+    blocks = []
+    per = -(-n // n_blocks)
+    for b in range(n_blocks):
+        lo = b * per
+        hi = min((b + 1) * per, n)
+        if lo >= n:
+            break
+        cut_lo = int(pos_sorted[lo])
+        cut_hi = int(pos_sorted[hi - 1])
+        sel = (idx.positions >= max(cut_lo - (overlap if b else 0), 0)) & (
+            idx.positions <= cut_hi + (overlap if hi < n else 0)
+        )
+        blocks.append(
+            native_layout(
+                idx.keys[sel], idx.positions[sel], idx.index_gap, idx.padding
+            )
+        )
+    return blocks
+
+
+def load_index_blocks(prefix: str) -> list[HashIndex]:
+    """Load `prefix.hash.npz` or the multi-block `prefix.NN.hash.npz` set."""
+    import os
+
+    if os.path.exists(prefix + ".hash.npz"):
+        return [HashIndex.load(prefix)]
+    blocks = []
+    b = 0
+    while os.path.exists(f"{prefix}.{b:02d}.hash.npz"):
+        blocks.append(HashIndex.load(f"{prefix}.{b:02d}"))
+        b += 1
+    if not blocks:
+        raise FileNotFoundError(prefix + ".hash.npz")
+    return blocks
+
+
 def build_index(
     fasta_path: str,
     out_prefix: str | None = None,
     index_gap: int = 1,
     repeat_threshold: int = REPEAT_THRESHOLD,
-) -> tuple[Genome, HashIndex]:
+    memory_mb: int | None = None,
+) -> tuple[Genome, HashIndex | list[HashIndex]]:
     """Full index build: FASTA → Genome + HashIndex (and save if prefix given).
 
     Reference: subread-buildindex main flow (index-builder.c:1014);
-    `index_gap=1` is a full index (-F), 3 the default gapped index.
+    `index_gap=1` is a full index (-F), 3 the default gapped index;
+    `memory_mb` bounds the per-block device footprint (-M), splitting the
+    index into `NN`-suffixed blocks like the reference's {prefix}.NN.b.tab.
     """
     genome = genome_from_fasta(fasta_path)
     idx = build_hash_index(genome, index_gap=index_gap, repeat_threshold=repeat_threshold)
+    blocks = split_index_blocks(idx, memory_mb) if memory_mb else [idx]
     if out_prefix:
         genome.save(out_prefix)
-        idx.save(out_prefix)
-    return genome, idx
+        if len(blocks) == 1:
+            idx.save(out_prefix)
+        else:
+            for b, blk in enumerate(blocks):
+                blk.save(f"{out_prefix}.{b:02d}")
+    return genome, (blocks if len(blocks) > 1 else idx)

@@ -56,16 +56,25 @@ def genome_window(genome_u32: jnp.ndarray, start: jnp.ndarray, L: int) -> jnp.nd
 
 
 def oriented_read(
-    codes: jnp.ndarray, read_len: jnp.ndarray, strand: jnp.ndarray
+    codes: jnp.ndarray, read_len: jnp.ndarray, strand: jnp.ndarray,
+    uniform_len: int | None = None,
 ) -> jnp.ndarray:
     """Read codes in genome orientation: reverse-complemented where strand=1.
 
-    codes [R, L] uint8, read_len [R], strand [R] → [R, L] (pad right)."""
+    codes [R, L] uint8, read_len [R], strand [R] → [R, L] (pad right).
+    With `uniform_len` (every real read the same length — the common case)
+    the reversal is a static flip instead of a [R, L] gather (measured
+    ~12ms per 8192x128 batch on the gather path)."""
     R, L = codes.shape
-    ridx = read_len[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
-    rc = (3 - jnp.take_along_axis(codes, jnp.clip(ridx, 0, L - 1), axis=1)).astype(
-        codes.dtype
-    )
+    if uniform_len is not None:
+        rc = (3 - jnp.flip(codes[:, :uniform_len], axis=1)).astype(codes.dtype)
+        if L > uniform_len:
+            rc = jnp.pad(rc, ((0, 0), (0, L - uniform_len)))
+    else:
+        ridx = read_len[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
+        rc = (3 - jnp.take_along_axis(codes, jnp.clip(ridx, 0, L - 1), axis=1)).astype(
+            codes.dtype
+        )
     return jnp.where(strand[:, None] == 1, rc, codes)
 
 

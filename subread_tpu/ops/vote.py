@@ -367,3 +367,50 @@ def vote_batch(
         cov_start=jnp.where(empty, 0, sel_covmin),
         cov_end=jnp.where(empty, 0, sel_covmax + KMER),
     )
+
+
+def merge_vote_results(a: VoteResult, b: VoteResult, params: VoteParams) -> VoteResult:
+    """Merge two top-K vote tables into one (re-selected top-K).
+
+    This is the accumulation step for a block-split index (the reference
+    re-votes every read per index block into one shared vote table,
+    core.c:3562-3613) and for position-sharded indexes across chips (each
+    shard's partial VoteResult is allgathered and merged).  Anchors of the
+    same strand within the indel tolerance are the same cluster seen from
+    two blocks (boundary overlap): their votes are NOT summed — the max
+    wins — because overlap regions would double-count probes.
+    """
+    K = params.top_k
+    tol = np.uint32(params.indel_tolerance)
+    cat = lambda x, y: jnp.concatenate([x, y], axis=1)
+    pos = cat(a.pos, b.pos)
+    tail = cat(a.tail, b.tail)
+    anchor = cat(a.anchor, b.anchor)
+    votes = cat(a.votes, b.votes)
+    strand = cat(a.strand, b.strand)
+    cov_s = cat(a.cov_start, b.cov_start)
+    cov_e = cat(a.cov_end, b.cov_end)
+
+    R = pos.shape[0]
+    sel_idx = jnp.zeros((R, K), jnp.int32)
+    work = votes
+    for k in range(K):
+        best = jnp.argmax(work, axis=-1)
+        sel_idx = sel_idx.at[:, k].set(best.astype(jnp.int32))
+        bkv = jnp.take_along_axis(anchor, best[:, None], axis=-1)
+        bstrand = jnp.take_along_axis(strand, best[:, None], axis=-1)
+        diff = anchor - bkv
+        near = (diff <= tol) | (-diff <= tol)
+        work = jnp.where(near & (strand == bstrand), -1, work)
+    take = lambda arr: jnp.take_along_axis(arr, sel_idx, axis=-1)
+    sel_votes = take(votes)
+    empty = sel_votes <= 0
+    return VoteResult(
+        pos=jnp.where(empty, SENTINEL, take(pos)),
+        tail=jnp.where(empty, SENTINEL, take(tail)),
+        anchor=jnp.where(empty, SENTINEL, take(anchor)),
+        votes=jnp.maximum(sel_votes, 0),
+        strand=take(strand),
+        cov_start=jnp.where(empty, 0, take(cov_s)),
+        cov_end=jnp.where(empty, 0, take(cov_e)),
+    )

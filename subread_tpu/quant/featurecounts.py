@@ -603,3 +603,75 @@ class FeatureCounter:
                 f.write(
                     f"NA\tNA\t{chro}\t{s1}\tNA\t{chro}\t{s2}\tNA\t{int(cnt)}\n"
                 )
+
+
+def read_summary(argv: list[str]) -> int:
+    """The Rsubread-compatible 56-slot positional API
+    (readSummary, readSummary.c:7977-8041) — the internal interface shared
+    between the featureCounts CLI and the R package.  Slot meanings follow
+    the reference's comment block verbatim; options outside the engine's
+    current surface are accepted and ignored when harmless."""
+    from ..io.gtf import load_annotation
+
+    def num(i, default=0):
+        try:
+            return int(float(argv[i]))
+        except (IndexError, ValueError):
+            return default
+
+    def txt(i, default=""):
+        v = argv[i] if i < len(argv) else default
+        return default if v in ("", "NULL", " ", None) else v
+
+    ann_path = argv[1]
+    in_files = argv[2].split(";")
+    out_path = argv[3]
+    opts = FCOptions(
+        paired=bool(num(4)),
+        count_read_pairs=bool(num(4)),
+        min_fragment=num(5, 50),
+        max_fragment=num(6, 600),
+        allow_multi_overlap=bool(num(8)),
+        feature_level=not bool(num(9, 1)),
+        strand=num(12),
+        require_both_ends=bool(num(14)),
+        no_chimeric=bool(num(15)),
+        check_pe_dist=bool(num(16)),
+        min_mapq=num(19),
+        count_multi=bool(num(20)),
+        ext5=num(25),
+        ext3=num(26),
+        min_overlap=num(27, 1),
+        split_only=num(28) == 1,
+        non_split_only=num(28) == 2,
+        read2pos={0: 0, 1: 5, 2: 3}[num(29)],
+        ignore_dup=bool(num(31)),
+        fraction=bool(num(33)),
+        largest_overlap=bool(num(34)),
+        count_junctions=bool(num(36)),
+        max_mop=num(38, 10),
+        frac_overlap=float(txt(40, "0") or 0),
+        primary_only=bool(num(50)),
+    )
+    fmt = "GTF" if num(11, 1) else "SAF"
+    feature_type = txt(17, "exon")
+    attr_type = txt(18, "gene_id")
+    alias_path = txt(21)
+    aliases = None
+    if alias_path:
+        aliases = {}
+        for line in open(alias_path):
+            parts = line.strip().split(",")
+            if len(parts) == 2:
+                aliases[parts[1]] = parts[0]
+    ann = load_annotation(
+        ann_path, fmt=fmt, feature_type=feature_type, attr_type=attr_type
+    )
+    fc = FeatureCounter(ann, opts, chro_aliases=aliases)
+    for path in in_files:
+        fc.count_file(path)
+    fc.write_counts(out_path, in_files)
+    fc.write_summary(out_path + ".summary", in_files)
+    if opts.count_junctions:
+        fc.write_jcounts(out_path + ".jcounts", in_files)
+    return 0

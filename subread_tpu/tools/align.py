@@ -67,6 +67,10 @@ def load_index_any(prefix: str):
 
     if os.path.exists(prefix + ".hash.npz"):
         return Genome.load(prefix), HashIndex.load(prefix)
+    if os.path.exists(prefix + ".00.hash.npz"):
+        from ..index.build import load_index_blocks
+
+        return Genome.load(prefix), load_index_blocks(prefix)
     if os.path.exists(prefix + ".00.b.tab"):
         from ..index.interop import read_reference_index
 

@@ -1,9 +1,10 @@
 """subread-buildindex equivalent.
 
 Reference CLI: index-builder.c:1014-1306.  Flags mirrored: -o prefix,
--F full index (gap=1; default here), -B one block (always one block in the
-TPU build — the index lives in HBM), -f repeat threshold, -M memory MB
-(accepted, unused), positional FASTA file(s).
+-F full index (gap=1; default here), -B one block, -f repeat
+threshold, -M memory MB (splits the index into NN-suffixed blocks whose
+votes are merged per read — the reference's block-serial voting,
+core.c:3562-3613), positional FASTA file(s).
 """
 
 from __future__ import annotations
@@ -25,7 +26,9 @@ def main(argv=None) -> int:
     ap.add_argument("-B", "--one-block", action="store_true",
                     help="accepted for compatibility (always one block)")
     ap.add_argument("-M", "--memory", type=int, default=8000,
-                    help="memory budget MB (compatibility; unused)")
+                    help="device-memory budget in MB; the index is split "
+                         "into NN-suffixed blocks when it exceeds this "
+                         "(index-builder.c -M)")
     ap.add_argument("-f", "--threshold", type=int, default=100,
                     help="repeat threshold for uninformative 16-mers")
     ap.add_argument("--reference-format", action="store_true",
@@ -46,7 +49,19 @@ def main(argv=None) -> int:
     gap = 3 if args.gapped else 1
     index = build_hash_index(genome, index_gap=gap, repeat_threshold=args.threshold)
     genome.save(args.output)
-    index.save(args.output)
+    if args.one_block:
+        index.save(args.output)
+    else:
+        from ..index.build import split_index_blocks
+
+        blocks = split_index_blocks(index, args.memory)
+        if len(blocks) == 1:
+            index.save(args.output)
+        else:
+            for b, blk in enumerate(blocks):
+                blk.save(f"{args.output}.{b:02d}")
+            print(f"// index split into {len(blocks)} blocks (-M {args.memory})",
+                  file=sys.stderr)
     if args.reference_format:
         from ..index.interop import write_reference_index
 

@@ -114,3 +114,26 @@ def test_unmapped_random_reads(aligner, tmp_path):
     )
     res = aligner.align_batch(batch)
     assert res["mapped"].sum() <= 3  # random seqs must not map
+
+
+def test_multiblock_index_matches_single(chr901_genome, chr901_index, rng):
+    """A memory-split index (vote merge across blocks, core.c:3562-3613)
+    maps reads to the same positions as the single-block index."""
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+    from subread_tpu.index.build import split_index_blocks
+    from subread_tpu.utils.simulate import simulate_reads
+
+    batch, _ = simulate_reads(chr901_genome, 256, read_len=100, rng=rng,
+                              error_rate=0.01)
+    cfg = aligner_config(batch_reads=256, pad_read_len=128)
+    single = Aligner(chr901_genome, chr901_index, cfg).align_batch(batch)
+    blocks = split_index_blocks(chr901_index, memory_mb=2)
+    assert len(blocks) >= 2
+    multi = Aligner(chr901_genome, blocks, cfg).align_batch(batch)
+    same = (
+        (single["pos"] == multi["pos"]) & (single["mapped"] == multi["mapped"])
+    ) | (~single["mapped"] & ~multi["mapped"])
+    # boundary-overlap tie-breaks may flip a couple of repeat reads
+    assert same.mean() > 0.97, same.mean()
+    assert multi["mapped"].sum() >= single["mapped"].sum() - 3

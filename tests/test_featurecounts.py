@@ -148,3 +148,29 @@ def test_bam_input(tmp_path):
         tmp_path, "test-minimum.bam", "test-minimum.ora", "test-minimum.GTF",
         ["-p", "--countReadPairs"],
     )
+
+
+def test_readsummary_positional_api(tmp_path):
+    """The Rsubread-shared 56-slot positional API (readSummary.c:7977)."""
+    from subread_tpu.quant.featurecounts import read_summary
+
+    D = "/root/reference/test/featureCounts/data"
+    out = str(tmp_path / "rs.out")
+    argv = [
+        "readSummary", f"{D}/test-minimum.GTF", f"{D}/test-minimum.sam", out,
+        "1", "50", "600", "1", "0", "1", "1", "1", "0", "0", "0", "0", "0",
+        "exon", "gene_id", "0", "0", "", "", "0", "14", "0", "0", "1", "0",
+        "0", " ", "0", "0", "0", "0", "FR", "0", "", "10", "0", "0.0", "",
+        "0", "0", "0", "0", "0", "0", "-1", "-1", "0", "", "", "", "left", "0",
+    ]
+    assert read_summary(argv) == 0
+    got = {}
+    for l in open(out):
+        if l.startswith("#") or l.startswith("Geneid"):
+            continue
+        f = l.rstrip("\n").split("\t")
+        got[f[0]] = int(float(f[-1]))
+    want = dict(simu_gene1=8, simu_gene2=2, simu_gene3=5, simu_gene4=1,
+                simu_gene5=37, simu_gene6=15, simu_gene7=128)
+    assert got == want
+    assert (tmp_path / "rs.out.summary").exists()

@@ -101,3 +101,29 @@ def test_uninformative_filter():
     lo, hi = int(idx.bucket_start[b]), int(idx.bucket_start[b + 1])
     assert key_rep not in idx.keys[lo:hi]
     assert idx.n_items > 0  # unique tail survived
+
+
+def test_split_index_blocks_equivalence(chr901_genome, chr901_index):
+    """A block-split index must reproduce single-block lookups: every
+    position is findable in exactly the block(s) covering its range."""
+    from subread_tpu.index.build import split_index_blocks
+
+    blocks = split_index_blocks(chr901_index, memory_mb=2)  # force ~3 blocks
+    assert len(blocks) >= 2
+    total = sum(b.n_items for b in blocks)
+    assert total >= chr901_index.n_items  # boundary overlap duplicates some
+    # spot-check: random entries of the full index exist in some block
+    rng = np.random.default_rng(5)
+    for i in rng.integers(0, chr901_index.n_items, size=200):
+        key = int(chr901_index.keys[i])
+        pos = int(chr901_index.positions[i])
+        found = False
+        for b in blocks:
+            bi = int(key) >> (32 - b.bucket_bits)
+            lo, hi = int(b.bucket_start[bi]), int(b.bucket_start[bi + 1])
+            seg = b.keys[lo:hi]
+            hitpos = b.positions[lo:hi][seg == key]
+            if pos in hitpos:
+                found = True
+                break
+        assert found, (key, pos)

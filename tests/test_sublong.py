@@ -48,3 +48,33 @@ def test_long_reads(tmp_path, chr901_genome, chr901_index, rng):
         if abs(int(fds[3]) - truth) < 1200:
             ok += 1
     assert ok >= mapped - 2, f"{ok}/{mapped} correct positions"
+
+
+def test_long_read_deletion_event(tmp_path, chr901_genome, chr901_index, rng):
+    """A long read skipping 300 genome bases between two chained windows
+    gets a D/N CIGAR event (LRMchro-event analog)."""
+    from subread_tpu.align.longread import map_long_reads
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+    from subread_tpu.io.sam import cigar_reference_span
+
+    g = chr901_genome
+    lin = g.chro_to_linear(0, 400000)
+    DEL = 300
+    codes = np.concatenate([
+        g.codes[lin : lin + 1000],
+        g.codes[lin + 1000 + DEL : lin + 2000 + DEL],
+    ])
+    al = Aligner(g, chr901_index, aligner_config(batch_reads=2048, min_votes=2))
+    hits = map_long_reads(al, [codes])
+    h = hits[0]
+    assert h.mapped and h.strand == 0
+    assert abs(h.pos - lin) <= 50
+    ops = dict()
+    for n_, op in h.cigar_ops:
+        ops[op] = ops.get(op, 0) + n_
+    # 300bp deletion >= MIN_INTRON -> written as N
+    assert ops.get("N", 0) == DEL, h.cigar_ops
+    # read bases consumed match the read length minus clips
+    consumed = sum(n_ for n_, op in h.cigar_ops if op in "MI")
+    assert consumed == len(codes) - h.clip_left - h.clip_right
