@@ -293,6 +293,7 @@ class Aligner:
         return dict(
             pos_k=pos_k, strand_k=strand_k, indel_k=indel_k, split_k=split_k,
             mism_k=mism_k, votes_k=votes_k, valid_k=valid_k, score_k=score_k,
+            probe_kv_k=v.probe_kv,
         )
 
     @functools.partial(jax.jit, static_argnames=("self",))
@@ -306,6 +307,9 @@ class Aligner:
         b_indel, b_split = take(sc["indel_k"]), take(sc["split_k"])
         b_mism, b_votes, b_score = take(sc["mism_k"]), take(sc["votes_k"]), take(score_k)
         b_valid = take(valid_k)
+        b_pkv = jnp.take_along_axis(
+            sc["probe_kv_k"], best[:, None, None], axis=1
+        )[:, 0] if "probe_kv_k" in sc else None
 
         # mismatch gate (CORE_TOO_MANY_MISMATCHES analog)
         mapped = b_valid & (b_mism <= cfg.max_mismatches)
@@ -313,11 +317,14 @@ class Aligner:
         mapq = jnp.where(
             n_best > 1, 0, cfg.mapq_unique // (1 + jnp.maximum(b_mism, 0))
         ).astype(jnp.int32)
-        return dict(
+        out = dict(
             pos=b_pos, strand=b_strand, indel=b_indel, split=b_split,
             mism=b_mism, votes=b_votes, mapped=mapped, multi=n_best > 1,
             mapq=mapq,
         )
+        if b_pkv is not None:
+            out["probe_kv"] = b_pkv
+        return out
 
     def _scan2(self, codes, ambig, lens, genome_u32, v: VoteResult,
                uniform_len=None):
@@ -663,6 +670,12 @@ class Aligner:
         nm = (np.asarray(res["mism"], np.int32) + np.abs(indel)).astype(np.int32)
         clip_l = np.asarray(res["clip_l"], np.int32) if "clip_l" in res else None
         clip_r = np.asarray(res["clip_r"], np.int32) if "clip_r" in res else None
+        overrides = res.get("cigar_override") or {}
+        suppress = None
+        if overrides:
+            suppress = np.zeros(n, np.uint8)
+            for i in overrides:
+                suppress[i] = 1
         blob = native.format_sam_records(
             batch.names,
             batch.codes, batch.quals, batch.lengths.astype(np.int32),
@@ -671,10 +684,25 @@ class Aligner:
             np.asarray(res["split"], np.int32), None,
             clip_l, clip_r,
             mapped.astype(np.uint8), nm, g.names,
+            suppress=suppress,
         )
         if blob is None:
             return False
         writer.write_bytes(blob)
+        for i, (cigar, mism_i, nm_i) in sorted(overrides.items()):
+            L = int(batch.lengths[i])
+            seq_codes = batch.codes[i, :L]
+            qual = batch.quals[i, :L].tobytes().decode()
+            if strand[i] == 1:
+                seq = dna.decode(dna.revcomp(seq_codes))
+                qual = qual[::-1]
+            else:
+                seq = dna.decode(seq_codes)
+            writer.write(samio.SamRecord(
+                batch.names[i], int(flags[i]), g.names[int(cidx[i])],
+                int(coff[i]) + 1, int(res["mapq"][i]), cigar,
+                seq=seq, qual=qual, tags=[f"NM:i:{nm_i}"],
+            ))
         # summary + indel-event bookkeeping (vectorised / sparse loop)
         summary.total += n
         nm_mapped = int(mapped.sum())
@@ -684,6 +712,9 @@ class Aligner:
         summary.multi += int(multi.sum())
         summary.unique += nm_mapped - int(multi.sum())
         has_indel = mapped & (indel != 0)
+        if overrides:
+            for i in overrides:
+                has_indel[i] = True
         summary.indels += int(has_indel.sum())
         if indel_events is not None:
             for i in np.flatnonzero(has_indel):
@@ -740,6 +771,19 @@ class Aligner:
                 summary.unique += 1
             indel = int(res["indel"][i])
             split = int(res["split"][i])
+            override = (res.get("cigar_override") or {}).get(i)
+            if override is not None:
+                cigar, mism_i, nm_i = override
+                summary.indels += 1
+                writer.write(
+                    samio.SamRecord(
+                        name, samio.FLAG_REVERSE if strand else 0,
+                        g.names[int(cidx[i])], int(coff[i]) + 1,
+                        int(res["mapq"][i]), cigar, seq=seq, qual=qual,
+                        tags=[f"NM:i:{nm_i}"],
+                    )
+                )
+                continue
             if res.get("junc") is not None and res["junc"][i]:
                 gap = int(res["junc_gap"][i])
                 cigar = f"{split}M{gap}N{L - split}M"
@@ -953,6 +997,22 @@ class Aligner:
                     break
                 t1 = time.time()
                 res = self.align_batch(batch)
+                if junctions is None and "probe_kv" in res:
+                    ov = refine_multi_indels(
+                        self.genome, batch, res, self.cfg.max_indel,
+                        self.vote_params, self.cfg.max_mismatches,
+                        self.cfg.min_votes,
+                    )
+                    if ov:
+                        res["cigar_override"] = ov
+                        res["mapped"] = np.asarray(res["mapped"], bool).copy()
+                        res["mapq"] = np.asarray(res["mapq"], np.int32).copy()
+                        res["mism"] = np.asarray(res["mism"], np.int32).copy()
+                        for i, (_c, mm, _nm) in ov.items():
+                            res["mapped"][i] = True
+                            res["mism"][i] = mm
+                            if res["mapq"][i] <= 0:
+                                res["mapq"][i] = self.cfg.mapq_unique // (1 + mm)
                 if junctions is not None:
                     # scan-2 event-table sharing: junctions discovered in
                     # this chunk (plus all earlier chunks) rescue reads
@@ -990,3 +1050,165 @@ class Aligner:
             )
         write_indel_vcf(out_sam + ".indel.vcf", self.genome, indel_events)
         return summary
+
+
+def refine_multi_indels(
+    genome: Genome, batch: ReadBatch, res: dict, max_indel: int,
+    vote_params: VoteParams, max_mismatches: int = 3, min_votes: int = 3,
+) -> dict[int, tuple[str, int, int]]:
+    """Exact multi-indel CIGARs for reads whose winning vote cluster has
+    three or more distinct probe offsets (the indel_recorder walk of
+    find_new_indels, core-indel.c:1874-1906, done host-side for the rare
+    flagged reads).  Returns {read_idx: (cigar, mismatches, nm)} for reads
+    where the multi-indel explanation beats the single-indel one."""
+    if "probe_kv" not in res:
+        return {}
+    pkv = res["probe_kv"].astype(np.int64)          # [R, P]
+    pos = res["pos"].astype(np.int64)
+    SEN = np.int64(np.uint32(0xFFFFFFFF))
+    # a multi-indel read usually FAILS the single-indel mismatch gate
+    # (one merged event leaves a shifted middle segment), so the flag is
+    # vote anchoring, not the final mapped bit
+    anchored = (pos != SEN) & (np.asarray(res["votes"]) >= min_votes)
+    valid = (pkv != SEN) & anchored[:, None]
+    delta = np.where(valid, pkv - pos[:, None], 0)
+    # distinct deltas per read among valid probes, vectorised (a python
+    # per-read loop here costs more than the whole device step)
+    big = np.int64(1) << 62
+    ds = np.sort(np.where(valid, delta, big), axis=1)
+    nvalid = valid.sum(axis=1)
+    j = np.arange(1, ds.shape[1])[None, :]
+    trans = (ds[:, 1:] != ds[:, :-1]) & (j < nvalid[:, None])
+    n_distinct = (nvalid > 0).astype(np.int32) + trans.sum(axis=1)
+    flagged = np.flatnonzero((n_distinct >= 3) & anchored)
+    if len(flagged) == 0:
+        return {}
+
+    out: dict[int, tuple[str, int, int]] = {}
+    KMER = 16
+    for r in flagged:
+        L = int(batch.lengths[r])
+        strand = int(res["strand"][r])
+        codes = batch.codes[r, :L]
+        oriented = dna.revcomp(codes) if strand == 1 else codes
+        p0 = int(pos[r])
+        # probe walk in read order: sections of equal delta.  kv for
+        # reverse-strand clusters was computed at the mirrored offset
+        # o' = L - KMER - o in the oriented (revcomp) read.
+        P = pkv.shape[1]
+        po = _probe_offsets_host(L, vote_params)
+        if strand == 1:
+            po = L - KMER - po
+        pairs = [
+            (int(po[p]), int(delta[r, p]))
+            for p in range(P)
+            if valid[r, p]
+        ]
+        pairs.sort()
+        sections = []
+        for off, d in pairs:
+            if not sections or sections[-1][2] != d:
+                sections.append([off, off, d])
+            else:
+                sections[-1][1] = off
+        # require monotone plausible steps
+        ok = all(
+            abs(sections[i + 1][2] - sections[i][2]) <= max_indel
+            for i in range(len(sections) - 1)
+        )
+        if len(sections) < 3 or not ok:
+            continue
+        gwin = lambda s, e, shift: _genome_codes(genome, p0 + shift + s, e - s)
+        splits = []
+        total_mism = 0
+        prev_split = 0
+        feasible = True
+        for i in range(len(sections) - 1):
+            lo = sections[i][1] + 1              # after last probe of sec i
+            hi = min(sections[i + 1][0] + KMER - 1, L - 1)
+            lo = max(lo, prev_split + 1)
+            if lo > hi:
+                feasible = False
+                break
+            d_before, d_after = sections[i][2], sections[i + 1][2]
+            # choose split s in [lo, hi] minimising local mismatches
+            g_before = gwin(lo, hi, d_before)
+            g_after = gwin(lo, hi, d_after)
+            seg = oriented[lo:hi]
+            mm_b = (seg != g_before[: len(seg)]).astype(np.int32)
+            mm_a = (seg != g_after[: len(seg)]).astype(np.int32)
+            # cost(s) = before-mism in [lo, s) + after-mism in [s, hi)
+            pref = np.concatenate(([0], np.cumsum(mm_b)))
+            suff = np.concatenate((np.cumsum(mm_a[::-1])[::-1], [0]))
+            s_local = int(np.argmin(pref + suff))
+            splits.append((lo + s_local, d_after - d_before))
+            prev_split = lo + s_local
+        if not feasible or not splits:
+            continue
+        # assemble CIGAR (M segments between splits; D consumes genome,
+        # I consumes read) and recount mismatches over the M segments
+        cig = []
+        nm = 0
+        read_cursor = 0
+        ok = True
+        for s, d in splits + [(L, 0)]:
+            seg_len = s - read_cursor
+            if seg_len <= 0:
+                ok = False
+                break
+            cig.append((seg_len, "M"))
+            read_cursor += seg_len
+            if d > 0:
+                cig.append((d, "D"))
+                nm += d
+            elif d < 0:
+                ins = min(-d, L - read_cursor)
+                if ins <= 0:
+                    ok = False
+                    break
+                cig.append((ins, "I"))
+                nm += ins
+                read_cursor += ins
+        if not ok or read_cursor != L:
+            continue
+        mism = 0
+        read_cursor = 0
+        gpos = p0
+        for n_, op in cig:
+            if op == "M":
+                g = _genome_codes(genome, gpos, n_)
+                mism += int(
+                    (oriented[read_cursor : read_cursor + n_] != g[:n_]).sum()
+                )
+                read_cursor += n_
+                gpos += n_
+            elif op == "D":
+                gpos += n_
+            elif op == "I":
+                read_cursor += n_
+        if mism > max_mismatches:
+            continue
+        was_mapped = bool(res["mapped"][r])
+        if was_mapped and mism + len(splits) >= int(res["mism"][r]) + (
+            1 if int(res["indel"][r]) else 0
+        ):
+            continue  # single-indel explanation is as good — keep it
+        cigar = "".join(f"{n_}{op}" for n_, op in cig)
+        out[int(r)] = (cigar, mism, mism + nm)
+    return out
+
+
+def _probe_offsets_host(L: int, params: VoteParams) -> np.ndarray:
+    """Host mirror of ops.vote.subread_offsets for one read length."""
+    S = params.total_subreads
+    gap = params.index_gap
+    step_fx = max(gap << 16, ((L - 15 - gap) << 16) // max(S - 1, 1))
+    base = (np.arange(S) * step_fx) >> 16
+    if gap > 1:
+        base = (base[:, None] + np.arange(gap)[None, :]).ravel()
+    return np.minimum(base, max(L - 16, 0)).astype(np.int64)
+
+
+def _genome_codes(genome: Genome, start: int, n: int) -> np.ndarray:
+    start = max(int(start), 0)
+    return genome.codes[start : start + n]

@@ -19,7 +19,7 @@ class AlignConfig:
     min_votes_second: int = 1         # -p; min votes read 2
     max_indel: int = 5                # -I
     max_mismatches: int = 3           # -M
-    max_hits_per_probe: int = 16      # bucket-window width (GENE_VOTE_SPACE analog)
+    max_hits_per_probe: int = 32      # bucket-window width (GENE_VOTE_SPACE analog; canonical runs mix strands so 2x16)
     top_k: int = 4                    # candidate clusters kept per read
 
     # experiment

@@ -9,18 +9,24 @@ gathered element costs a fixed ~12ns issue slot, so the layout minimises
 gathered elements per probe:
 
     bucket_start : int32 [B+1]      B = 2**bucket_bits, bucket = key >> (32-bits)
-    check_words  : uint32 [N/4+pad] byte i%4 of word i//4 = check(full_key_i)
-    positions    : uint32 [N]       sorted by (full key, position)
+    check_words  : uint32 [N/4+pad] byte i%4 of word i//4 = check(entry i)
+    positions    : uint32 [N]       sorted by (canonical key, position)
 
-Because the bucket is the *high* bits of the key, entries end up globally
-sorted by full key.  B is sized so the average bucket holds well under
+Keys are stored CANONICAL — min(kmer, revcomp(kmer)) — with the
+orientation (was-the-genome-kmer-flipped) in bit 7 of the check byte, so
+ONE probe per read offset serves both strands: a hit whose stored
+orientation equals the probe's canonicalisation flip is a forward-strand
+match, otherwise reverse.  This halves every per-probe gather (the
+dominant cost: each gathered element is a fixed ~12ns issue slot).
+
+Because the bucket is the *high* bits of the canonical key, entries end
+up globally sorted.  B is sized so the average bucket holds well under
 one entry; a probe then gathers its whole bucket window in one
 fixed-width gather with NO binary search, and verifies key identity from
-the packed check bytes at 1/4 gather cost (4 bytes per gathered word).
-An 8-bit check byte can alias two distinct keys sharing a bucket
-(~2^-8 of the ~10% shared-bucket cases); aliases only add isolated
-vote-noise candidates that the clustering threshold (>=3 consistent
-probes) filters out.
+the packed 7-bit checksums at 1/4 gather cost.  A checksum can alias two
+distinct keys sharing a bucket (~2^-7 of the ~10% shared-bucket cases);
+aliases only add isolated vote-noise candidates that the clustering
+threshold (>=3 consistent probes) filters out.
 
 Uninformative 16-mers occurring more than `repeat_threshold` (=100) times
 are excluded, mirroring scan_gene_index/add_repeated_subread
@@ -44,8 +50,9 @@ MAX_BUCKET_BITS = 28    # 1GB bucket_start ceiling (human full index)
 class HashIndex:
     bucket_bits: int          # B = 1 << bucket_bits; bucket = key >> (32 - bits)
     bucket_start: np.ndarray  # int32 [B+1]
-    keys: np.ndarray          # uint32 [N] full 16-mer keys, sorted (host-side)
-    check_words: np.ndarray   # uint32 [N//4 + pad] packed low bytes of keys
+    keys: np.ndarray          # uint32 [N] CANONICAL 16-mer keys, sorted
+    orient: np.ndarray        # bool [N] genome kmer was revcomp of canonical
+    check_words: np.ndarray   # uint32 [N//4 + pad] packed check bytes
     positions: np.ndarray     # uint32 [N]
     index_gap: int
     padding: int
@@ -62,10 +69,11 @@ class HashIndex:
     def save(self, prefix: str) -> None:
         np.savez_compressed(
             prefix + ".hash.npz",
-            version=np.int64(2),
+            version=np.int64(3),
             bucket_bits=np.int64(self.bucket_bits),
             bucket_start=self.bucket_start,
             keys=self.keys,
+            orient=np.packbits(self.orient),
             positions=self.positions,
             index_gap=np.int64(self.index_gap),
             padding=np.int64(self.padding),
@@ -87,47 +95,75 @@ class HashIndex:
             return native_layout(
                 full, z["positions"], int(z["index_gap"]), int(z["padding"])
             )
+        if int(z["version"]) == 2:
+            # v2 stored non-canonical keys: rebuild the canonical layout
+            return native_layout(
+                z["keys"], z["positions"], int(z["index_gap"]),
+                int(z["padding"])
+            )
+        orient = np.unpackbits(z["orient"])[: len(z["keys"])].astype(bool)
         idx = cls(
             bucket_bits=int(z["bucket_bits"]),
             bucket_start=z["bucket_start"],
             keys=z["keys"],
+            orient=orient,
             check_words=np.zeros(0, np.uint32),
             positions=z["positions"],
             index_gap=int(z["index_gap"]),
             padding=int(z["padding"]),
             max_bucket=int(z["max_bucket"]),
         )
-        idx.check_words = pack_check_bytes(idx.keys, idx.bucket_bits)
+        idx.check_words = pack_check_bytes(idx.keys, orient, idx.bucket_bits)
         return idx
 
 
-def check_byte(keys_u32: np.ndarray, bucket_bits: int):
-    """8-bit key checksum: the highest byte of the in-bucket remainder.
-    Monotone non-decreasing within a bucket (keys are sorted), which lets
-    the gather kernel reason about run placement without extra gathers."""
+def revcomp_keys_np(x: np.ndarray) -> np.ndarray:
+    """Host mirror of ops.vote.revcomp_keys (bitwise NOT complements every
+    2-bit base; swap ladder reverses the 16 groups)."""
+    x = (~x.astype(np.uint32)).astype(np.uint32)
+    m2, m4, m8 = np.uint32(0x33333333), np.uint32(0x0F0F0F0F), np.uint32(0x00FF00FF)
+    x = ((x & m2) << np.uint32(2)) | ((x >> np.uint32(2)) & m2)
+    x = ((x & m4) << np.uint32(4)) | ((x >> np.uint32(4)) & m4)
+    x = ((x & m8) << np.uint32(8)) | ((x >> np.uint32(8)) & m8)
+    return ((x << np.uint32(16)) | (x >> np.uint32(16))).astype(np.uint32)
+
+
+def check_byte(keys_u32: np.ndarray, orient: np.ndarray, bucket_bits: int):
+    """Check byte: bit 7 = orientation (genome kmer was the revcomp of the
+    canonical key), bits 0-6 = top of the in-bucket key remainder (a 7-bit
+    checksum, monotone within a bucket)."""
     rem = keys_u32 << np.uint32(bucket_bits)  # remainder in the high bits
-    return (rem >> np.uint32(24)).astype(np.uint8)
+    return (
+        ((rem >> np.uint32(25)) & np.uint32(0x7F))
+        | (orient.astype(np.uint32) << np.uint32(7))
+    ).astype(np.uint8)
 
 
-def pack_check_bytes(keys_u32: np.ndarray, bucket_bits: int) -> np.ndarray:
-    """check_byte of every key packed 4-per-uint32, padded so a fixed-width
-    word window starting at any entry never reads past the end."""
+def pack_check_bytes(
+    keys_u32: np.ndarray, orient: np.ndarray, bucket_bits: int
+) -> np.ndarray:
+    """check_byte of every entry packed 4-per-uint32, padded so a
+    fixed-width word window never reads past the end."""
     n = len(keys_u32)
     npad = ((n + 3) // 4 + 16) * 4
     b = np.zeros(npad, np.uint8)
-    b[:n] = check_byte(keys_u32, bucket_bits)
+    b[:n] = check_byte(keys_u32, orient, bucket_bits)
     return b.view(np.uint32)
 
 
 def native_layout(
     keys: np.ndarray, positions: np.ndarray, index_gap: int, padding: int
 ) -> HashIndex:
-    """Sort (key, position) pairs into the native device layout."""
+    """Canonicalise and sort (key, position) pairs into the device layout."""
     keys = keys.astype(np.uint32)
+    rc = revcomp_keys_np(keys)
+    canon = np.minimum(keys, rc)
+    orient = canon != keys
     n = max(len(keys), 2)
     bucket_bits = min(MAX_BUCKET_BITS, max(10, int(np.ceil(np.log2(n))) + 2))
-    order = np.lexsort((positions, keys))
-    ks = keys[order]
+    order = np.lexsort((positions, canon))
+    ks = canon[order]
+    orient = orient[order]
     ps = positions[order].astype(np.uint32)
     shift = np.uint32(32 - bucket_bits)
     bucket = (ks >> shift).astype(np.int64)
@@ -139,7 +175,8 @@ def native_layout(
         bucket_bits=bucket_bits,
         bucket_start=bucket_start.astype(np.int32),
         keys=ks,
-        check_words=pack_check_bytes(ks, bucket_bits),
+        orient=orient,
+        check_words=pack_check_bytes(ks, orient, bucket_bits),
         positions=ps,
         index_gap=index_gap,
         padding=padding,
@@ -211,7 +248,10 @@ def split_index_blocks(
     overlap = idx.padding if overlap is None else overlap
     order = np.argsort(idx.positions, kind="stable")
     pos_sorted = idx.positions[order]
-    keys_sorted = idx.keys[order]
+    # idx.keys are canonical; native_layout re-canonicalises, so feed it
+    # the original genome-strand kmers (revcomp where orient is set) or
+    # every block would come out all-forward.
+    genome_keys = np.where(idx.orient, revcomp_keys_np(idx.keys), idx.keys)
     blocks = []
     per = -(-n // n_blocks)
     for b in range(n_blocks):
@@ -226,7 +266,8 @@ def split_index_blocks(
         )
         blocks.append(
             native_layout(
-                idx.keys[sel], idx.positions[sel], idx.index_gap, idx.padding
+                genome_keys[sel], idx.positions[sel], idx.index_gap,
+                idx.padding,
             )
         )
     return blocks

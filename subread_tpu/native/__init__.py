@@ -64,6 +64,7 @@ def format_sam_records(
     clip_l: np.ndarray | None, clip_r: np.ndarray | None,
     mapped: np.ndarray, nm: np.ndarray,
     contig_names: list[str],
+    suppress: np.ndarray | None = None,
 ) -> bytes | None:
     """Format a batch of SAM records natively; None → caller falls back."""
     lib = get_lib()
@@ -95,6 +96,10 @@ def format_sam_records(
         mapped=c(mapped, np.uint8), nm=c(nm, np.int32),
     )
     ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    sup = (
+        np.ascontiguousarray(suppress, np.uint8)
+        if suppress is not None else None
+    )
     written = lib.format_sam_records(
         ctypes.c_int32(n),
         ctypes.c_char_p(name_blob), ptr(name_off),
@@ -104,6 +109,7 @@ def format_sam_records(
         ptr(arrs["junc"]), ptr(arrs["clip_l"]), ptr(arrs["clip_r"]),
         ptr(arrs["mapped"]), ptr(arrs["nm"]),
         ctypes.c_char_p(contig_blob), ptr(contig_off),
+        ptr(sup) if sup is not None else None,
         out, ctypes.c_int64(cap),
     )
     if written < 0:

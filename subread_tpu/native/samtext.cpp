@@ -43,12 +43,14 @@ extern "C" long format_sam_records(
     const int32_t *clip_l, const int32_t *clip_r,
     const uint8_t *mapped, const int32_t *nm,
     const char *contigs, const int64_t *contig_off,    // [n_contigs+1]
+    const uint8_t *suppress,                           // may be null
     char *out, int64_t outcap)
 {
     char *p = out;
     char *end = out + outcap - 16;
 
     for (int32_t i = 0; i < n_reads; i++) {
+        if (suppress && suppress[i]) continue;  // caller emits these itself
         int32_t L = lens[i];
         if (p + 2 * L + 256 + (name_off[i + 1] - name_off[i]) > end) return -1;
 

@@ -38,7 +38,7 @@ SENTINEL = np.uint32(0xFFFFFFFF)  # numpy, NOT jnp: device scalars cost minutes 
 
 class VoteParams(NamedTuple):
     total_subreads: int = 10      # 10 DNA-seq / 14 RNA-seq (core-indel.c:4473)
-    max_hits: int = 16            # bucket-window width per probe (GENE_VOTE_SPACE analog)
+    max_hits: int = 32            # bucket-window width per probe (GENE_VOTE_SPACE analog)
     indel_tolerance: int = 5      # cluster tolerance (max indel length, -I)
     window: int = 32              # max cluster candidates scanned per anchor
     top_k: int = 4                # candidate clusters kept per read
@@ -46,7 +46,7 @@ class VoteParams(NamedTuple):
 
 
 class VoteResult(NamedTuple):
-    """Per-read top-K vote clusters; all arrays [R, K]."""
+    """Per-read top-K vote clusters; arrays [R, K] (probe_kv [R, K, P])."""
 
     pos: jnp.ndarray        # uint32 position implied by the head section
     tail: jnp.ndarray      # uint32 position implied by the tail section
@@ -56,6 +56,10 @@ class VoteResult(NamedTuple):
     strand: jnp.ndarray     # int32 0 = forward, 1 = reverse-complement
     cov_start: jnp.ndarray  # int32 smallest read offset voting in the cluster
     cov_end: jnp.ndarray    # int32 largest read offset + KMER
+    probe_kv: jnp.ndarray   # uint32 [R, K, P] member kv per probe (the
+    #                         indel_recorder analog, sorted-hashtable.c:1049:
+    #                         kv steps along probes = cumulative indels;
+    #                         SENTINEL where the probe didn't vote)
 
 
 def subread_offsets(read_len: jnp.ndarray, params: VoteParams) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -158,12 +162,15 @@ def gather_hits(
     (sorted-hashtable.c:960-981): with B = 2**bucket_bits high-bit buckets
     the average bucket holds <1 entry, so the H-wide window [lo, lo+H)
     almost always covers the probe's whole key run and the binary search
-    disappears.  Key identity is verified from low-byte checksums packed 4
+    disappears.  Key identity is verified from 7-bit checksums packed 4
     per word: ceil(H/4)+1 word gathers instead of H key gathers.  On TPU
     every gathered element costs a fixed issue slot (~12ns measured), so
-    per-probe cost drops from 2 + log2(bucket) + 2H to 2 + H/4 + H.
+    per-probe cost drops from 2 + log2(bucket) + 2H to 2 + H/4 + H — and
+    probe_keys are CANONICAL, so one probe serves both strands (bit 7 of
+    the check byte carries the stored orientation).
 
-    Returns (hit_pos uint32 [R, P, H], hit_valid bool [R, P, H]).
+    Returns (hit_pos uint32 [R, P, H], hit_valid bool [R, P, H],
+    hit_orient bool [R, P, H]).
     """
     R, P = probe_keys.shape
     N = len(positions)
@@ -189,12 +196,18 @@ def gather_hits(
 
     idx = lo[:, :, None] + np.arange(H, dtype=np.int32)[None, None, :]  # [R,P,H]
     hit_pos = positions[jnp.minimum(idx, N - 1)]
-    # checksum = high byte of the in-bucket key remainder (index.build.check_byte)
-    qcheck = ((probe_keys << np.uint32(bucket_bits)) >> np.uint32(24))[:, :, None]
+    # 7-bit checksum of the in-bucket remainder (index.build.check_byte)
+    qcheck = (
+        ((probe_keys << np.uint32(bucket_bits)) >> np.uint32(25))
+        & np.uint32(0x7F)
+    )[:, :, None]
     hit_valid = (
-        (idx < hi[:, :, None]) & (checks == qcheck) & probe_valid[:, :, None]
+        (idx < hi[:, :, None])
+        & ((checks & np.uint32(0x7F)) == qcheck)
+        & probe_valid[:, :, None]
     )
-    return hit_pos, hit_valid
+    hit_orient = (checks >> np.uint32(7)) != 0
+    return hit_pos, hit_valid, hit_orient
 
 
 def _vote_one_strand(
@@ -272,6 +285,27 @@ def _cluster_stats(
     return head_kv, tail_kv
 
 
+def _probe_kv(
+    kv_pph: jnp.ndarray,    # [R, P, H] candidate positions (probe-major)
+    anchor: jnp.ndarray,    # [R, K] chosen anchors
+    params: VoteParams,
+) -> jnp.ndarray:
+    """Per-probe member kv for each chosen cluster: uint32 [R, K, P].
+
+    The indel_recorder analog: probe p's kv relative to the head kv is the
+    cumulative indel offset at read position offsets[p]
+    (sorted-hashtable.c:1049-1060).  SENTINEL where probe p has no member
+    in the cluster.  Operates on the probe-major hit layout (NOT the
+    sorted candidate stream) so the intermediate is [R, K, P, H], which is
+    ~P× smaller than matching offsets against the flat [R, C] stream."""
+    tol = np.uint32(params.indel_tolerance)
+    member = (
+        kv_pph[:, None, :, :] - anchor[:, :, None, None]
+    ) <= tol                                                   # [R, K, P, H]
+    kvm = jnp.where(member, kv_pph[:, None, :, :], SENTINEL)
+    return jnp.min(kvm, axis=-1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("bucket_bits", "params")
 )
@@ -292,34 +326,44 @@ def vote_batch(
     H = params.max_hits
     C = P * H
 
-    # One rolling key matrix serves both strands: the probe at offset o of
-    # the reverse-complemented read is the revcomp of the forward window at
-    # m = read_len - KMER - o, so strand 1 needs no rc read construction —
-    # just an elementwise key transform and a mirrored offset gather.
+    # Canonical probes: ONE hash gather serves both strands.  A hit whose
+    # stored orientation equals the probe's canonicalisation flip matches
+    # the forward read; otherwise it matches the reverse-complemented read
+    # at the mirrored offset o' = read_len - KMER - o.
     keymat, wamb = rolling_keys(codes, ambig)
-    rckeymat = revcomp_keys(keymat)
+    canonmat = jnp.minimum(keymat, revcomp_keys(keymat))
+    flipmat = canonmat != keymat
     in_read = (offsets + KMER <= read_len[:, None]) & (read_len[:, None] >= KMER)
 
+    off_c = jnp.clip(offsets, 0, L - 1)
+    keys = jnp.take_along_axis(canonmat, off_c, axis=1)
+    flip_p = jnp.take_along_axis(flipmat, off_c, axis=1)
+    valid = in_read & ~jnp.take_along_axis(wamb, off_c, axis=1)
+    hit_pos, hit_valid, hit_orient = gather_hits(
+        keys, valid, bucket_start, check_words, positions, bucket_bits, params
+    )
+    fwd_match = hit_orient == flip_p[:, :, None]
+    mirrored = (read_len[:, None] - KMER - offsets).astype(jnp.uint32)
+
     per_strand = []
+    sub_id_c = np.broadcast_to(sub_id[:, None], (P, H)).reshape(C)
     for strand in (0, 1):
         if strand == 0:
-            src = offsets
-            km = keymat
+            ok = hit_valid & fwd_match
+            off_s = offsets
         else:
-            src = read_len[:, None] - KMER - offsets  # mirrored fwd offset
-            km = rckeymat
-        src_c = jnp.clip(src, 0, L - 1)
-        keys = jnp.take_along_axis(km, src_c, axis=1)
-        valid = in_read & ~jnp.take_along_axis(wamb, src_c, axis=1)
-        hit_pos, hit_valid = gather_hits(
-            keys, valid, bucket_start, check_words, positions, bucket_bits, params
-        )
-        kv = jnp.where(
-            hit_valid, hit_pos - offsets[:, :, None].astype(jnp.uint32), SENTINEL
+            ok = hit_valid & ~fwd_match
+            off_s = mirrored.astype(jnp.int32)
+        kv3 = jnp.where(
+            ok, hit_pos - off_s[:, :, None].astype(jnp.uint32), SENTINEL
+        )  # [R, P, H]
+        probe_off = jnp.broadcast_to(
+            jnp.clip(off_s, 0, L)[:, :, None], (R, P, H)
         ).reshape(R, C)
-        probe_off = jnp.broadcast_to(offsets[:, :, None], (R, P, H)).reshape(R, C)
-        sub_id_c = np.broadcast_to(sub_id[:, None], (P, H)).reshape(C)
-        per_strand.append(_vote_one_strand(kv, sub_id_c, probe_off, params))
+        per_strand.append(
+            _vote_one_strand(kv3.reshape(R, C), sub_id_c, probe_off, params)
+            + (kv3,)
+        )
 
     # --- top-K selection over both strands --------------------------------
     K = params.top_k
@@ -356,6 +400,9 @@ def vote_batch(
     head1, tail1 = _cluster_stats(per_strand[1][0], per_strand[1][5], sel_kv, params)
     sel_head = jnp.where(sel_strand == 0, head0, head1)
     sel_tail = jnp.where(sel_strand == 0, tail0, tail1)
+    pkv0 = _probe_kv(per_strand[0][6], sel_kv, params)
+    pkv1 = _probe_kv(per_strand[1][6], sel_kv, params)
+    sel_pkv = jnp.where(sel_strand[:, :, None] == 0, pkv0, pkv1)
 
     empty = sel_votes <= 0
     return VoteResult(
@@ -366,6 +413,7 @@ def vote_batch(
         strand=sel_strand,
         cov_start=jnp.where(empty, 0, sel_covmin),
         cov_end=jnp.where(empty, 0, sel_covmax + KMER),
+        probe_kv=jnp.where(empty[:, :, None], SENTINEL, sel_pkv),
     )
 
 
@@ -390,6 +438,7 @@ def merge_vote_results(a: VoteResult, b: VoteResult, params: VoteParams) -> Vote
     strand = cat(a.strand, b.strand)
     cov_s = cat(a.cov_start, b.cov_start)
     cov_e = cat(a.cov_end, b.cov_end)
+    pkv = jnp.concatenate([a.probe_kv, b.probe_kv], axis=1)
 
     R = pos.shape[0]
     sel_idx = jnp.zeros((R, K), jnp.int32)
@@ -413,4 +462,5 @@ def merge_vote_results(a: VoteResult, b: VoteResult, params: VoteParams) -> Vote
         strand=take(strand),
         cov_start=jnp.where(empty, 0, take(cov_s)),
         cov_end=jnp.where(empty, 0, take(cov_e)),
+        probe_kv=jnp.take_along_axis(pkv, sel_idx[:, :, None], axis=1),
     )

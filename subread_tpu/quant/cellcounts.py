@@ -138,12 +138,37 @@ class CellCounter:
             entries.append((g, cell_rank[c], len(merged)))
         return np.asarray(entries, dtype=np.int64).reshape(-1, 3), cells
 
-    def write_matrix(self, out_dir: str) -> None:
-        """CellRanger-style triplet: matrix.mtx + features.tsv + barcodes.tsv."""
+    def write_matrix(
+        self, out_dir: str, cell_calling: bool = False,
+        umi_cutoff: float | None = None,
+    ) -> dict:
+        """CellRanger-style triplet: matrix.mtx + features.tsv +
+        barcodes.tsv.  With cell_calling, only knee-called (+ rescued)
+        barcodes are kept (cellCounts_merged_bootstrap_a_sample /
+        _ambient_rescure) and the applied UMI cutoff is returned."""
         import os
 
         os.makedirs(out_dir, exist_ok=True)
         entries, cells = self.finalise()
+        info = {"umi_cutoff": 0, "n_cells": len(cells)}
+        if cell_calling and len(cells):
+            totals = {c: 0 for c in cells}
+            for (g, cr, n) in entries:
+                totals[cells[cr]] += int(n)
+            called, rescued, cutoff = call_cells(totals, umi_cutoff)
+            keep = set(called) | set(rescued)
+            cells_kept = [c for c in cells if c in keep]
+            rank = {c: i for i, c in enumerate(cells_kept)}
+            entries = np.asarray(
+                [
+                    (g, rank[cells[cr]], n)
+                    for (g, cr, n) in entries
+                    if cells[cr] in keep
+                ],
+                dtype=np.int64,
+            ).reshape(-1, 3)
+            cells = cells_kept
+            info = {"umi_cutoff": cutoff, "n_cells": len(cells)}
         with open(os.path.join(out_dir, "features.tsv"), "w") as f:
             for g in self.gene_names:
                 f.write(f"{g}\t{g}\tGene Expression\n")
@@ -155,6 +180,7 @@ class CellCounter:
             f.write(f"{len(self.gene_names)} {len(cells)} {len(entries)}\n")
             for g, c, n in entries:
                 f.write(f"{g + 1} {c + 1} {n}\n")
+        return info
 
 
 def _hamming(a: str, b: str) -> int:
@@ -262,3 +288,75 @@ def batches_from_bcl(picks, r1_i: int, r2_i: int, rd, lane_cache: dict):
         )
 
     return mk_batch(r1_i), mk_batch(r2_i)
+
+
+# --- cell calling (knee point + ambient rescue) -----------------------------
+
+SCRNA_BOOTSTRAP_HIGH_INDEX = 30      # cell-counts.c:4370
+SCRNA_BOOTSTRAP_SAMPLING_TIMES = 100
+SCRNA_IDX_PRIME = 11218439
+AMBIENT_RESCUE_MEDIAN_FRACTION = 0.01  # cell-counts.c:4331
+MIN_UMIS_FOR_CANDIDATE_RESCUE = 500    # cell-counts.c:4330
+MAX_CANDIDATE_CELLS = 20000
+
+
+def call_cells(
+    cell_umis: dict[int, int], umi_cutoff: float | None = None
+) -> tuple[list[int], list[int], int]:
+    """High-confidence cell calling + ambient-rescue candidates.
+
+    Reference: cellCounts_merged_bootstrap_a_sample (cell-counts.c:4374):
+    100 deterministic bootstrap resamples of the per-barcode UMI totals;
+    each takes its 30th-highest count / 10 as a threshold and counts
+    barcodes above it; the averaged count is the number of called cells
+    (CellRanger's knee heuristic).  `--umiCutoff` overrides with a fixed
+    threshold.  Ambient rescue (cellCounts_merged_ambient_rescure :4333):
+    non-called barcodes with UMIs >= max(1% of the called-cell median, 500)
+    become rescue candidates (<= 20000, top 45000 ranks only).
+
+    Returns (called cell ids by descending UMIs, rescue candidates,
+    umi_cutoff_used)."""
+    order = sorted(cell_umis, key=lambda c: (-cell_umis[c], c))
+    n = len(order)
+    if n == 0:
+        return [], [], 0
+    umis_desc = [cell_umis[c] for c in order]
+
+    if umi_cutoff is not None and umi_cutoff >= 0:
+        called = [c for c in order if cell_umis[c] >= umi_cutoff - 0.1]
+        last_umi = cell_umis[called[-1]] if called else 0
+    else:
+        total = 0
+        seed = n // 2
+        for _ in range(SCRNA_BOOTSTRAP_SAMPLING_TIMES):
+            resampled = []
+            for _x in range(n):
+                seed %= n
+                resampled.append(umis_desc[seed])
+                seed += SCRNA_IDX_PRIME
+            resampled.sort()
+            hi_idx = max(len(resampled) - SCRNA_BOOTSTRAP_HIGH_INDEX, 0)
+            thr = int(resampled[hi_idx] / 10.0 + 0.500000001)
+            for v in reversed(resampled):
+                if v >= thr:
+                    total += 1
+                else:
+                    break
+        n_called = int(total / SCRNA_BOOTSTRAP_SAMPLING_TIMES + 0.500000001)
+        called = order[: min(n, n_called)]
+        last_umi = cell_umis[called[-1]] if called else 0
+
+    called_set = set(called)
+    rescued: list[int] = []
+    if called:
+        median_umis = cell_umis[called[(len(called) - 1) // 2]]
+        cut = int(median_umis * AMBIENT_RESCUE_MEDIAN_FRACTION + 0.500000001)
+        for rank, c in enumerate(order):
+            if c in called_set:
+                continue
+            v = cell_umis[c]
+            if v < cut or v < MIN_UMIS_FOR_CANDIDATE_RESCUE or rank >= 45000:
+                break
+            if len(rescued) < MAX_CANDIDATE_CELLS:
+                rescued.append(c)
+    return called, rescued, last_umi

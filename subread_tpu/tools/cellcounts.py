@@ -99,6 +99,12 @@ def main(argv=None) -> int:
     ap.add_argument("-o", "--output", required=True,
                     help="output directory (per-sample subdirs in BCL mode)")
     ap.add_argument("--umi-len", type=int, default=10)
+    ap.add_argument("--umiCutoff", type=float, default=None,
+                    help="fixed UMI cutoff for cell calling (default: "
+                         "bootstrap knee point, cell-counts.c:4374)")
+    ap.add_argument("--cellCalling", action="store_true",
+                    help="apply knee-point cell calling in FASTQ mode "
+                         "(always on in BCL mode)")
     args = ap.parse_args(argv)
 
     from ..align.pipeline import Aligner
@@ -138,7 +144,10 @@ def main(argv=None) -> int:
         _count_batches(aligner, genome, fcview, counter, pairs())
         r1.close()
         r2.close()
-        counter.write_matrix(args.output)
+        counter.write_matrix(
+            args.output, cell_calling=args.cellCalling,
+            umi_cutoff=args.umiCutoff,
+        )
         print(
             f"// cellCounts: {counter.stats['reads']} reads, "
             f"{counter.stats['barcode_matched']} barcode-matched, "
@@ -160,6 +169,7 @@ def main(argv=None) -> int:
 
     demux = demux_bcl(args.dataset, entries)
     lane_cache: dict = {}
+    sample_rows: list[str] = []
     for sample, (picks, r1_i, r2_i, rd) in demux.items():
         matcher = BarcodeMatcher(whitelist)
         counter = CellCounter(matcher, ann.gene_names, umi_len=args.umi_len)
@@ -183,13 +193,26 @@ def main(argv=None) -> int:
                            writer=bam, gene_names=ann.gene_names)
         finally:
             bam.close()
-        counter.write_matrix(out_dir)
+        info = counter.write_matrix(
+            out_dir, cell_calling=True, umi_cutoff=args.umiCutoff
+        )
+        sample_rows.append(
+            f"{sample}\t{info['umi_cutoff']}\t{counter.stats['reads']}"
+            f"\t{counter.stats['barcode_matched']}"
+            f"\t{counter.stats['assigned']}\t{info['n_cells']}\n"
+        )
         print(
             f"// cellCounts[{sample}]: {counter.stats['reads']} reads, "
             f"{counter.stats['barcode_matched']} barcode-matched, "
             f"{counter.stats['assigned']} assigned -> {out_dir}",
             file=sys.stderr,
         )
+    # the reference's {prefix}.scRNA.SampleTable
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "scRNA.SampleTable"), "w") as f:
+        f.write("SampleName\tUMICutoff\tTotalReads\tMappedReads"
+                "\tAssignedReads\tCells\n")
+        f.writelines(sample_rows)
     return 0
 
 

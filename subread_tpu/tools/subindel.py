@@ -1,9 +1,12 @@
 """subindel — long-indel detection from aligned SAM/BAM.
 
 Reference: SUBindel.c (406 LoC) — wraps the core engine's third iteration
-(long-indel reassembly) over existing alignments.  Round-1 scope: collect
-indel events from CIGARs plus soft-clip breakpoint pairing for indels
-longer than the aligner's -I limit, emit VCF.
+(long-indel local reassembly, finalise_long_insertions core-indel.c:4389):
+indels longer than the aligner's -I limit leave reads soft-clipped at the
+breakpoint; the clipped tails are locally re-anchored against the genome
+to reconstruct the event.  Here: CIGAR-borne events are collected
+directly; soft-clip clusters are consensus-assembled and their tails
+re-matched downstream (deletions) or against themselves (insertions).
 """
 
 from __future__ import annotations
@@ -40,12 +43,26 @@ def main(argv=None) -> int:
         chroms[name] = "".join(chunks).upper()
 
     events: dict[tuple[str, int, int, str], int] = {}
+    # soft-clip clusters: (chro, clip_pos0) -> list of clipped tail/head seqs
+    right_clips: dict[tuple[str, int], list[str]] = {}
+    left_clips: dict[tuple[str, int], list[str]] = {}
     for f in _sam_records(args.input):
         if int(f[1]) & 0x4 or f[5] == "*":
             continue
         gpos = int(f[3]) - 1
         rpos = 0
-        for n, op in parse_cigar(f[5]):
+        ops = parse_cigar(f[5])
+        # soft-clip collection for the reassembly pass
+        if ops and ops[0][1] == "S" and ops[0][0] >= 12:
+            left_clips.setdefault((f[2], int(f[3]) - 1), []).append(
+                f[9][: ops[0][0]]
+            )
+        if ops and ops[-1][1] == "S" and ops[-1][0] >= 12:
+            span = sum(n for n, op in ops if op in "MDN=X")
+            right_clips.setdefault((f[2], int(f[3]) - 1 + span), []).append(
+                f[9][len(f[9]) - ops[-1][0] :]
+            )
+        for n, op in ops:
             if op in "M=X":
                 gpos += n
                 rpos += n
@@ -63,6 +80,55 @@ def main(argv=None) -> int:
                 gpos += n
             elif op == "S":
                 rpos += n
+
+    # ---- soft-clip local reassembly (long indels) -----------------------
+    def consensus(seqs: list[str], from_end: bool = False) -> str:
+        m = max(len(x) for x in seqs)
+        out = []
+        for i in range(m):
+            col = {}
+            for x in seqs:
+                ch = (x[len(x) - 1 - i] if from_end else x[i]) if i < len(x) else None
+                if ch:
+                    col[ch] = col.get(ch, 0) + 1
+            if not col:
+                break
+            out.append(max(col, key=col.get))
+        txt = "".join(out)
+        return txt[::-1] if from_end else txt
+
+    def matches(a: str, b: str, max_mm_frac: float = 0.1) -> bool:
+        n = min(len(a), len(b))
+        if n < 10:
+            return False
+        mm = sum(1 for i in range(n) if a[i] != b[i])
+        return mm <= max_mm_frac * n
+
+    for (chro, bp), tails in right_clips.items():
+        if len(tails) < max(args.min_support, 2) or chro not in chroms:
+            continue
+        seq = chroms[chro]
+        T = consensus(tails)
+        if len(T) < 12:
+            continue
+        found = False
+        # deletion: the tail re-anchors downstream at bp + d
+        for d in range(10, args.max_indel + 1):
+            q = bp + d
+            if q + len(T) > len(seq):
+                break
+            if matches(T, seq[q : q + len(T)]):
+                key = (chro, bp - 1, d, "")
+                events[key] = events.get(key, 0) + len(tails)
+                found = True
+                break
+        if not found:
+            # insertion: T starts with inserted bases then rejoins at bp
+            for k in range(5, min(len(T) - 10, args.max_indel) + 1):
+                if matches(T[k:], seq[bp : bp + len(T) - k]):
+                    key = (chro, bp - 1, -k, T[:k])
+                    events[key] = events.get(key, 0) + len(tails)
+                    break
 
     n_out = 0
     with open(args.output, "w") as out:

@@ -137,3 +137,52 @@ def test_multiblock_index_matches_single(chr901_genome, chr901_index, rng):
     # boundary-overlap tie-breaks may flip a couple of repeat reads
     assert same.mean() > 0.97, same.mean()
     assert multi["mapped"].sum() >= single["mapped"].sum() - 3
+
+
+def test_multi_indel_cigar(tmp_path, chr901_genome, chr901_index, rng):
+    """Reads with two separate deletions get a two-event CIGAR via the
+    probe-kv section walk (indel_recorder analog, core-indel.c:1874)."""
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+    from subread_tpu.utils.simulate import write_fastq
+    from subread_tpu.io.fastq import ReadBatch
+    from subread_tpu import dna
+
+    g = chr901_genome
+    lin = g.chro_to_linear(0, 500000)
+    # read = genome[lin:lin+35] + genome[lin+37:lin+70] + genome[lin+72:lin+104]
+    codes = np.concatenate([
+        g.codes[lin : lin + 35],
+        g.codes[lin + 37 : lin + 70],
+        g.codes[lin + 72 : lin + 104],
+    ])
+    assert len(codes) == 100
+    n = 8
+    batch = ReadBatch(
+        names=[f"mi{i}" for i in range(n)],
+        codes=np.tile(codes, (n, 1)),
+        lengths=np.full(n, 100, np.int32),
+        quals=np.full((n, 100), ord("I"), np.uint8),
+        ambig=np.zeros((n, 100), bool),
+    )
+    fq = tmp_path / "mi.fq"
+    write_fastq(str(fq), batch)
+    al = Aligner(g, chr901_index, aligner_config(batch_reads=256, pad_read_len=128))
+    out = tmp_path / "mi.sam"
+    al.align_file(str(fq), str(out))
+    recs = [l.split("\t") for l in open(out) if not l.startswith("@")]
+    assert len(recs) == n
+    two_d = [r for r in recs if r[5].count("D") == 2]
+    assert len(two_d) >= n - 1, [r[5] for r in recs]
+    r = two_d[0]
+    assert int(r[3]) == 500001, r[3]
+    # both 2-base deletions recovered (exact split position can shift by a
+    # base when flanking bases repeat — same alignment score)
+    import re as _re
+
+    ops = _re.findall(r"(\d+)([MIDNS])", r[5])
+    ds = [int(n) for n, op in ops if op == "D"]
+    ms = sum(int(n) for n, op in ops if op == "M")
+    assert ds == [2, 2] and ms == 100, r[5]
+    nm = [t for t in r if t.startswith("NM:i:")]
+    assert nm and int(nm[0][5:].strip()) == 4

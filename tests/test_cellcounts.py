@@ -157,3 +157,27 @@ def test_cellcounts_bcl_mode(tmp_path, chr901_genome, chr901_index, rng):
         n_cb = sum(1 for r in recs if r.tags.get("CB") == want_cb + "-1")
         assert n_cb == n // 2
         assert any("GX" in r.tags for r in recs)
+
+
+def test_cell_calling_knee_and_rescue():
+    """Bootstrap knee point + ambient rescue (cell-counts.c:4330-4430)."""
+    from subread_tpu.quant.cellcounts import call_cells
+
+    # 50 real cells at ~10000 UMIs, 900 ambient barcodes at ~40
+    rng = np.random.default_rng(3)
+    umis = {}
+    for i in range(50):
+        umis[i] = int(10000 + rng.integers(0, 2000))
+    for i in range(50, 950):
+        umis[i] = int(rng.integers(10, 70))
+    # two mid barcodes above the 1%-median + 500 floor -> rescue candidates
+    umis[950] = 600
+    umis[951] = 520
+    called, rescued, cutoff = call_cells(umis)
+    assert set(called) == set(range(50)), (len(called), sorted(called)[:5])
+    assert set(rescued) == {950, 951}
+    assert cutoff >= 10000
+
+    # fixed cutoff override (--umiCutoff)
+    called2, _r, cut2 = call_cells(umis, umi_cutoff=500)
+    assert set(called2) == set(range(50)) | {950, 951}

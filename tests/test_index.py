@@ -44,7 +44,10 @@ def test_hash_index_lookup_roundtrip(chr901_genome, chr901_index):
     n_checked = 0
     for _ in range(300):
         p = int(rng.integers(s0, s0 + int(g.lengths[0]) - 16))
-        key = dna.kmer_keys(g.codes[p : p + 16])[0]
+        from subread_tpu.index.build import revcomp_keys_np
+
+        raw = dna.kmer_keys(g.codes[p : p + 16])[0]
+        key = min(int(raw), int(revcomp_keys_np(np.asarray([raw]))[0]))
         b = int(key) >> shift
         lo, hi = int(idx.bucket_start[b]), int(idx.bucket_start[b + 1])
         seg = idx.keys[lo:hi]
@@ -70,7 +73,7 @@ def test_hash_index_globally_sorted(chr901_index):
     from subread_tpu.index.build import check_byte
 
     b = idx.check_words.view(np.uint8)[: idx.n_items]
-    assert np.array_equal(b, check_byte(idx.keys, idx.bucket_bits))
+    assert np.array_equal(b, check_byte(idx.keys, idx.orient, idx.bucket_bits))
 
 
 def test_index_save_load(tmp_path, chr901_genome, chr901_index):
@@ -96,7 +99,10 @@ def test_uninformative_filter():
     g = build_genome([make_contig("rep", seq)])
     idx = build_hash_index(g, index_gap=1, repeat_threshold=100)
     # the ACGT-repeat 16mers occur ~197 times > 100 → dropped
-    key_rep = dna.kmer_keys(dna.encode("ACGT" * 4))[0]
+    from subread_tpu.index.build import revcomp_keys_np
+
+    raw = dna.kmer_keys(dna.encode("ACGT" * 4))[0]
+    key_rep = min(int(raw), int(revcomp_keys_np(np.asarray([raw]))[0]))
     b = int(key_rep) >> (32 - idx.bucket_bits)
     lo, hi = int(idx.bucket_start[b]), int(idx.bucket_start[b + 1])
     assert key_rep not in idx.keys[lo:hi]

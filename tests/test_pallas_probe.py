@@ -25,9 +25,12 @@ def test_pallas_probe_matches_oracle(chr901_genome, chr901_index):
     rng = np.random.default_rng(0)
     P = 2048
     pos = rng.integers(1210, 1210 + 999000 - 16, size=P)
-    keys = np.array(
+    from subread_tpu.index.build import revcomp_keys_np
+
+    raw = np.array(
         [dna.kmer_keys(g.codes[p : p + 16])[0] for p in pos], dtype=np.uint32
     )
+    keys = np.minimum(raw, revcomp_keys_np(raw))
     bucket = (keys >> np.uint32(32 - idx.bucket_bits)).astype(np.int64)
     q = keys.view(np.int32)
     lo = bs[bucket].astype(np.int32)
