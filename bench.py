@@ -34,7 +34,7 @@ def main():
     batch, _ = simulate_reads(
         genome, n_reads, read_len=100, rng=rng, error_rate=0.005
     )
-    cfg = aligner_config(batch_reads=8192)
+    cfg = aligner_config(batch_reads=16384)
     aligner = Aligner(genome, index, cfg)
 
     # warmup (compile + first transfers)

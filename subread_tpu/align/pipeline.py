@@ -164,6 +164,18 @@ def write_junction_bed(path: str, junctions: dict) -> None:
             )
 
 
+def fetch_result(res: dict) -> dict:
+    """device_get of a result dict, excluding the [R, P] probe_kv table —
+    that is fetched only when the batch has multi-indel-flagged reads
+    (the tunnel moves ~60MB/s, so fetched bytes are wall-clock)."""
+    small = {k: v for k, v in res.items() if k != "probe_kv"}
+    out = jax.device_get(small)
+    flags = out.get("multi_indel")
+    if "probe_kv" in res and flags is not None and flags.any():
+        out["probe_kv"] = np.asarray(jax.device_get(res["probe_kv"]))
+    return out
+
+
 def uniform_length(lens: np.ndarray) -> int | None:
     """The common read length when every (real) read shares it, else None
     — a static hint that turns reverse-complementing into a static flip."""
@@ -194,14 +206,10 @@ class Aligner:
         )
         # device-resident index blocks (replicated single-chip)
         self.d_blocks = [
-            (
-                jnp.asarray(b.bucket_start),
-                jnp.asarray(b.check_words),
-                jnp.asarray(b.positions),
-            )
+            (jnp.asarray(b.bucket_start), jnp.asarray(b.comb_rows))
             for b in self.blocks
         ]
-        self.d_bucket_start, self.d_check, self.d_positions = self.d_blocks[0]
+        self.d_bucket_start, self.d_comb = self.d_blocks[0]
         self.d_genome = jnp.asarray(
             dna.packed_as_u32(dna.pack_2bit(genome.codes))
         )
@@ -213,8 +221,12 @@ class Aligner:
     # two separate jits: fusing them into one graph sends XLA's optimizer
     # into a tailspin (>>10min compiles) for no runtime benefit.
 
+    @functools.partial(jax.jit, static_argnames=("self", "L"))
+    def _unpack(self, words, amask, L):
+        return dna.unpack_reads_device(words, amask, L)
+
     def _device_align(
-        self, codes, ambig, lens, bucket_start, check, positions, genome_u32,
+        self, codes, ambig, lens, bucket_start, comb, genome_u32,
         uniform_len=None,
     ):
         """Full single-end alignment step: votes + scan-2 selection.
@@ -223,13 +235,12 @@ class Aligner:
         mismatches, mapq, flags related info).
         """
         v = vote_batch(
-            codes, ambig, lens,
-            bucket_start, check, positions,
+            codes, ambig, lens, bucket_start, comb,
             self.index.bucket_bits, self.vote_params,
         )
-        for blk, (d_bs, d_ck, d_po) in zip(self.blocks[1:], self.d_blocks[1:]):
+        for blk, (d_bs, d_cb) in zip(self.blocks[1:], self.d_blocks[1:]):
             vb = vote_batch(
-                codes, ambig, lens, d_bs, d_ck, d_po,
+                codes, ambig, lens, d_bs, d_cb,
                 blk.bucket_bits, self.vote_params,
             )
             v = self._merge_votes(v, vb)
@@ -317,12 +328,29 @@ class Aligner:
         mapq = jnp.where(
             n_best > 1, 0, cfg.mapq_unique // (1 + jnp.maximum(b_mism, 0))
         ).astype(jnp.int32)
+        # Output dtypes are shrunk to the value ranges (tunnel fetch is
+        # ~60MB/s; fetched bytes are wall-clock).
         out = dict(
-            pos=b_pos, strand=b_strand, indel=b_indel, split=b_split,
-            mism=b_mism, votes=b_votes, mapped=mapped, multi=n_best > 1,
-            mapq=mapq,
+            pos=b_pos, strand=b_strand.astype(jnp.int8),
+            indel=b_indel.astype(jnp.int8), split=b_split.astype(jnp.int16),
+            mism=jnp.minimum(b_mism, 999).astype(jnp.int16),
+            votes=b_votes.astype(jnp.int8), mapped=mapped, multi=n_best > 1,
+            mapq=mapq.astype(jnp.int8),
         )
         if b_pkv is not None:
+            # multi-indel flag (>=3 distinct probe deltas) computed here so
+            # the host only fetches the [R, P] probe_kv table when a batch
+            # actually contains flagged reads (rare)
+            SEN = np.uint32(0xFFFFFFFF)
+            anchored = (b_pos != SEN) & (b_votes >= cfg.min_votes)
+            validp = (b_pkv != SEN) & anchored[:, None]
+            delta = jnp.where(validp, b_pkv - b_pos[:, None], SEN)
+            ds = jnp.sort(delta, axis=1)
+            nvalid = validp.sum(axis=1)
+            j = np.arange(1, b_pkv.shape[1], dtype=np.int32)[None, :]
+            trans = (ds[:, 1:] != ds[:, :-1]) & (j < nvalid[:, None])
+            n_distinct = (nvalid > 0).astype(jnp.int32) + trans.sum(axis=1)
+            out["multi_indel"] = (n_distinct >= 3) & anchored
             out["probe_kv"] = b_pkv
         return out
 
@@ -567,12 +595,12 @@ class Aligner:
         return r1, r2
 
     def _device_align_pe(
-        self, c1, a1, l1, c2, a2, l2, bucket_start, check, positions, genome_u32,
+        self, c1, a1, l1, c2, a2, l2, bucket_start, comb, genome_u32,
         ul1=None, ul2=None,
     ):
         B = self.index.bucket_bits
-        v1 = vote_batch(c1, a1, l1, bucket_start, check, positions, B, self.vote_params)
-        v2 = vote_batch(c2, a2, l2, bucket_start, check, positions, B, self.vote_params)
+        v1 = vote_batch(c1, a1, l1, bucket_start, comb, B, self.vote_params)
+        v2 = vote_batch(c2, a2, l2, bucket_start, comb, B, self.vote_params)
         sc1 = self._score_candidates(c1, a1, l1, genome_u32, v1, uniform_len=ul1)
         sc2 = self._score_candidates(
             c2, a2, l2, genome_u32, v2, min_votes=self.cfg.min_votes_second,
@@ -611,26 +639,38 @@ class Aligner:
         n = len(lens)
         ul = uniform_length(lens[:R])
         bs = self.cfg.batch_reads
+        words, amask = dna.pack_reads_host(codes, ambig)
+        Lp = codes.shape[1]
         parts = []
         pending = None
         for i in range(0, n, bs):
+            d_codes, d_ambig = self._unpack(
+                jnp.asarray(words[i : i + bs]), jnp.asarray(amask[i : i + bs]), Lp
+            )
             res = self._device_align(
-                jnp.asarray(codes[i : i + bs]),
-                jnp.asarray(ambig[i : i + bs]),
+                d_codes, d_ambig,
                 jnp.asarray(lens[i : i + bs]),
                 self.d_bucket_start,
-                self.d_check,
-                self.d_positions,
+                self.d_comb,
                 self.d_genome,
                 uniform_len=ul,
             )
             if pending is not None:
-                parts.append(jax.device_get(pending))
+                parts.append(fetch_result(pending))
             pending = res
         if pending is not None:
-            parts.append(jax.device_get(pending))
+            parts.append(fetch_result(pending))
+        P = self.vote_params.total_subreads * max(self.index.index_gap, 1)
         for key in parts[0]:
+            if key == "probe_kv":
+                continue
             out[key] = np.concatenate([p[key] for p in parts])[:R]
+        if any("probe_kv" in p for p in parts):
+            out["probe_kv"] = np.concatenate([
+                p.get("probe_kv",
+                      np.zeros((len(p["pos"]), P), np.uint32))
+                for p in parts
+            ])[:R]
         return out
 
     def _emit_sam(
@@ -837,7 +877,7 @@ class Aligner:
             r1, r2 = self._device_align_pe(
                 jnp.asarray(c1[sl]), jnp.asarray(a1[sl]), jnp.asarray(l1[sl]),
                 jnp.asarray(c2[sl]), jnp.asarray(a2[sl]), jnp.asarray(l2[sl]),
-                self.d_bucket_start, self.d_check, self.d_positions, self.d_genome,
+                self.d_bucket_start, self.d_comb, self.d_genome,
                 ul1=ul1, ul2=ul2,
             )
             parts1.append(jax.device_get(r1))
@@ -1072,15 +1112,19 @@ def refine_multi_indels(
     anchored = (pos != SEN) & (np.asarray(res["votes"]) >= min_votes)
     valid = (pkv != SEN) & anchored[:, None]
     delta = np.where(valid, pkv - pos[:, None], 0)
-    # distinct deltas per read among valid probes, vectorised (a python
-    # per-read loop here costs more than the whole device step)
-    big = np.int64(1) << 62
-    ds = np.sort(np.where(valid, delta, big), axis=1)
-    nvalid = valid.sum(axis=1)
-    j = np.arange(1, ds.shape[1])[None, :]
-    trans = (ds[:, 1:] != ds[:, :-1]) & (j < nvalid[:, None])
-    n_distinct = (nvalid > 0).astype(np.int32) + trans.sum(axis=1)
-    flagged = np.flatnonzero((n_distinct >= 3) & anchored)
+    if "multi_indel" in res:
+        # flags were computed on device (_select_se)
+        flagged = np.flatnonzero(np.asarray(res["multi_indel"], bool))
+    else:
+        # distinct deltas per read among valid probes, vectorised (a python
+        # per-read loop here costs more than the whole device step)
+        big = np.int64(1) << 62
+        ds = np.sort(np.where(valid, delta, big), axis=1)
+        nvalid = valid.sum(axis=1)
+        j = np.arange(1, ds.shape[1])[None, :]
+        trans = (ds[:, 1:] != ds[:, :-1]) & (j < nvalid[:, None])
+        n_distinct = (nvalid > 0).astype(np.int32) + trans.sum(axis=1)
+        flagged = np.flatnonzero((n_distinct >= 3) & anchored)
     if len(flagged) == 0:
         return {}
 

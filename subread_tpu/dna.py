@@ -155,3 +155,45 @@ def window_has_ambig(ambig: np.ndarray, k: int = KMER) -> np.ndarray:
         return np.zeros(0, dtype=bool)
     cs = np.concatenate([[0], np.cumsum(ambig.astype(np.int32))])
     return (cs[k:] - cs[:-k]) > 0
+
+
+def pack_reads_host(codes: np.ndarray, ambig: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a read batch for device upload: 2-bit codes into uint32 words
+    (base j of a row at bits 2*(j%16) of word j//16) plus an ambiguity
+    bitmask (base j at bit j%32 of word j//32).
+
+    The axon tunnel uploads at ~60 MB/s, so shipping [R, L] uint8 codes +
+    bool ambig costs more than the whole device step; packing shrinks the
+    upload 5x and the device-side unpack is elementwise shifts."""
+    R, L = codes.shape
+    W = (L + 15) // 16
+    A = (L + 31) // 32
+    # log-ladder packing (3 shrinking uint8 passes + LE uint32 view):
+    # base j lands at bits 8*((j%16)//4) + 2*(j%4) of word j//16, which
+    # equals bits 2*(j%16) — the layout unpack_reads_device expects.
+    c = np.zeros((R, W * 16), np.uint8)
+    c[:, :L] = codes
+    c2 = c[:, 0::2] | (c[:, 1::2] << 2)
+    c4 = c2[:, 0::2] | (c2[:, 1::2] << 4)
+    words = np.ascontiguousarray(c4).view(np.uint32)
+    a = np.zeros((R, A * 32), np.uint8)
+    a[:, :L] = ambig
+    a1 = a[:, 0::2] | (a[:, 1::2] << 1)
+    a2 = a1[:, 0::2] | (a1[:, 1::2] << 2)
+    a4 = a2[:, 0::2] | (a2[:, 1::2] << 4)
+    amask = np.ascontiguousarray(a4).view(np.uint32)
+    return words, amask
+
+
+def unpack_reads_device(words, amask, L: int):
+    """Device-side inverse of pack_reads_host: (codes uint8 [R, L],
+    ambig bool [R, L]); everything elementwise (no gathers)."""
+    import jax.numpy as jnp
+
+    R, W = words.shape
+    sh = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    codes = ((words[:, :, None] >> sh) & 3).reshape(R, W * 16)[:, :L]
+    A = amask.shape[1]
+    sha = np.arange(32, dtype=np.uint32)[None, None, :]
+    ambig = ((amask[:, :, None] >> sha) & 1).reshape(R, A * 32)[:, :L]
+    return codes.astype(jnp.uint8), ambig != 0

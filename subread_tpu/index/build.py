@@ -66,6 +66,17 @@ class HashIndex:
     def n_items(self) -> int:
         return len(self.keys)
 
+    @property
+    def comb_rows(self) -> np.ndarray:
+        """Combined device rows: uint32 [G, 10] — 8 positions + their 8
+        check bytes packed into 2 words per row of GROUP=8 entries.  2-D
+        ROW gathers are ~25x cheaper per element than scalar gathers on
+        TPU, so ops.vote.gather_hits fetches whole probe windows this way.
+        Built lazily and cached (cheap reshuffle of positions+check_words)."""
+        if getattr(self, "_comb_rows", None) is None:
+            self._comb_rows = build_comb_rows(self.positions, self.check_words)
+        return self._comb_rows
+
     def save(self, prefix: str) -> None:
         np.savez_compressed(
             prefix + ".hash.npz",
@@ -149,6 +160,22 @@ def pack_check_bytes(
     b = np.zeros(npad, np.uint8)
     b[:n] = check_byte(keys_u32, orient, bucket_bits)
     return b.view(np.uint32)
+
+
+def build_comb_rows(positions: np.ndarray, check_words: np.ndarray) -> np.ndarray:
+    """Pack positions + check bytes into combined [G, 10] uint32 rows of
+    GROUP=8 entries (see ops.vote.gather_hits).  Padded with 5 extra rows
+    so a window starting at any entry never reads past the end."""
+    n = len(positions)
+    G = (n + 7) // 8 + 5
+    pos_p = np.zeros(G * 8, np.uint32)
+    pos_p[:n] = positions
+    chk_p = np.zeros(G * 8, np.uint8)
+    chk_p[:n] = check_words.view(np.uint8)[:n]
+    comb = np.empty((G, 10), np.uint32)
+    comb[:, :8] = pos_p.reshape(G, 8)
+    comb[:, 8:] = chk_p.view(np.uint32).reshape(G, 2)
+    return comb
 
 
 def native_layout(

@@ -54,9 +54,8 @@ def sharded_align_step(mesh: Mesh, aligner):
     whose leading dim divides the mesh size; outputs live sharded on the
     mesh.  The index arrays are replicated once.
     """
-    d_bucket, d_check, d_pos, d_gen = replicate(
-        mesh, aligner.d_bucket_start, aligner.d_check, aligner.d_positions,
-        aligner.d_genome,
+    d_bucket, d_comb, d_gen = replicate(
+        mesh, aligner.d_bucket_start, aligner.d_comb, aligner.d_genome,
     )
 
     def step(codes, ambig, lens):
@@ -64,7 +63,7 @@ def sharded_align_step(mesh: Mesh, aligner):
             mesh, jnp.asarray(codes), jnp.asarray(ambig), jnp.asarray(lens)
         )
         v = vote_batch(
-            c, a, l, d_bucket, d_check, d_pos,
+            c, a, l, d_bucket, d_comb,
             aligner.index.bucket_bits, aligner.vote_params,
         )
         return aligner._scan2(c, a, l, d_gen, v)

@@ -39,8 +39,8 @@ def test_sharded_align_matches_single_device(
         single = jax.device_get(
             al._device_align(
                 jax.numpy.asarray(codes), jax.numpy.asarray(ambig),
-                jax.numpy.asarray(lens), al.d_bucket_start, al.d_check,
-                al.d_positions, al.d_genome,
+                jax.numpy.asarray(lens), al.d_bucket_start, al.d_comb,
+                al.d_genome,
             )
         )
 

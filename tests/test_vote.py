@@ -16,8 +16,7 @@ def run_vote(genome, index, batch, params):
             jnp.asarray(batch.ambig),
             jnp.asarray(batch.lengths),
             jnp.asarray(index.bucket_start),
-            jnp.asarray(index.check_words),
-            jnp.asarray(index.positions),
+            jnp.asarray(index.comb_rows),
             index.bucket_bits,
             params,
         )
