@@ -236,12 +236,12 @@ class Aligner:
         """
         v = vote_batch(
             codes, ambig, lens, bucket_start, comb,
-            self.index.bucket_bits, self.vote_params,
+            self.index.bucket_bits, self.vote_params, static_len=uniform_len,
         )
         for blk, (d_bs, d_cb) in zip(self.blocks[1:], self.d_blocks[1:]):
             vb = vote_batch(
                 codes, ambig, lens, d_bs, d_cb,
-                blk.bucket_bits, self.vote_params,
+                blk.bucket_bits, self.vote_params, static_len=uniform_len,
             )
             v = self._merge_votes(v, vb)
         return self._scan2(codes, ambig, lens, genome_u32, v, uniform_len)

@@ -179,15 +179,20 @@ def build_comb_rows(positions: np.ndarray, check_words: np.ndarray) -> np.ndarra
 
 
 def native_layout(
-    keys: np.ndarray, positions: np.ndarray, index_gap: int, padding: int
+    keys: np.ndarray, positions: np.ndarray, index_gap: int, padding: int,
+    bucket_bits: int | None = None,
 ) -> HashIndex:
-    """Canonicalise and sort (key, position) pairs into the device layout."""
+    """Canonicalise and sort (key, position) pairs into the device layout.
+
+    bucket_bits can be forced so several position-range shards share one
+    bucket space (one jitted vote graph serves every shard)."""
     keys = keys.astype(np.uint32)
     rc = revcomp_keys_np(keys)
     canon = np.minimum(keys, rc)
     orient = canon != keys
     n = max(len(keys), 2)
-    bucket_bits = min(MAX_BUCKET_BITS, max(10, int(np.ceil(np.log2(n))) + 2))
+    if bucket_bits is None:
+        bucket_bits = min(MAX_BUCKET_BITS, max(10, int(np.ceil(np.log2(n))) + 2))
     order = np.lexsort((positions, canon))
     ks = canon[order]
     orient = orient[order]

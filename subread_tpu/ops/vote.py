@@ -92,6 +92,45 @@ def subread_offsets(read_len: jnp.ndarray, params: VoteParams) -> tuple[jnp.ndar
     return offsets, sub_id
 
 
+def static_offsets(read_len: int, params: VoteParams) -> np.ndarray:
+    """numpy mirror of subread_offsets for a single static read length:
+    int32 [P].  Used when every read in the batch shares one length — the
+    per-probe key extraction then becomes static column slices (no
+    gather)."""
+    S = params.total_subreads
+    gap = params.index_gap
+    L = int(read_len)
+    step_fx = max(gap << 16, ((L - 15 - gap) << 16) // max(S - 1, 1) if S > 1 else 0)
+    base = (np.arange(S, dtype=np.int64) * step_fx) >> 16
+    if gap == 1:
+        offsets = base
+    else:
+        offsets = (base[:, None] + np.arange(gap)[None, :]).reshape(-1)
+    return np.minimum(offsets, max(L - KMER, 0)).astype(np.int32)
+
+
+def probe_keys_static(
+    codes: jnp.ndarray, ambig: jnp.ndarray, offsets: np.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Probe 16-mer keys at STATIC offsets: ([R, P] uint32 keys,
+    [R, P] bool window-ambiguity).  P static slices of width KMER packed
+    by shifts — all elementwise, no gather, and only P*KMER columns
+    touched instead of rolling keys over the whole read."""
+    R, L = codes.shape
+    c32 = codes.astype(jnp.uint32)
+    cols_k = []
+    cols_a = []
+    for o in offsets.tolist():
+        acc = jnp.zeros((R,), jnp.uint32)
+        wa = jnp.zeros((R,), bool)
+        for j in range(KMER):
+            acc = acc | (c32[:, o + j] << np.uint32(2 * (KMER - 1 - j)))
+            wa = wa | ambig[:, o + j]
+        cols_k.append(acc)
+        cols_a.append(wa)
+    return jnp.stack(cols_k, axis=1), jnp.stack(cols_a, axis=1)
+
+
 def rolling_keys(codes: jnp.ndarray, ambig: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-offset 16-mer keys and window-ambiguity over whole reads.
 
@@ -230,104 +269,55 @@ def gather_hits(
     return hit_pos, hit_valid, hit_orient
 
 
-def _vote_one_strand(
+def _vote_merged(
     kv: jnp.ndarray,        # uint32 [R, C] candidate positions (SENTINEL = invalid)
-    sub_id: jnp.ndarray,    # int32 [C] probe→subread id (static per config)
-    probe_off: jnp.ndarray, # int32 [R, C] read offset of each candidate's probe
+    payload: jnp.ndarray,   # uint32 [R, C]: off | strand<<12 | sub_id<<13
     params: VoteParams,
 ) -> tuple[jnp.ndarray, ...]:
-    """Sort candidates by kv and compute, per anchor i, the distinct-subread
-    vote count over the window [kv_i, kv_i + tol].
+    """Sort ALL candidates (both strands in ONE stream) by kv and compute,
+    per anchor i, the distinct-subread vote count over [kv_i, kv_i + tol].
 
-    Returns sorted (kv, votes, cov_min, cov_max, delta_max) each [R, C].
+    Each index hit belongs to exactly one strand (its stored orientation
+    either matches the probe's canonicalisation flip or not), so merging
+    halves the sort + window work vs per-strand streams of the same width
+    where half the slots are sentinels.  The windowed OR accumulates a
+    2S-bit mask (subread s of strand t = bit s + S*t); a candidate's vote
+    count is the popcount of its own strand's half.  Coverage min/max are
+    NOT accumulated here — they are computed for just the K selected
+    anchors in vote_batch (one [R, K, C] pass instead of W loop steps).
+
+    Returns sorted (kv, votes, strand, off, acc_mask) each [R, C].
     """
     R, C = kv.shape
-    # single packed payload (sub_id << 8 | probe_off) halves the sort's
-    # payload traffic; unpacked after the sort
-    payload = jnp.broadcast_to(
-        (sub_id.astype(np.uint32) << np.uint32(8))[None, :], (R, C)
-    ) | probe_off.astype(jnp.uint32)
+    S = params.total_subreads
     kv_s, pay_s = jax.lax.sort((kv, payload), dimension=-1, num_keys=1)
-    mask_s = jnp.uint32(1) << (pay_s >> np.uint32(8))
-    off_s = (pay_s & np.uint32(0xFF)).astype(jnp.int32)
+    off_s = (pay_s & np.uint32(0xFFF)).astype(jnp.int32)
+    strand_s = ((pay_s >> np.uint32(12)) & np.uint32(1)).astype(jnp.int32)
+    bit = (pay_s >> np.uint32(13)) + np.uint32(S) * ((pay_s >> np.uint32(12)) & np.uint32(1))
+    mask_s = jnp.uint32(1) << bit
 
     W = min(params.window, C)
     tol = np.uint32(params.indel_tolerance)
     pad_kv = jnp.pad(kv_s, ((0, 0), (0, W)), constant_values=np.uint32(0xFFFFFFFF))
     pad_mask = jnp.pad(mask_s, ((0, 0), (0, W)))
-    pad_off = jnp.pad(off_s, ((0, 0), (0, W)), constant_values=0)
 
     def body(d, acc):
-        acc_mask, acc_min, acc_max = acc
         kd = jax.lax.dynamic_slice_in_dim(pad_kv, d, C, axis=1)
         in_w = (kd - kv_s) <= tol  # uint32 wrap puts sentinels out of window
         md = jax.lax.dynamic_slice_in_dim(pad_mask, d, C, axis=1)
-        od = jax.lax.dynamic_slice_in_dim(pad_off, d, C, axis=1)
-        return (
-            acc_mask | jnp.where(in_w, md, 0),
-            jnp.minimum(acc_min, jnp.where(in_w, od, 1 << 30)),
-            jnp.maximum(acc_max, jnp.where(in_w, od, -(1 << 30))),
-        )
+        return acc | jnp.where(in_w, md, 0)
 
-    acc_mask, acc_min, acc_max = jax.lax.fori_loop(
-        0,
-        W,
-        body,
-        (
-            jnp.zeros_like(mask_s),
-            jnp.full_like(off_s, 1 << 30),
-            jnp.full_like(off_s, -(1 << 30)),
-        ),
-    )
+    acc_mask = jax.lax.fori_loop(0, W, body, jnp.zeros_like(mask_s))
 
-    votes = jax.lax.population_count(acc_mask).astype(jnp.int32)
+    lowhalf = np.uint32((1 << S) - 1)
+    half = jnp.where(strand_s == 1, lowhalf << np.uint32(S), lowhalf)
+    votes = jax.lax.population_count(acc_mask & half).astype(jnp.int32)
     votes = jnp.where(kv_s == SENTINEL, 0, votes)
-    return kv_s, votes, acc_min, acc_max, mask_s, off_s
-
-
-def _cluster_stats(
-    kv_s: jnp.ndarray, off_s: jnp.ndarray, anchor: jnp.ndarray, params: VoteParams
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """For chosen anchors [R, K]: head position (kv of the member with the
-    smallest read offset — the alignment position the head section implies)
-    and tail position (kv of the member with the largest read offset).
-    tail - head is the cluster's net indel (the indel_recorder cumulative
-    offset, sorted-hashtable.c:1049-1060).  Membership = kv within
-    [anchor, anchor+tol]."""
-    tol = np.uint32(params.indel_tolerance)
-    member = (kv_s[:, None, :] - anchor[:, :, None]) <= tol  # [R, K, C]
-    off_lo = jnp.where(member, off_s[:, None, :], 1 << 30)
-    off_hi = jnp.where(member, off_s[:, None, :], -1)
-    head_j = jnp.argmin(off_lo, axis=-1)  # [R, K]
-    tail_j = jnp.argmax(off_hi, axis=-1)  # [R, K]
-    head_kv = jnp.take_along_axis(kv_s, head_j, axis=-1)
-    tail_kv = jnp.take_along_axis(kv_s, tail_j, axis=-1)
-    return head_kv, tail_kv
-
-
-def _probe_kv(
-    kv_pph: jnp.ndarray,    # [R, P, H] candidate positions (probe-major)
-    anchor: jnp.ndarray,    # [R, K] chosen anchors
-    params: VoteParams,
-) -> jnp.ndarray:
-    """Per-probe member kv for each chosen cluster: uint32 [R, K, P].
-
-    The indel_recorder analog: probe p's kv relative to the head kv is the
-    cumulative indel offset at read position offsets[p]
-    (sorted-hashtable.c:1049-1060).  SENTINEL where probe p has no member
-    in the cluster.  Operates on the probe-major hit layout (NOT the
-    sorted candidate stream) so the intermediate is [R, K, P, H], which is
-    ~P× smaller than matching offsets against the flat [R, C] stream."""
-    tol = np.uint32(params.indel_tolerance)
-    member = (
-        kv_pph[:, None, :, :] - anchor[:, :, None, None]
-    ) <= tol                                                   # [R, K, P, H]
-    kvm = jnp.where(member, kv_pph[:, None, :, :], SENTINEL)
-    return jnp.min(kvm, axis=-1)
+    return kv_s, votes, strand_s, off_s, acc_mask
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bucket_bits", "params")
+    jax.jit, static_argnames=("bucket_bits", "params", "static_len")
 )
 def vote_batch(
     codes: jnp.ndarray,        # uint8 [R, L]
@@ -337,91 +327,118 @@ def vote_batch(
     comb_rows: jnp.ndarray,    # uint32 [G, 10] combined position/check rows
     bucket_bits: int,
     params: VoteParams,
+    static_len: int | None = None,
 ) -> VoteResult:
-    """Full vote step for a read batch over both strands."""
+    """Full vote step for a read batch over both strands.
+
+    static_len: when every real read in the batch shares one length, the
+    probe offsets are compile-time constants — key extraction becomes P
+    static column slices (no rolling keys over all L columns, no
+    take_along_axis gathers).  Reads shorter than static_len (batch
+    padding) are masked out via read_len.
+    """
     R, L = codes.shape
-    offsets, sub_id = subread_offsets(read_len, params)
-    P = offsets.shape[1]
     H = params.max_hits
-    C = P * H
 
     # Canonical probes: ONE hash gather serves both strands.  A hit whose
     # stored orientation equals the probe's canonicalisation flip matches
     # the forward read; otherwise it matches the reverse-complemented read
     # at the mirrored offset o' = read_len - KMER - o.
-    keymat, wamb = rolling_keys(codes, ambig)
-    canonmat = jnp.minimum(keymat, revcomp_keys(keymat))
-    flipmat = canonmat != keymat
-    in_read = (offsets + KMER <= read_len[:, None]) & (read_len[:, None] >= KMER)
+    if static_len is not None and static_len >= KMER:
+        offs_np = static_offsets(static_len, params)           # [P] numpy
+        sub_id = (
+            np.repeat(np.arange(params.total_subreads, dtype=np.int32), params.index_gap)
+            if params.index_gap > 1
+            else np.arange(params.total_subreads, dtype=np.int32)
+        )
+        keys_raw, wamb_p = probe_keys_static(codes, ambig, offs_np)
+        keys = jnp.minimum(keys_raw, revcomp_keys(keys_raw))
+        flip_p = keys != keys_raw
+        valid = ~wamb_p & (read_len[:, None] >= np.int32(static_len))
+        off_b = offs_np[None, :]                               # [1, P] numpy
+        mir_b = (static_len - KMER - offs_np)[None, :]
+    else:
+        offsets, sub_id = subread_offsets(read_len, params)
+        keymat, wamb = rolling_keys(codes, ambig)
+        canonmat = jnp.minimum(keymat, revcomp_keys(keymat))
+        flipmat = canonmat != keymat
+        in_read = (offsets + KMER <= read_len[:, None]) & (read_len[:, None] >= KMER)
+        off_c = jnp.clip(offsets, 0, L - 1)
+        keys = jnp.take_along_axis(canonmat, off_c, axis=1)
+        flip_p = jnp.take_along_axis(flipmat, off_c, axis=1)
+        valid = in_read & ~jnp.take_along_axis(wamb, off_c, axis=1)
+        off_b = offsets                                        # [R, P]
+        mir_b = (read_len[:, None] - KMER - offsets).astype(jnp.int32)
 
-    off_c = jnp.clip(offsets, 0, L - 1)
-    keys = jnp.take_along_axis(canonmat, off_c, axis=1)
-    flip_p = jnp.take_along_axis(flipmat, off_c, axis=1)
-    valid = in_read & ~jnp.take_along_axis(wamb, off_c, axis=1)
+    P = keys.shape[1]
+    C = P * H
     hit_pos, hit_valid, hit_orient = gather_hits(
         keys, valid, bucket_start, comb_rows, bucket_bits, params
     )
-    fwd_match = hit_orient == flip_p[:, :, None]
-    mirrored = (read_len[:, None] - KMER - offsets).astype(jnp.uint32)
+    fwd_match = hit_orient == flip_p[:, :, None]               # [R, P, H]
 
-    per_strand = []
-    sub_id_c = np.broadcast_to(sub_id[:, None], (P, H)).reshape(C)
-    for strand in (0, 1):
-        if strand == 0:
-            ok = hit_valid & fwd_match
-            off_s = offsets
-        else:
-            ok = hit_valid & ~fwd_match
-            off_s = mirrored.astype(jnp.int32)
-        kv3 = jnp.where(
-            ok, hit_pos - off_s[:, :, None].astype(jnp.uint32), SENTINEL
-        )  # [R, P, H]
-        probe_off = jnp.broadcast_to(
-            jnp.clip(off_s, 0, L)[:, :, None], (R, P, H)
-        ).reshape(R, C)
-        per_strand.append(
-            _vote_one_strand(kv3.reshape(R, C), sub_id_c, probe_off, params)
-            + (kv3,)
-        )
-
-    # --- top-K selection over both strands --------------------------------
-    K = params.top_k
-    votes_all = jnp.concatenate([per_strand[0][1], per_strand[1][1]], axis=1)  # [R, 2C]
-    kv_all = jnp.concatenate([per_strand[0][0], per_strand[1][0]], axis=1)
-    strand_all = jnp.concatenate(
-        [jnp.zeros((R, C), jnp.int32), jnp.ones((R, C), jnp.int32)], axis=1
+    # Each hit belongs to exactly ONE strand, so both strands share a single
+    # [R, C] candidate stream (half the sort/window work of two streams).
+    strand3 = (~fwd_match).astype(jnp.uint32)                  # 0 fwd, 1 rev
+    off3 = jnp.clip(
+        jnp.where(fwd_match, off_b[:, :, None], mir_b[:, :, None]), 0, L
+    )                                                          # [R, P, H] int32
+    kv3 = jnp.where(
+        hit_valid, hit_pos - off3.astype(jnp.uint32), SENTINEL
+    )                                                          # [R, P, H]
+    payload = (
+        off3.astype(jnp.uint32)
+        | (strand3 << np.uint32(12))
+        | (sub_id.astype(np.uint32) << np.uint32(13))[None, :, None]
     )
-    covmin_all = jnp.concatenate([per_strand[0][2], per_strand[1][2]], axis=1)
-    covmax_all = jnp.concatenate([per_strand[0][3], per_strand[1][3]], axis=1)
+    kv_s, votes, strand_s, off_s, _ = _vote_merged(
+        kv3.reshape(R, C), payload.reshape(R, C), params
+    )
 
+    # --- top-K selection (both strands live in the one stream) ------------
+    K = params.top_k
     tol = np.uint32(params.indel_tolerance)
     sel_idx = jnp.zeros((R, K), jnp.int32)
-    work = votes_all
+    work = votes
     for k in range(K):
         best = jnp.argmax(work, axis=-1)  # [R] first max wins (smallest kv anchor)
         sel_idx = sel_idx.at[:, k].set(best.astype(jnp.int32))
-        bkv = jnp.take_along_axis(kv_all, best[:, None], axis=-1)
-        bstrand = jnp.take_along_axis(strand_all, best[:, None], axis=-1)
+        bkv = jnp.take_along_axis(kv_s, best[:, None], axis=-1)
+        bstrand = jnp.take_along_axis(strand_s, best[:, None], axis=-1)
         # suppress anchors of the same strand within ±tol of the chosen anchor
-        diff = kv_all - bkv
+        diff = kv_s - bkv
         near = (diff <= tol) | (-diff <= tol)
-        work = jnp.where(near & (strand_all == bstrand), 0, work)
+        work = jnp.where(near & (strand_s == bstrand), 0, work)
 
     take = lambda arr: jnp.take_along_axis(arr, sel_idx, axis=-1)
-    sel_votes = take(votes_all)
-    sel_kv = take(kv_all)
-    sel_strand = take(strand_all)
-    sel_covmin = take(covmin_all)
-    sel_covmax = take(covmax_all)
+    sel_votes = take(votes)
+    sel_kv = take(kv_s)
+    sel_strand = take(strand_s)
 
-    # head/tail positions need per-strand candidate arrays
-    head0, tail0 = _cluster_stats(per_strand[0][0], per_strand[0][5], sel_kv, params)
-    head1, tail1 = _cluster_stats(per_strand[1][0], per_strand[1][5], sel_kv, params)
-    sel_head = jnp.where(sel_strand == 0, head0, head1)
-    sel_tail = jnp.where(sel_strand == 0, tail0, tail1)
-    pkv0 = _probe_kv(per_strand[0][6], sel_kv, params)
-    pkv1 = _probe_kv(per_strand[1][6], sel_kv, params)
-    sel_pkv = jnp.where(sel_strand[:, :, None] == 0, pkv0, pkv1)
+    # cluster stats for just the K winners: membership over the sorted
+    # stream ([R, K, C] once, instead of accumulating min/max inside the
+    # W-step window loop).  head/tail = kv of the member with the
+    # smallest/largest read offset (tail - head = net indel; the
+    # indel_recorder cumulative offset, sorted-hashtable.c:1049-1060).
+    member = ((kv_s[:, None, :] - sel_kv[:, :, None]) <= tol) & (
+        strand_s[:, None, :] == sel_strand[:, :, None]
+    )                                                          # [R, K, C]
+    off_lo = jnp.where(member, off_s[:, None, :], 1 << 30)
+    off_hi = jnp.where(member, off_s[:, None, :], -1)
+    sel_covmin = jnp.min(off_lo, axis=-1)
+    sel_covmax = jnp.max(off_hi, axis=-1)
+    head_j = jnp.argmin(off_lo, axis=-1)                       # [R, K]
+    tail_j = jnp.argmax(off_hi, axis=-1)
+    sel_head = jnp.take_along_axis(kv_s, head_j, axis=-1)
+    sel_tail = jnp.take_along_axis(kv_s, tail_j, axis=-1)
+
+    # per-probe member kv (the indel_recorder analog): probe-major layout
+    # keeps the intermediate at [R, K, P, H] (~P× smaller than matching
+    # the flat stream)
+    member_p = ((kv3[:, None] - sel_kv[:, :, None, None]) <= tol) & (
+        strand3[:, None] == sel_strand[:, :, None, None].astype(jnp.uint32)
+    )                                                          # [R, K, P, H]
+    sel_pkv = jnp.min(jnp.where(member_p, kv3[:, None], SENTINEL), axis=-1)
 
     empty = sel_votes <= 0
     return VoteResult(

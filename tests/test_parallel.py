@@ -95,3 +95,74 @@ def test_distributed_helpers_single_process():
     )
     assert l.tolist() == [10, 20] and r_.tolist() == [50, 70]
     assert sup.tolist() == [5, 1]
+
+
+def test_index_sharded_vote_matches_block_fold(
+    chr901_genome, chr901_index, rng, cpu_devices
+):
+    """Index sharded over the mesh's "index" axis (each chip holds 1/S of
+    the position-split index; partial votes allgathered + folded) must be
+    bit-identical to the single-device sequential block fold — the spatial
+    form of the reference's index-block serialization (core.c:3562-3613)."""
+    import jax.numpy as jnp
+
+    from subread_tpu.ops.vote import VoteParams, merge_vote_results, vote_batch
+    from subread_tpu.parallel.index_shard import (
+        index_sharded_vote,
+        make_mesh_2d,
+        place_sharded_index,
+        split_index_shards,
+        stack_shards,
+    )
+    from subread_tpu.utils.simulate import simulate_reads
+
+    params = VoteParams()
+    shards = split_index_shards(chr901_index, 4)
+    assert len(shards) == 4
+    assert sum(s.n_items for s in shards) >= chr901_index.n_items
+    bs, cb, bits = stack_shards(shards)
+
+    batch, _ = simulate_reads(
+        chr901_genome, 256, read_len=100, rng=rng, error_rate=0.01
+    )
+    codes = jnp.asarray(batch.codes)
+    ambig = jnp.asarray(batch.ambig)
+    lens = jnp.asarray(batch.lengths)
+
+    with jax.default_device(cpu_devices[0]):
+        acc = vote_batch(
+            codes, ambig, lens, jnp.asarray(shards[0].bucket_start),
+            jnp.asarray(shards[0].comb_rows), bits, params,
+        )
+        for s in shards[1:]:
+            acc = merge_vote_results(
+                acc,
+                vote_batch(
+                    codes, ambig, lens, jnp.asarray(s.bucket_start),
+                    jnp.asarray(s.comb_rows), bits, params,
+                ),
+                params,
+            )
+        single = jax.device_get(acc)
+
+    mesh = make_mesh_2d(2, 4, cpu_devices)
+    d_bs, d_cb = place_sharded_index(mesh, bs, cb)
+    step = index_sharded_vote(mesh, bits, params)
+    sharded = jax.device_get(step(codes, ambig, lens, d_bs, d_cb))
+
+    for f in single._fields:
+        assert np.array_equal(getattr(single, f), getattr(sharded, f)), f
+
+    # and the shard split must not lose accuracy vs the full index
+    full = jax.device_get(
+        vote_batch(
+            codes, ambig, lens, jnp.asarray(chr901_index.bucket_start),
+            jnp.asarray(chr901_index.comb_rows), chr901_index.bucket_bits,
+            params,
+        )
+    )
+    agree = np.mean(
+        (sharded.pos[:, 0] == full.pos[:, 0])
+        & (sharded.strand[:, 0] == full.strand[:, 0])
+    )
+    assert agree >= 0.97, agree
