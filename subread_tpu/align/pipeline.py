@@ -200,7 +200,10 @@ class Aligner:
         self.vote_params = VoteParams(
             total_subreads=cfg.total_subreads,
             max_hits=cfg.max_hits_per_probe,
-            indel_tolerance=max(cfg.max_indel, 1),
+            # device scans handle indels to 16bp (the reference's banded-DP
+            # reach); -I beyond that goes to the host long-indel rescue
+            # (align.longindel, core-indel.c:4389 analog)
+            indel_tolerance=max(min(cfg.max_indel, 16), 1),
             top_k=cfg.top_k,
             index_gap=self.index.index_gap,
         )
@@ -224,6 +227,10 @@ class Aligner:
     @functools.partial(jax.jit, static_argnames=("self", "L"))
     def _unpack(self, words, amask, L):
         return dna.unpack_reads_device(words, amask, L)
+
+    @functools.partial(jax.jit, static_argnames=("self", "L"))
+    def _unpack_na(self, words, L):
+        return dna.unpack_reads_device(words, None, L)
 
     def _device_align(
         self, codes, ambig, lens, bucket_start, comb, genome_u32,
@@ -268,10 +275,11 @@ class Aligner:
         fwd = codes
         rev = oriented_read(codes, lens, jnp.ones((R,), jnp.int32), uniform_len)
 
+        si = min(cfg.max_indel, 16)       # device indel reach (see __init__)
         pos_k = v.pos                     # [R, K] uint32
         strand_k = v.strand               # [R, K]
         indel_k = jnp.clip(
-            (v.tail - v.pos).astype(jnp.int32), -cfg.max_indel, cfg.max_indel
+            (v.tail - v.pos).astype(jnp.int32), -si, si
         )
 
         oriented_k = jnp.where(
@@ -285,7 +293,7 @@ class Aligner:
             flat(lens_k[:, :, None])[:, 0],
             flat(pos_k[:, :, None])[:, 0],
             flat(indel_k[:, :, None])[:, 0],
-            max_indel_static=cfg.max_indel,
+            max_indel_static=si,
         )
         split_k = split_f.reshape(R, K)
         mism_k = mism_f.reshape(R, K)
@@ -599,8 +607,10 @@ class Aligner:
         ul1=None, ul2=None,
     ):
         B = self.index.bucket_bits
-        v1 = vote_batch(c1, a1, l1, bucket_start, comb, B, self.vote_params)
-        v2 = vote_batch(c2, a2, l2, bucket_start, comb, B, self.vote_params)
+        v1 = vote_batch(c1, a1, l1, bucket_start, comb, B, self.vote_params,
+                        static_len=ul1)
+        v2 = vote_batch(c2, a2, l2, bucket_start, comb, B, self.vote_params,
+                        static_len=ul2)
         sc1 = self._score_candidates(c1, a1, l1, genome_u32, v1, uniform_len=ul1)
         sc2 = self._score_candidates(
             c2, a2, l2, genome_u32, v2, min_votes=self.cfg.min_votes_second,
@@ -631,35 +641,40 @@ class Aligner:
         return codes, ambig, lens, R
 
     def align_batch(self, batch: ReadBatch) -> dict[str, np.ndarray]:
-        """Depth-2 pipelined device loop: batch i+1 is dispatched before
-        batch i's results are fetched, hiding the dispatch/fetch round-trip
-        (the tunnel costs ~30ms per turn-around)."""
+        """Dispatch-all-then-fetch device loop.  The tunnel executes its
+        command stream FIFO, so a mid-stream fetch stalls on ALL queued
+        compute (measured: depth-2 fetch interleaving is ~28% slower).
+        Dispatching every sub-batch first and fetching at the end pays the
+        ~40ms sync round-trip once per call instead of once per sub-batch."""
         codes, ambig, lens, R = self._pad_batch(batch)
         out = {}
         n = len(lens)
         ul = uniform_length(lens[:R])
         bs = self.cfg.batch_reads
-        words, amask = dna.pack_reads_host(codes, ambig)
+        no_ambig = not ambig.any()  # skip the mask upload for N-free batches
         Lp = codes.shape[1]
-        parts = []
-        pending = None
+        pending = []
         for i in range(0, n, bs):
-            d_codes, d_ambig = self._unpack(
-                jnp.asarray(words[i : i + bs]), jnp.asarray(amask[i : i + bs]), Lp
+            # pack per sub-batch: packs after the first overlap the device
+            # queue (dispatches are async; only the final fetch syncs)
+            words, amask = dna.pack_reads_host(
+                codes[i : i + bs], ambig[i : i + bs]
             )
-            res = self._device_align(
+            if no_ambig:
+                d_codes, d_ambig = self._unpack_na(jnp.asarray(words), Lp)
+            else:
+                d_codes, d_ambig = self._unpack(
+                    jnp.asarray(words), jnp.asarray(amask), Lp
+                )
+            pending.append(self._device_align(
                 d_codes, d_ambig,
                 jnp.asarray(lens[i : i + bs]),
                 self.d_bucket_start,
                 self.d_comb,
                 self.d_genome,
                 uniform_len=ul,
-            )
-            if pending is not None:
-                parts.append(fetch_result(pending))
-            pending = res
-        if pending is not None:
-            parts.append(fetch_result(pending))
+            ))
+        parts = [fetch_result(p) for p in pending]
         P = self.vote_params.total_subreads * max(self.index.index_gap, 1)
         for key in parts[0]:
             if key == "probe_kv":
@@ -759,6 +774,8 @@ class Aligner:
         if indel_events is not None:
             for i in np.flatnonzero(has_indel):
                 iv = int(indel[i])
+                if iv == 0:
+                    continue  # override reads: events come from the rescue pass
                 sp = int(res["split"][i])
                 L = int(batch.lengths[i])
                 seq_codes = batch.codes[i, :L]
@@ -871,17 +888,30 @@ class Aligner:
         c2, a2, l2, _ = self._pad_batch(b2)
         ul1, ul2 = uniform_length(l1[:R]), uniform_length(l2[:R])
         bs = self.cfg.batch_reads
-        parts1, parts2 = [], []
+        # packed upload + dispatch-all-then-fetch, as in align_batch
+        w1, m1 = dna.pack_reads_host(c1, a1)
+        w2, m2 = dna.pack_reads_host(c2, a2)
+        na1, na2 = not m1.any(), not m2.any()
+        L1, L2 = c1.shape[1], c2.shape[1]
+        pending = []
         for i in range(0, len(l1), bs):
             sl = slice(i, i + bs)
-            r1, r2 = self._device_align_pe(
-                jnp.asarray(c1[sl]), jnp.asarray(a1[sl]), jnp.asarray(l1[sl]),
-                jnp.asarray(c2[sl]), jnp.asarray(a2[sl]), jnp.asarray(l2[sl]),
+            if na1:
+                dc1, da1 = self._unpack_na(jnp.asarray(w1[sl]), L1)
+            else:
+                dc1, da1 = self._unpack(jnp.asarray(w1[sl]), jnp.asarray(m1[sl]), L1)
+            if na2:
+                dc2, da2 = self._unpack_na(jnp.asarray(w2[sl]), L2)
+            else:
+                dc2, da2 = self._unpack(jnp.asarray(w2[sl]), jnp.asarray(m2[sl]), L2)
+            pending.append(self._device_align_pe(
+                dc1, da1, jnp.asarray(l1[sl]),
+                dc2, da2, jnp.asarray(l2[sl]),
                 self.d_bucket_start, self.d_comb, self.d_genome,
                 ul1=ul1, ul2=ul2,
-            )
-            parts1.append(jax.device_get(r1))
-            parts2.append(jax.device_get(r2))
+            ))
+        parts1 = [jax.device_get(r1) for r1, _ in pending]
+        parts2 = [jax.device_get(r2) for _, r2 in pending]
         out1 = {k: np.concatenate([p[k] for p in parts1])[:R] for k in parts1[0]}
         out2 = {k: np.concatenate([p[k] for p in parts2])[:R] for k in parts2[0]}
         return out1, out2
@@ -1053,6 +1083,24 @@ class Aligner:
                             res["mism"][i] = mm
                             if res["mapq"][i] <= 0:
                                 res["mapq"][i] = self.cfg.mapq_unique // (1 + mm)
+                if junctions is None and self.cfg.max_indel > 16:
+                    # iteration three: long indels via soft-clip re-anchoring
+                    from .longindel import rescue_long_indels
+
+                    ov2, ev2, _ = rescue_long_indels(
+                        self.genome, batch, res, self.cfg.max_indel
+                    )
+                    if ov2:
+                        cur = res.get("cigar_override") or {}
+                        for i, v_ in ov2.items():
+                            cur.setdefault(i, v_)
+                        res["cigar_override"] = cur
+                        res["mism"] = np.asarray(res["mism"], np.int32).copy()
+                        for i, (_c, mm, _nm) in ov2.items():
+                            res["mism"][i] = mm
+                        for k, (sup, ins) in ev2.items():
+                            s0, p0 = indel_events.get(k, (0, ins))
+                            indel_events[k] = (s0 + sup, p0)
                 if junctions is not None:
                     # scan-2 event-table sharing: junctions discovered in
                     # this chunk (plus all earlier chunks) rescue reads

@@ -187,13 +187,18 @@ def pack_reads_host(codes: np.ndarray, ambig: np.ndarray) -> tuple[np.ndarray, n
 
 def unpack_reads_device(words, amask, L: int):
     """Device-side inverse of pack_reads_host: (codes uint8 [R, L],
-    ambig bool [R, L]); everything elementwise (no gathers)."""
+    ambig bool [R, L]); everything elementwise (no gathers).  amask=None
+    means the batch has no ambiguous bases (the mask upload is skipped —
+    uploads cost wall-clock on the tunnel) and ambig comes back all-False."""
     import jax.numpy as jnp
 
     R, W = words.shape
     sh = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
     codes = ((words[:, :, None] >> sh) & 3).reshape(R, W * 16)[:, :L]
-    A = amask.shape[1]
-    sha = np.arange(32, dtype=np.uint32)[None, None, :]
-    ambig = ((amask[:, :, None] >> sha) & 1).reshape(R, A * 32)[:, :L]
+    if amask is None:
+        ambig = jnp.zeros((R, L), bool)
+    else:
+        A = amask.shape[1]
+        sha = np.arange(32, dtype=np.uint32)[None, None, :]
+        ambig = ((amask[:, :, None] >> sha) & 1).reshape(R, A * 32)[:, :L]
     return codes.astype(jnp.uint8), ambig != 0

@@ -158,32 +158,41 @@ def softclip_bounds(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Soft-clip bounds (clip_left, clip_right) per read.
 
-    Heuristic port of the reference's covered-region extension
-    (gene-algorithms.h:102 find_soft_clipping semantics): scan inward from
-    each end, clipping while the running mismatch density over the scanned
-    prefix exceeds 1/4 and at least one mismatch sits in it; an end with a
-    matching first base and clean neighbourhood is not clipped.
+    Serves the reference's covered-region clipping
+    (gene-algorithms.h:102 find_soft_clipping semantics) but computed as
+    the max-scoring window: keep the contiguous window [a, b) maximising
+    match - 3*mismatch (positive exactly when window mismatch density
+    < 1/4) and clip what falls outside it.  Unlike an inward density
+    scan, this isolates a clean anchored half even when the dirty edge
+    is long enough to dominate the whole-read density (a read straddling
+    a long indel: one half clean, the other ~75% mismatching — the basis
+    for the iteration-three long-indel rescue, core-indel.c:4389).
+    Vectorised Kadane: prefix sums + running minimum; ties prefer the
+    smallest clip on both sides.
     """
+    import jax
+
     R, L = mm.shape
     ar = jnp.arange(L, dtype=jnp.int32)[None, :]
     inside = ar < read_len[:, None]
-    mmi = (mm & inside).astype(jnp.int32)
+    w = jnp.where(inside, jnp.where(mm, -3, 1), 0).astype(jnp.int32)
 
-    # prefix mismatch count p[i] = mismatches in read[0:i+1]
-    pcum = jnp.cumsum(mmi, axis=1)
-    # clip_left = 1 + last index i where density of mismatches in [0..i] > 1/4
-    dens_bad = (4 * pcum > (ar + 1)) & (pcum > 0) & inside
-    last_bad = jnp.max(jnp.where(dens_bad, ar + 1, 0), axis=1)
-    clip_left = last_bad
-
-    rcum = pcum[:, -1:] - pcum + mmi  # mismatches in read[i:L]
-    tail_len = jnp.maximum(read_len[:, None] - ar, 0)
-    dens_bad_r = (4 * rcum > tail_len) & (rcum > 0) & inside
-    first_bad = jnp.min(jnp.where(dens_bad_r, ar, 1 << 20), axis=1)
-    clip_right = jnp.where(
-        first_bad == 1 << 20, 0, jnp.maximum(read_len - first_bad, 0)
+    # S[b] = score of read[0:b]; window score [a,b) = S[b] - S[a]
+    S = jnp.concatenate(
+        [jnp.zeros((R, 1), jnp.int32), jnp.cumsum(w, axis=1)], axis=1
     )
-    # degenerate overlaps → no clipping
+    pm = jax.lax.cummin(S, axis=1)        # min_{a<=b} S[a]
+    gain = S - pm                          # best window ending at b
+    # b*: earliest argmax (padding past read_len contributes 0, so the
+    # first maximal b sits at/before the read end → smallest right clip)
+    b = jnp.argmax(gain, axis=1).astype(jnp.int32)
+    minv = jnp.take_along_axis(pm, b[:, None], axis=1)[:, 0]
+    # a*: earliest index achieving the prefix min → smallest left clip
+    idx = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
+    a = jnp.argmax((S == minv[:, None]) & (idx <= b[:, None]), axis=1)
+    clip_left = a.astype(jnp.int32)
+    clip_right = jnp.maximum(read_len - b, 0)
+    # degenerate (empty best window: nothing worth keeping) → no clipping
     too_much = clip_left + clip_right >= read_len
     clip_left = jnp.where(too_much, 0, clip_left)
     clip_right = jnp.where(too_much, 0, clip_right)

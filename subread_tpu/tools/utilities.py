@@ -632,6 +632,15 @@ TOOLS = {
 }
 
 
+def _globalreassembly(argv):
+    from .globalreassembly import main as _m
+
+    return _m(argv)
+
+
+TOOLS["globalReassembly"] = _globalreassembly
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in TOOLS:

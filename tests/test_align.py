@@ -186,3 +186,62 @@ def test_multi_indel_cigar(tmp_path, chr901_genome, chr901_index, rng):
     assert ds == [2, 2] and ms == 100, r[5]
     nm = [t for t in r if t.startswith("NM:i:")]
     assert nm and int(nm[0][5:].strip()) == 4
+
+
+def test_long_indel_rescue(tmp_path, chr901_genome, chr901_index):
+    """Indels beyond the 16bp device reach (-I > 16) are rescued by the
+    soft-clip re-anchoring third iteration (align.longindel;
+    do_iteration_three / finalise_long_insertions, core-indel.c:4389)."""
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+    from subread_tpu.io.fastq import ReadBatch
+    from subread_tpu.utils.simulate import write_fastq
+
+    g = chr901_genome
+    L, D, K = 100, 40, 20
+    del_start = 300000          # genome offset (contig coords) of the deletion
+    ins_at = 400000
+    rng = np.random.default_rng(77)
+    reads, names = [], []
+    for j, x in enumerate(range(25, 76, 10)):   # breakpoint at read offset x
+        lin = g.chro_to_linear(0, del_start - x)
+        reads.append(np.concatenate([
+            g.codes[lin : lin + x],
+            g.codes[lin + x + D : lin + x + D + (L - x)],
+        ]))
+        names.append(f"del{j}_{x}")
+    for j, x in enumerate(range(25, 66, 10)):
+        lin = g.chro_to_linear(0, ins_at - x)
+        ins = rng.integers(0, 4, K).astype(np.uint8)
+        reads.append(np.concatenate([
+            g.codes[lin : lin + x], ins,
+            g.codes[lin + x : lin + x + (L - x - K)],
+        ]))
+        names.append(f"ins{j}_{x}")
+    n = len(reads)
+    batch = ReadBatch(
+        names=names,
+        codes=np.stack(reads),
+        lengths=np.full(n, L, np.int32),
+        quals=np.full((n, L), ord("I"), np.uint8),
+        ambig=np.zeros((n, L), bool),
+    )
+    fq = tmp_path / "li.fq"
+    write_fastq(str(fq), batch)
+    al = Aligner(
+        g, chr901_index,
+        aligner_config(batch_reads=256, pad_read_len=128, max_indel=60),
+    )
+    out = tmp_path / "li.sam"
+    al.align_file(str(fq), str(out))
+    recs = {r[0]: r for r in
+            (l.split("\t") for l in open(out) if not l.startswith("@"))}
+    n_del = sum(1 for nm, r in recs.items()
+                if nm.startswith("del") and f"{D}D" in r[5])
+    n_ins = sum(1 for nm, r in recs.items()
+                if nm.startswith("ins") and f"{K}I" in r[5])
+    assert n_del >= 5, {nm: r[5] for nm, r in recs.items() if nm.startswith("del")}
+    assert n_ins >= 4, {nm: r[5] for nm, r in recs.items() if nm.startswith("ins")}
+    vcf = open(str(out) + ".indel.vcf").read()
+    assert any(str(del_start) in l and len(l.split("\t")[3]) == D + 1
+               for l in vcf.splitlines() if not l.startswith("#")), vcf
