@@ -164,6 +164,12 @@ def write_junction_bed(path: str, junctions: dict) -> None:
             )
 
 
+# narrowing casts applied at device-side result packing (_pack_res) and
+# mirrored by the host-side layout (_res_layout): values all fit (mism
+# clipped to 999, clips bounded by read length <= 1210)
+_PACK_CAST = {"mism": np.int16, "clip_l": np.int16, "clip_r": np.int16}
+
+
 def fetch_result(res: dict) -> dict:
     """device_get of a result dict, excluding the [R, P] probe_kv table —
     that is fetched only when the batch has multi-indel-flagged reads
@@ -213,9 +219,12 @@ class Aligner:
             for b in self.blocks
         ]
         self.d_bucket_start, self.d_comb = self.d_blocks[0]
-        self.d_genome = jnp.asarray(
-            dna.packed_as_u32(dna.pack_2bit(genome.codes))
-        )
+        gwords = dna.packed_as_u32(dna.pack_2bit(genome.codes))
+        if len(gwords) % 8:
+            # pad to an 8-word multiple so genome_window can take its
+            # row-gather fast path (free reshape to [Gr, 8] rows)
+            gwords = np.pad(gwords, (0, -len(gwords) % 8))
+        self.d_genome = jnp.asarray(gwords)
 
     # --- device step -------------------------------------------------------
     # Index arrays are jit *arguments* (not closed-over constants): constants
@@ -282,9 +291,13 @@ class Aligner:
             (v.tail - v.pos).astype(jnp.int32), -si, si
         )
 
+        if uniform_len is not None and uniform_len < L:
+            # static trim to the common read length: the batch padding
+            # columns beyond it only inflate the genome gathers
+            fwd, rev = fwd[:, :uniform_len], rev[:, :uniform_len]
         oriented_k = jnp.where(
             strand_k[:, :, None] == 1, rev[:, None, :], fwd[:, None, :]
-        )  # [R, K, L]
+        )  # [R, K, L']
         flat = lambda a: a.reshape(R * K, *a.shape[2:])
         lens_k = jnp.broadcast_to(lens[:, None], (R, K))
         split_f, mism_f = place_single_indel(
@@ -386,6 +399,9 @@ class Aligner:
         cfg = self.cfg
         R, L = codes.shape
         oriented = oriented_read(codes, lens, res["strand"], uniform_len)
+        if uniform_len is not None and uniform_len < L:
+            oriented = oriented[:, :uniform_len]  # static trim (see _score_candidates)
+            L = uniform_len
         mm = mismatch_matrix(genome_u32, oriented, lens, res["pos"])
         cl, cr = softclip_bounds(mm, lens)
         skip = (res["indel"] != 0) | (cl + cr >= lens - 16)
@@ -640,41 +656,127 @@ class Aligner:
         lens[:R] = batch.lengths
         return codes, ambig, lens, R
 
+    @functools.partial(jax.jit, static_argnames=("self", "n"))
+    def _iota(self, n):
+        """Tuple of n device scalars 0..n-1: per-sub-batch slice indices
+        that never touch the host (a host->device scalar upload costs
+        ~12ms of client-blocking wall on the tunnel)."""
+        ar = jnp.arange(n, dtype=jnp.int32)
+        return tuple(ar[i] for i in range(n))
+
+    @functools.partial(jax.jit, static_argnames=("self", "bs", "L"))
+    def _prep(self, words_all, lens_all, amask_all, idx, bs, L):
+        """Device-side sub-batch slice + unpack from the whole-chunk upload.
+        idx is a traced device scalar, so ONE compiled program serves every
+        sub-batch (a static index would compile per sub-batch)."""
+        row = idx * np.int32(bs)
+        words = jax.lax.dynamic_slice_in_dim(words_all, row, bs, axis=0)
+        lens = jax.lax.dynamic_slice_in_dim(lens_all, row, bs, axis=0)
+        am = (
+            None
+            if amask_all is None
+            else jax.lax.dynamic_slice_in_dim(amask_all, row, bs, axis=0)
+        )
+        codes, ambig = dna.unpack_reads_device(words, am, L)
+        return codes, ambig, lens
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _pack_res(self, res):
+        """Pack a result dict (minus probe_kv) into ONE uint8 buffer.
+        Fetching k separate computed arrays costs ~k tunnel round-trips
+        (measured pathological: 8 arrays ~16s vs one concat ~10ms); one
+        buffer is one transfer.  Wide counters are narrowed first
+        (fetched bytes are wall-clock at ~78MB/s + fixed latency)."""
+        bufs = []
+        for k in sorted(res):
+            if k == "probe_kv":
+                continue
+            v = res[k]
+            tgt = _PACK_CAST.get(k)
+            if tgt is not None:
+                v = v.astype(tgt)
+            if v.dtype == jnp.bool_:
+                v = v.astype(jnp.uint8)
+            b = jax.lax.bitcast_convert_type(v, jnp.uint8)
+            bufs.append(b.reshape(-1))
+        return jnp.concatenate(bufs)
+
+    def _res_layout(self, res, bs):
+        """(key, np dtype, byte offset, nbytes, was_bool, shape) per packed
+        key + total segment bytes; must mirror _pack_res exactly."""
+        items = []
+        off = 0
+        for k in sorted(res):
+            if k == "probe_kv":
+                continue
+            was_bool = res[k].dtype == jnp.bool_
+            dt = np.dtype(
+                _PACK_CAST.get(k) or (np.uint8 if was_bool else res[k].dtype)
+            )
+            shape = tuple(res[k].shape)
+            nb = dt.itemsize * int(np.prod(shape))
+            items.append((k, dt, off, nb, was_bool, shape))
+            off += nb
+        return items, off
+
     def align_batch(self, batch: ReadBatch) -> dict[str, np.ndarray]:
-        """Dispatch-all-then-fetch device loop.  The tunnel executes its
-        command stream FIFO, so a mid-stream fetch stalls on ALL queued
-        compute (measured: depth-2 fetch interleaving is ~28% slower).
-        Dispatching every sub-batch first and fetching at the end pays the
-        ~40ms sync round-trip once per call instead of once per sub-batch."""
+        """One-upload / one-fetch device loop.  Measured tunnel economics
+        (see _pack_res): every host->device upload blocks the client
+        ~12-28ms regardless of size, and every device->host fetch of a
+        separate computed array costs a round-trip — so the whole chunk
+        uploads as one packed words tensor, sub-batches are sliced ON
+        DEVICE (_prep, traced index), and all sub-batch results come back
+        as one packed byte buffer per sub-batch."""
         codes, ambig, lens, R = self._pad_batch(batch)
-        out = {}
         n = len(lens)
         ul = uniform_length(lens[:R])
         bs = self.cfg.batch_reads
         no_ambig = not ambig.any()  # skip the mask upload for N-free batches
         Lp = codes.shape[1]
+        n_sub = n // bs
+        words, amask = dna.pack_reads_host(codes, ambig)
+        d_words = jnp.asarray(words)
+        d_lens = jnp.asarray(lens)
+        d_amask = None if no_ambig else jnp.asarray(amask)
+        idxs = self._iota(n_sub) if n_sub > 1 else (None,)
         pending = []
-        for i in range(0, n, bs):
-            # pack per sub-batch: packs after the first overlap the device
-            # queue (dispatches are async; only the final fetch syncs)
-            words, amask = dna.pack_reads_host(
-                codes[i : i + bs], ambig[i : i + bs]
-            )
-            if no_ambig:
-                d_codes, d_ambig = self._unpack_na(jnp.asarray(words), Lp)
+        bufs = []
+        for j in range(n_sub):
+            if n_sub == 1:
+                dl = d_lens
+                if no_ambig:
+                    dc, da = self._unpack_na(d_words, Lp)
+                else:
+                    dc, da = self._unpack(d_words, d_amask, Lp)
             else:
-                d_codes, d_ambig = self._unpack(
-                    jnp.asarray(words), jnp.asarray(amask), Lp
-                )
-            pending.append(self._device_align(
-                d_codes, d_ambig,
-                jnp.asarray(lens[i : i + bs]),
-                self.d_bucket_start,
-                self.d_comb,
-                self.d_genome,
+                dc, da, dl = self._prep(d_words, d_lens, d_amask, idxs[j], bs, Lp)
+            res = self._device_align(
+                dc, da, dl,
+                self.d_bucket_start, self.d_comb, self.d_genome,
                 uniform_len=ul,
-            ))
-        parts = [fetch_result(p) for p in pending]
+            )
+            pending.append(res)
+            bufs.append(self._pack_res(res))
+        # one single-array fetch per sub-batch: the first waits on compute,
+        # later transfers ride under the still-running FIFO queue (measured:
+        # a device-side concat into one buffer is ~25% SLOWER end-to-end)
+        items, seg_len = self._res_layout(pending[0], bs)
+        parts = []
+        for j in range(n_sub):
+            seg = np.array(jax.device_get(bufs[j]))  # copy: views must be writable
+            d = {}
+            for k, dt, off, nb, was_bool, shape in items:
+                a = seg[off : off + nb].view(dt).reshape(shape)
+                d[k] = a.astype(bool) if was_bool else a
+            if (
+                "probe_kv" in pending[j]
+                and d.get("multi_indel") is not None
+                and d["multi_indel"].any()
+            ):
+                # rare: the [bs, P] table fetched only for flagged batches
+                d["probe_kv"] = np.asarray(jax.device_get(pending[j]["probe_kv"]))
+            parts.append(d)
+        out = {}
         P = self.vote_params.total_subreads * max(self.index.index_gap, 1)
         for key in parts[0]:
             if key == "probe_kv":
@@ -884,34 +986,55 @@ class Aligner:
             )
 
     def align_batch_pe(self, b1: ReadBatch, b2: ReadBatch):
+        """PE variant of the one-upload / packed-single-buffer-fetch loop
+        (see align_batch): both mates upload once per chunk; each sub-batch
+        returns one packed byte buffer per mate."""
         c1, a1, l1, R = self._pad_batch(b1)
         c2, a2, l2, _ = self._pad_batch(b2)
         ul1, ul2 = uniform_length(l1[:R]), uniform_length(l2[:R])
         bs = self.cfg.batch_reads
-        # packed upload + dispatch-all-then-fetch, as in align_batch
         w1, m1 = dna.pack_reads_host(c1, a1)
         w2, m2 = dna.pack_reads_host(c2, a2)
         na1, na2 = not m1.any(), not m2.any()
         L1, L2 = c1.shape[1], c2.shape[1]
-        pending = []
-        for i in range(0, len(l1), bs):
-            sl = slice(i, i + bs)
-            if na1:
-                dc1, da1 = self._unpack_na(jnp.asarray(w1[sl]), L1)
+        n_sub = len(l1) // bs
+        d_w1, d_w2 = jnp.asarray(w1), jnp.asarray(w2)
+        d_l1, d_l2 = jnp.asarray(l1), jnp.asarray(l2)
+        d_m1 = None if na1 else jnp.asarray(m1)
+        d_m2 = None if na2 else jnp.asarray(m2)
+        idxs = self._iota(n_sub) if n_sub > 1 else (None,)
+        bufs = []
+        for j in range(n_sub):
+            if n_sub == 1:
+                dl1, dl2 = d_l1, d_l2
+                dc1, da1 = (self._unpack_na(d_w1, L1) if na1
+                            else self._unpack(d_w1, d_m1, L1))
+                dc2, da2 = (self._unpack_na(d_w2, L2) if na2
+                            else self._unpack(d_w2, d_m2, L2))
             else:
-                dc1, da1 = self._unpack(jnp.asarray(w1[sl]), jnp.asarray(m1[sl]), L1)
-            if na2:
-                dc2, da2 = self._unpack_na(jnp.asarray(w2[sl]), L2)
-            else:
-                dc2, da2 = self._unpack(jnp.asarray(w2[sl]), jnp.asarray(m2[sl]), L2)
-            pending.append(self._device_align_pe(
-                dc1, da1, jnp.asarray(l1[sl]),
-                dc2, da2, jnp.asarray(l2[sl]),
+                dc1, da1, dl1 = self._prep(d_w1, d_l1, d_m1, idxs[j], bs, L1)
+                dc2, da2, dl2 = self._prep(d_w2, d_l2, d_m2, idxs[j], bs, L2)
+            r1, r2 = self._device_align_pe(
+                dc1, da1, dl1, dc2, da2, dl2,
                 self.d_bucket_start, self.d_comb, self.d_genome,
                 ul1=ul1, ul2=ul2,
-            ))
-        parts1 = [jax.device_get(r1) for r1, _ in pending]
-        parts2 = [jax.device_get(r2) for _, r2 in pending]
+            )
+            bufs.append((self._pack_res(r1), self._pack_res(r2), r1, r2))
+        parts1, parts2 = [], []
+        layout = None
+        for j in range(n_sub):
+            b1d, b2d, r1, r2 = bufs[j]
+            if layout is None:
+                layout = (self._res_layout(r1, bs), self._res_layout(r2, bs))
+            for bufd, (items, _), parts in (
+                (b1d, layout[0], parts1), (b2d, layout[1], parts2),
+            ):
+                seg = np.array(jax.device_get(bufd))  # copy: views must be writable
+                d = {}
+                for k, dt, off, nb, was_bool, shape in items:
+                    a = seg[off : off + nb].view(dt).reshape(shape)
+                    d[k] = a.astype(bool) if was_bool else a
+                parts.append(d)
         out1 = {k: np.concatenate([p[k] for p in parts1])[:R] for k in parts1[0]}
         out2 = {k: np.concatenate([p[k] for p in parts2])[:R] for k in parts2[0]}
         return out1, out2

@@ -68,8 +68,8 @@ class HashIndex:
 
     @property
     def comb_rows(self) -> np.ndarray:
-        """Combined device rows: uint32 [G, 10] — 8 positions + their 8
-        check bytes packed into 2 words per row of GROUP=8 entries.  2-D
+        """Combined device rows: uint32 [G, 20] — 16 positions + their 16
+        check bytes packed into 4 words per row of GROUP=16 entries.  2-D
         ROW gathers are ~25x cheaper per element than scalar gathers on
         TPU, so ops.vote.gather_hits fetches whole probe windows this way.
         Built lazily and cached (cheap reshuffle of positions+check_words)."""
@@ -163,18 +163,18 @@ def pack_check_bytes(
 
 
 def build_comb_rows(positions: np.ndarray, check_words: np.ndarray) -> np.ndarray:
-    """Pack positions + check bytes into combined [G, 10] uint32 rows of
-    GROUP=8 entries (see ops.vote.gather_hits).  Padded with 5 extra rows
+    """Pack positions + check bytes into combined [G, 20] uint32 rows of
+    GROUP=16 entries (see ops.vote.gather_hits).  Padded with 3 extra rows
     so a window starting at any entry never reads past the end."""
     n = len(positions)
-    G = (n + 7) // 8 + 5
-    pos_p = np.zeros(G * 8, np.uint32)
+    G = (n + 15) // 16 + 3
+    pos_p = np.zeros(G * 16, np.uint32)
     pos_p[:n] = positions
-    chk_p = np.zeros(G * 8, np.uint8)
+    chk_p = np.zeros(G * 16, np.uint8)
     chk_p[:n] = check_words.view(np.uint8)[:n]
-    comb = np.empty((G, 10), np.uint32)
-    comb[:, :8] = pos_p.reshape(G, 8)
-    comb[:, 8:] = chk_p.view(np.uint32).reshape(G, 2)
+    comb = np.empty((G, 20), np.uint32)
+    comb[:, :16] = pos_p.reshape(G, 16)
+    comb[:, 16:] = chk_p.view(np.uint32).reshape(G, 4)
     return comb
 
 

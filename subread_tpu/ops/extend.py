@@ -41,9 +41,30 @@ def genome_window(genome_u32: jnp.ndarray, start: jnp.ndarray, L: int) -> jnp.nd
     """
     start = start.astype(jnp.uint32)
     nw = L // 16 + 2
-    w0 = jnp.minimum(start >> 4, np.uint32(max(len(genome_u32) - nw, 0)))
-    widx = w0[:, None] + np.arange(nw, dtype=np.uint32)[None, :]
-    w = genome_u32[widx]  # [R, nw] — the only gather
+    G = len(genome_u32)
+    w0 = jnp.minimum(start >> 4, np.uint32(max(G - nw, 0)))
+    if G % 8 == 0:
+        # ROW-gather fast path: fetching [NR, 8]-word rows is far cheaper
+        # per element than scalar word gathers on this TPU (same finding
+        # as vote.gather_hits' combined index rows); the per-row word
+        # phase is fixed up with a static 3-step shift ladder.
+        rows = genome_u32.reshape(-1, 8)
+        NR = (nw + 7) // 8 + 1
+        r0 = (w0 >> 3).astype(jnp.int32)
+        ridx = jnp.minimum(
+            r0[:, None] + np.arange(NR, dtype=np.int32), rows.shape[0] - 1
+        )
+        wflat = rows[ridx].reshape(-1, NR * 8)  # the only gather
+        wph = (w0 & 7)[:, None]
+        for b in (4, 2, 1):
+            on = (wph & b) != 0
+            wflat = jnp.where(
+                on, jnp.pad(wflat[:, b:], ((0, 0), (0, b))), wflat
+            )
+        w = wflat[:, :nw]
+    else:
+        widx = w0[:, None] + np.arange(nw, dtype=np.uint32)[None, :]
+        w = genome_u32[widx]  # [R, nw]
     ph = ((start & 15) << 1).astype(jnp.uint32)[:, None]  # bit phase (2 bits/base)
     shifted = (w[:, :-1] >> ph) | jnp.where(
         ph > 0, w[:, 1:] << (np.uint32(32) - ph), np.uint32(0)

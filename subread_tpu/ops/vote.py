@@ -186,15 +186,15 @@ def extract_probe_keys(
     return keys, valid
 
 
-GROUP = 8                 # index entries per combined row
-COMB_W = GROUP + GROUP // 4   # row layout: 8 positions + 2 packed check words
+GROUP = 16                # index entries per combined row
+COMB_W = GROUP + GROUP // 4   # row layout: 16 positions + 4 packed check words
 
 
 def gather_hits(
     probe_keys: jnp.ndarray,    # uint32 [R, P]
     probe_valid: jnp.ndarray,   # bool [R, P]
     bucket_start: jnp.ndarray,  # int32 [B+1]
-    comb_rows: jnp.ndarray,     # uint32 [G, 10]: 8 positions + 2 check words
+    comb_rows: jnp.ndarray,     # uint32 [G, 20]: 16 positions + 4 check words
     bucket_bits: int,
     params: VoteParams,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -208,62 +208,71 @@ def gather_hits(
     disappears.  probe_keys are CANONICAL, so one probe serves both
     strands (bit 7 of the check byte carries the stored orientation).
 
-    Index entries are stored in COMBINED rows of GROUP=8: row g =
-    [pos_{8g..8g+7}, checkbytes_{8g..8g+7} packed into 2 words].  Gathering
-    2-D ROWS is ~25x cheaper per element than scalar 1-D gathers on this
-    TPU (measured: 4M values as 512K row[8] gathers ~1ms vs ~30ms as
-    scalar gathers), so a probe fetches its whole 32-entry window —
-    positions AND check bytes — with ceil(H/8)+1 = 5 row gathers instead
-    of H + H/4 + 1 = 41 scalar gathers.  The window is then phase-aligned
-    to lo&7 with a static 3-step shift ladder (elementwise, no gather).
+    Index entries are stored in COMBINED rows of GROUP=16: row g =
+    [pos_{16g..16g+15}, checkbytes packed into 4 words].  Gathering 2-D
+    ROWS is ~25x cheaper per element than scalar 1-D gathers on this TPU,
+    so a probe fetches its whole 32-entry window — positions AND check
+    bytes — with ceil(H/16)+1 = 3 row gathers (gathers are issue-rate
+    bound, so fewer/wider rows win).  The window is then phase-aligned to
+    lo&15 with a static 4-step shift ladder computed on the FLAT
+    [R, P*NW] layout: last-dim widths below the 128-lane VPU tile waste
+    lanes, and the ladder's shifts never cross a probe's NW-wide block
+    within the slots that are read afterwards (slot j reads original
+    index j+phase <= (H-1)+15 < NW).
 
-    Returns (hit_pos uint32 [R, P, H], hit_valid bool [R, P, H],
-    hit_orient bool [R, P, H]).
+    Returns (hit_pos uint32, hit_valid bool, hit_orient bool), each FLAT
+    [R, C] with C = P*H (candidate-major: probe p's hits at columns
+    p*H..p*H+H-1).
     """
     R, P = probe_keys.shape
     G = comb_rows.shape[0]
     H = params.max_hits
     NR = H // GROUP + 1        # rows covering H entries at any phase
-    NW = NR * GROUP            # fetched window width (40 for H=32)
+    NW = NR * GROUP            # fetched window width (48 for H=32)
     shift = np.uint32(32 - bucket_bits)
     bucket = (probe_keys >> shift).astype(jnp.int32)
     lo = bucket_start[bucket]
     hi = bucket_start[bucket + 1]
 
-    r0 = lo >> np.int32(3)
+    r0 = lo >> np.int32(4)
     ridx = jnp.minimum(
         r0[:, :, None] + np.arange(NR, dtype=np.int32), G - 1
     )                                             # [R, P, NR]
     rows = comb_rows[ridx]                        # [R, P, NR, COMB_W]
 
-    pos_w = rows[:, :, :, :GROUP].reshape(R, P, NW)
-    chk_words = rows[:, :, :, GROUP:].reshape(R, P, NR * 2)
+    pos_w = rows[:, :, :, :GROUP].reshape(R, P * NW)
+    chk_words = rows[:, :, :, GROUP:].reshape(R, P, NR * 4)
     byte_sh = (np.uint32(8) * np.arange(4, dtype=np.uint32))[None, None, None, :]
     chk_b = ((chk_words[:, :, :, None] >> byte_sh) & np.uint32(0xFF)).reshape(
-        R, P, NW
+        R, P * NW
     )
 
-    # phase-align so slot j holds entry lo + j (static shift ladder; the
-    # max total shift is 7, leaving NW-7 >= H aligned slots)
-    ph = (lo & 7)[:, :, None]
-    for b in (4, 2, 1):
+    # phase-align so slot j holds entry lo + j (static shift ladder on the
+    # flat layout; per-element phase = its probe's lo & 15)
+    ph = jnp.repeat(lo & 15, NW, axis=1)          # [R, P*NW]
+    for b in (8, 4, 2, 1):
         on = (ph & b) != 0
-        sh = lambda a: jnp.pad(a[:, :, b:], ((0, 0), (0, 0), (0, b)))
+        sh = lambda a: jnp.pad(a[:, b:], ((0, 0), (0, b)))
         pos_w = jnp.where(on, sh(pos_w), pos_w)
         chk_b = jnp.where(on, sh(chk_b), chk_b)
-    hit_pos = pos_w[:, :, :H]
-    checks = chk_b[:, :, :H]
+    # take the first H aligned slots of each probe's NW block -> [R, C]
+    hit_pos = pos_w.reshape(R, P, NW)[:, :, :H].reshape(R, P * H)
+    checks = chk_b.reshape(R, P, NW)[:, :, :H].reshape(R, P * H)
 
-    idx = lo[:, :, None] + np.arange(H, dtype=np.int32)[None, None, :]  # [R,P,H]
+    lo_rep = jnp.repeat(lo, H, axis=1)            # [R, C]
+    hi_rep = jnp.repeat(hi, H, axis=1)
+    offs = np.tile(np.arange(H, dtype=np.int32), P)[None, :]
+    idx = lo_rep + offs
     # 7-bit checksum of the in-bucket remainder (index.build.check_byte)
-    qcheck = (
+    qcheck = jnp.repeat(
         ((probe_keys << np.uint32(bucket_bits)) >> np.uint32(25))
-        & np.uint32(0x7F)
-    )[:, :, None]
+        & np.uint32(0x7F),
+        H, axis=1,
+    )
     hit_valid = (
-        (idx < hi[:, :, None])
+        (idx < hi_rep)
         & ((checks & np.uint32(0x7F)) == qcheck)
-        & probe_valid[:, :, None]
+        & jnp.repeat(probe_valid, H, axis=1)
     )
     hit_orient = (checks >> np.uint32(7)) != 0
     return hit_pos, hit_valid, hit_orient
@@ -374,26 +383,33 @@ def vote_batch(
     C = P * H
     hit_pos, hit_valid, hit_orient = gather_hits(
         keys, valid, bucket_start, comb_rows, bucket_bits, params
-    )
-    fwd_match = hit_orient == flip_p[:, :, None]               # [R, P, H]
+    )                                                          # each [R, C]
+    # expand per-probe quantities to per-candidate columns (repeat H);
+    # everything elementwise below runs on the FLAT [R, C] layout so the
+    # VPU's 128-lane tiles are full (a [R, P, H=32] last dim wastes 3/4)
+    if isinstance(off_b, np.ndarray) and off_b.shape[0] == 1:
+        off_r = np.repeat(off_b[0], H)[None, :]                # static numpy
+        mir_r = np.repeat(mir_b[0], H)[None, :]
+    else:
+        off_r = jnp.repeat(off_b, H, axis=1)
+        mir_r = jnp.repeat(mir_b, H, axis=1)
+    flip_r = jnp.repeat(flip_p, H, axis=1)
+    subid_r = np.repeat(sub_id.astype(np.uint32), H)[None, :]
+    fwd_match = hit_orient == flip_r                           # [R, C]
 
     # Each hit belongs to exactly ONE strand, so both strands share a single
     # [R, C] candidate stream (half the sort/window work of two streams).
     strand3 = (~fwd_match).astype(jnp.uint32)                  # 0 fwd, 1 rev
-    off3 = jnp.clip(
-        jnp.where(fwd_match, off_b[:, :, None], mir_b[:, :, None]), 0, L
-    )                                                          # [R, P, H] int32
+    off3 = jnp.clip(jnp.where(fwd_match, off_r, mir_r), 0, L)  # [R, C] int32
     kv3 = jnp.where(
         hit_valid, hit_pos - off3.astype(jnp.uint32), SENTINEL
-    )                                                          # [R, P, H]
+    )                                                          # [R, C]
     payload = (
         off3.astype(jnp.uint32)
         | (strand3 << np.uint32(12))
-        | (sub_id.astype(np.uint32) << np.uint32(13))[None, :, None]
+        | (subid_r << np.uint32(13))
     )
-    kv_s, votes, strand_s, off_s, _ = _vote_merged(
-        kv3.reshape(R, C), payload.reshape(R, C), params
-    )
+    kv_s, votes, strand_s, off_s, _ = _vote_merged(kv3, payload, params)
 
     # --- top-K selection (both strands live in the one stream) ------------
     K = params.top_k
@@ -432,13 +448,15 @@ def vote_batch(
     sel_head = jnp.take_along_axis(kv_s, head_j, axis=-1)
     sel_tail = jnp.take_along_axis(kv_s, tail_j, axis=-1)
 
-    # per-probe member kv (the indel_recorder analog): probe-major layout
-    # keeps the intermediate at [R, K, P, H] (~P× smaller than matching
-    # the flat stream)
-    member_p = ((kv3[:, None] - sel_kv[:, :, None, None]) <= tol) & (
-        strand3[:, None] == sel_strand[:, :, None, None].astype(jnp.uint32)
-    )                                                          # [R, K, P, H]
-    sel_pkv = jnp.min(jnp.where(member_p, kv3[:, None], SENTINEL), axis=-1)
+    # per-probe member kv (the indel_recorder analog): flat [R, K, C]
+    # membership, then a per-probe min over each H-wide block
+    member_p = ((kv3[:, None, :] - sel_kv[:, :, None]) <= tol) & (
+        strand3[:, None, :] == sel_strand[:, :, None].astype(jnp.uint32)
+    )                                                          # [R, K, C]
+    sel_pkv = jnp.min(
+        jnp.where(member_p, kv3[:, None, :], SENTINEL).reshape(R, K, P, H),
+        axis=-1,
+    )
 
     empty = sel_votes <= 0
     return VoteResult(
