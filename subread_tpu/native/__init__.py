@@ -20,7 +20,7 @@ _TRIED = False
 
 
 def _build() -> pathlib.Path | None:
-    srcs = [_HERE / "samtext.cpp", _HERE / "fccount.cpp"]
+    srcs = [_HERE / "samtext.cpp", _HERE / "fccount.cpp", _HERE / "pack.cpp"]
     out = _HERE / "libsamtext.so"
     if out.exists() and all(
         out.stat().st_mtime >= s.stat().st_mtime for s in srcs
@@ -51,6 +51,7 @@ def get_lib():
     lib.format_sam_records.restype = ctypes.c_long
     lib.fc_count_sam_simple.restype = ctypes.c_long
     lib.fc_count_bam_simple.restype = ctypes.c_long
+    lib.pack_reads_2bit.restype = ctypes.c_long
     _LIB = lib
     return _LIB
 
@@ -205,3 +206,32 @@ def fc_count_bam_simple(
     if rv < 0:
         return None
     return counts, dict(zip(FC_SUMMARY_SLOTS, summary.tolist())), int(rv)
+
+
+def pack_reads_2bit(codes: np.ndarray, ambig: np.ndarray | None):
+    """Native 2-bit read packing (dna.pack_reads_host layout); returns
+    (words, amask-or-None) or None when the native library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    R, L = codes.shape
+    W = (L + 15) // 16
+    A = (L + 31) // 32
+    codes = np.ascontiguousarray(codes, np.uint8)
+    words = np.empty((R, W), np.uint32)
+    ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    if ambig is not None:
+        ambig_c = np.ascontiguousarray(ambig, np.uint8)
+        amask = np.empty((R, A), np.uint32)
+        lib.pack_reads_2bit(
+            ptr(codes), ctypes.c_int64(R), ctypes.c_int64(L),
+            ptr(words), ctypes.c_int64(W),
+            ptr(ambig_c), ptr(amask), ctypes.c_int64(A),
+        )
+        return words, amask
+    lib.pack_reads_2bit(
+        ptr(codes), ctypes.c_int64(R), ctypes.c_int64(L),
+        ptr(words), ctypes.c_int64(W),
+        None, None, ctypes.c_int64(A),
+    )
+    return words, None

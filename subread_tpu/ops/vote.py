@@ -227,7 +227,9 @@ def gather_hits(
     R, P = probe_keys.shape
     G = comb_rows.shape[0]
     H = params.max_hits
-    NR = H // GROUP + 1        # rows covering H entries at any phase
+    # rows covering H entries at any phase: slot j reads original index
+    # j + (lo & 15), so the window must hold H-1+15 entries past its start
+    NR = (H + GROUP - 1) // GROUP + 1
     NW = NR * GROUP            # fetched window width (48 for H=32)
     shift = np.uint32(32 - bucket_bits)
     bucket = (probe_keys >> shift).astype(jnp.int32)
