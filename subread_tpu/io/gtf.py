@@ -25,6 +25,10 @@ class Annotation:
     feat_start: np.ndarray         # int32 [F] 1-based inclusive
     feat_end: np.ndarray           # int32 [F] 1-based inclusive
     feat_strand: np.ndarray        # int8 [F] 0='+',1='-',2='.'
+    # --extraAttributes (readSummary.c:7379): per-gene extra GTF attribute
+    # values, one list per requested attribute name; "NA" when absent.
+    extra_attr_names: list[str] = field(default_factory=list)
+    gene_extra: list[list[str]] = field(default_factory=list)
 
     @property
     def n_features(self) -> int:
@@ -87,10 +91,14 @@ def load_annotation(
     fmt: str = "GTF",
     feature_type: str = "exon",
     attr_type: str = "gene_id",
+    extra_attrs: list[str] | None = None,
 ) -> Annotation:
     gene_idx: dict[str, int] = {}
     gene_names: list[str] = []
     fg, fc, fs, fe, fstr = [], [], [], [], []
+    extra_attrs = extra_attrs or []
+    # per attr name: gene index -> ordered unique values
+    extra_vals: list[dict[int, list[str]]] = [{} for _ in extra_attrs]
 
     def gid(name: str) -> int:
         if name not in gene_idx:
@@ -127,12 +135,24 @@ def load_annotation(
                 name = parse_gtf_attr(cols[8], attr_type)
                 if name is None:
                     continue
-                fg.append(gid(name))
+                g = gid(name)
+                fg.append(g)
                 fc.append(cols[0])
                 fs.append(int(cols[3]))
                 fe.append(int(cols[4]))
                 fstr.append({"+": 0, "-": 1}.get(cols[6], 2))
+                for ai, aname in enumerate(extra_attrs):
+                    v = parse_gtf_attr(cols[8], aname)
+                    if v is not None:
+                        vals = extra_vals[ai].setdefault(g, [])
+                        if v not in vals:
+                            vals.append(v)
 
+    gene_extra = [
+        [";".join(extra_vals[ai].get(g, [])) or "NA"
+         for g in range(len(gene_names))]
+        for ai in range(len(extra_attrs))
+    ]
     return Annotation(
         gene_names=gene_names,
         feat_gene=np.asarray(fg, dtype=np.int32),
@@ -140,4 +160,6 @@ def load_annotation(
         feat_start=np.asarray(fs, dtype=np.int32),
         feat_end=np.asarray(fe, dtype=np.int32),
         feat_strand=np.asarray(fstr, dtype=np.int8),
+        extra_attr_names=list(extra_attrs),
+        gene_extra=gene_extra,
     )

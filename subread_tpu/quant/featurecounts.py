@@ -33,7 +33,7 @@ SUMMARY_CATEGORIES = [
     "Unassigned_Duplicate",
     "Unassigned_MultiMapping",
     "Unassigned_Secondary",
-    "Unassigned_Nonjunction",
+    "Unassigned_NonSplit",
     "Unassigned_NoFeatures",
     "Unassigned_Overlapping_Length",
     "Unassigned_Ambiguity",
@@ -67,6 +67,17 @@ class FCOptions:
     split_only: bool = False          # --splitOnly
     non_split_only: bool = False      # --nonSplitOnly
     count_junctions: bool = False     # -J
+    # --readShiftSize / --readShiftType (readSummary.c:3226-3239)
+    read_shift_size: int = 0
+    read_shift_type: str = "upstream"  # upstream|downstream|left|right
+    # --nonOverlap / --nonOverlapFeature / --fracOverlapFeature
+    # (readSummary.c:4703-4760, 4908-4919); -1 = no limit
+    non_overlap: int = -1
+    non_overlap_feature: int = -1
+    frac_overlap_feature: float = 0.0
+    by_read_group: bool = False       # --byReadGroup
+    long_reads: bool = False          # -L (no MOp cap, SE counting)
+    verbose: bool = False             # --verbose
 
 
 class _ChromIndex:
@@ -102,14 +113,19 @@ class _Rec:
     cigar: str
     tlen: int
     nh: int
+    qname: str = ""
+    rg: str | None = None
+    raw: list[str] | None = None   # full SAM fields (kept for -R SAM/BAM)
 
 
-def _parse_rec(fields: list[str]) -> _Rec:
+def _parse_rec(fields: list[str], keep_raw: bool = False) -> _Rec:
     nh = 1
+    rg = None
     for tag in fields[11:]:
         if tag.startswith("NH:i:"):
             nh = int(tag[5:])
-            break
+        elif tag.startswith("RG:Z:"):
+            rg = tag[5:]
     return _Rec(
         flag=int(fields[1]),
         chro=fields[2],
@@ -118,6 +134,9 @@ def _parse_rec(fields: list[str]) -> _Rec:
         cigar=fields[5],
         tlen=int(fields[8]),
         nh=nh,
+        qname=fields[0],
+        rg=rg,
+        raw=fields if keep_raw else None,
     )
 
 
@@ -188,14 +207,81 @@ class FeatureCounter:
         self.counts = np.zeros(self.n_targets, dtype=np.float64)
         self.summary = {c: 0 for c in SUMMARY_CATEGORIES}
         self.jcounts: dict[tuple[str, int, int], float] = {}
+        # --byReadGroup: per-RG (counts, summary) tables keyed by RG id
+        self.rg_tables: dict[str, tuple[np.ndarray, dict]] = {}
+        # -R detail output (write_read_details_FP, readSummary.c:2851)
+        self._detail_fh = None
+        self._detail_fmt = None
+
+    # --- per-RG tables / -R detail output -----------------------------------
+
+    def _tables(self, recs) -> tuple[np.ndarray, dict]:
+        """Count/summary tables for this fragment: the per-RG tables when
+        --byReadGroup (readSummary.c get_RG_tables), else the globals."""
+        if self.opts.by_read_group:
+            rg = next((r.rg for r in recs if r.rg), None)
+            if rg is not None:
+                if rg not in self.rg_tables:
+                    self.rg_tables[rg] = (
+                        np.zeros(self.n_targets, dtype=np.float64),
+                        {c: 0 for c in SUMMARY_CATEGORIES},
+                    )
+                return self.rg_tables[rg]
+        return self.counts, self.summary
+
+    def _target_name(self, t: int) -> str:
+        if self.opts.feature_level:
+            return self.ann.gene_names[int(self.ann.feat_gene[t])]
+        return self.ann.gene_names[t]
+
+    def open_details(self, path: str, fmt: str = "CORE") -> None:
+        """-R CORE/SAM detail stream: one line per read giving the
+        assignment status (reference write_read_details_FP)."""
+        self._detail_fmt = fmt.upper()
+        self._detail_fh = open(path, "w")
+
+    def close_details(self) -> None:
+        if self._detail_fh is not None:
+            self._detail_fh.close()
+            self._detail_fh = None
+
+    def _detail(self, recs, status: str, count: int, features) -> None:
+        if self._detail_fh is None:
+            return
+        if self._detail_fmt == "CORE":
+            qname = recs[0].qname
+            self._detail_fh.write(
+                f"{qname}\t{status}\t{count}\t{features or 'NA'}\n"
+            )
+        else:  # SAM: original record + XS/XN/XT tags
+            for r in recs:
+                if r.raw is None:
+                    continue
+                tags = [f"XS:Z:{status}"]
+                if count > 0:
+                    tags += [f"XN:i:{count}", f"XT:Z:{features}"]
+                self._detail_fh.write("\t".join(r.raw + tags) + "\n")
 
     # --- fragment-level processing ----------------------------------------
 
     def _read_interval_ops(self, rec: _Rec) -> list[tuple[int, int]]:
-        secs = _sections(rec, self.opts.max_mop)
+        o = self.opts
+        secs = _sections(rec, 1 << 30 if o.long_reads else o.max_mop)
         if not secs:
             return []
-        o = self.opts
+        if o.read_shift_size > 0:
+            # readSummary.c:3226-3239: upstream = toward the read's 5' end
+            # (left for fwd-strand reads, right for reverse), downstream the
+            # opposite; left/right are absolute chromosome directions.
+            neg = bool(rec.flag & 0x10)
+            t = o.read_shift_type
+            if t == "left" or (t == "upstream" and not neg) or (
+                t == "downstream" and neg
+            ):
+                d = -o.read_shift_size
+            else:
+                d = o.read_shift_size
+            secs = [(max(1, s + d), max(1, e + d)) for s, e in secs]
         if o.read2pos == 5:
             p = secs[0][0] if not (rec.flag & 0x10) else secs[-1][1]
             secs = [(p, p)]
@@ -233,20 +319,23 @@ class FeatureCounter:
         * PE MAPQ gate uses max(mapq1, mapq2) (readSummary.c:3048).
         """
         o = self.opts
-        s = self.summary
+        counts, s = self._tables(recs)
         mapped = [r for r in recs if not (r.flag & 0x4) and r.cigar != "*"]
         if not mapped:
             s["Unassigned_Unmapped"] += 1
+            self._detail(recs, "Unassigned_Unmapped", 0, None)
             return
         if o.require_both_ends and o.paired:
             paired_recs = [r for r in recs if r.flag & 0x1]
             if len(mapped) < 2 and paired_recs:
                 s["Unassigned_Singleton"] += 1
+                self._detail(recs, "Unassigned_Singleton", 0, None)
                 return
         if o.min_mapq:
             q = max(r.mapq for r in mapped) if o.paired else mapped[0].mapq
             if q < o.min_mapq:
                 s["Unassigned_MappingQuality"] += 1
+                self._detail(recs, "Unassigned_MappingQuality", 0, None)
                 return
         if o.paired and len(mapped) == 2 and (o.check_pe_dist or o.no_chimeric):
             r1, r2 = mapped[0], mapped[1]
@@ -256,28 +345,35 @@ class FeatureCounter:
                     flen = abs(r1.tlen)
                     if not (o.min_fragment <= flen <= o.max_fragment):
                         s["Unassigned_FragmentLength"] += 1
+                        self._detail(recs, "Unassigned_FragmentLength", -1, None)
                         return
             else:
                 if o.no_chimeric:
                     s["Unassigned_Chimera"] += 1
+                    self._detail(recs, "Unassigned_Chimera", -1, None)
                     return
         if o.ignore_dup and any(r.flag & 0x400 for r in recs):
             s["Unassigned_Duplicate"] += 1
+            self._detail(recs, "Unassigned_Duplicate", -1, None)
             return
         nh = max(r.nh for r in mapped)
         is_multi = nh > 1
         if is_multi and not o.count_multi:
             s["Unassigned_MultiMapping"] += 1
+            self._detail(recs, "Unassigned_MultiMapping", -1, None)
             return
         if o.primary_only and any(r.flag & 0x100 for r in mapped):
             s["Unassigned_MultiMapping"] += 1
+            self._detail(recs, "Unassigned_MultiMapping", -1, None)
             return
         has_split = any("N" in r.cigar for r in mapped)
         if o.split_only and not has_split:
-            s["Unassigned_Nonjunction"] += 1
+            s["Unassigned_NonSplit"] += 1
+            self._detail(recs, "Unassigned_NonSplit", -1, None)
             return
         if o.non_split_only and has_split:
-            s["Unassigned_Nonjunction"] += 1
+            s["Unassigned_NonSplit"] += 1
+            self._detail(recs, "Unassigned_Split", -1, None)
             return
 
         # strandness: fragment strand = strand of the first-in-pair read
@@ -288,14 +384,18 @@ class FeatureCounter:
             if o.strand == 2:
                 frag_strand ^= 1
 
-        # per-end overlap intervals per target
-        end_hits: list[dict[int, list[tuple[int, int]]]] = [{}, {}]
+        # per-end overlap intervals per feature (exon), then per target
+        feat_hits: list[dict[int, list[tuple[int, int]]]] = [{}, {}]
         span_ivs: list[tuple[str, int, int]] = []
         for ei, r in enumerate(mapped[:2]):
             for (ss, ee) in self._read_interval_ops(r):
                 span_ivs.append((r.chro, ss, ee))
                 ci = self.by_chrom.get(r.chro)
                 if ci is None:
+                    if o.verbose:
+                        import sys
+                        print(f"WARNING: unmatched chromosome/contig: "
+                              f"{r.chro}", file=sys.stderr)
                     continue
                 for j in ci.query(ss, ee):
                     fi = int(ci.feat_idx[j])
@@ -306,18 +406,10 @@ class FeatureCounter:
                     ov_s = max(ss, int(ci.starts[j]))
                     ov_e = min(ee, int(ci.ends[j]))
                     if ov_s <= ov_e:
-                        t = int(self.feat_target[fi])
-                        end_hits[ei].setdefault(t, []).append((ov_s, ov_e))
+                        feat_hits[ei].setdefault(fi, []).append((ov_s, ov_e))
 
         if o.count_junctions:
             self._count_junctions(mapped, None)
-
-        targets = set(end_hits[0]) | set(end_hits[1])
-        if not targets:
-            s["Unassigned_NoFeatures"] += 1
-            return
-
-        need_len = o.min_overlap > 1 or o.frac_overlap > 0 or o.largest_overlap
 
         def union_len(ivs):
             ivs = sorted(ivs)
@@ -330,6 +422,42 @@ class FeatureCounter:
                 else:
                     ce = max(ce, b)
             return total + ce - cs + 1
+
+        # feature-side overlap gates (--fracOverlapFeature / --nonOverlapFeature,
+        # readSummary.c:4703-4760): union overlap with the feature across both
+        # ends must reach max(ceil.001(frac*span), span - nonOverlapFeature).
+        if o.frac_overlap_feature > 0 or o.non_overlap_feature >= 0:
+            for fi in set(feat_hits[0]) | set(feat_hits[1]):
+                span = int(self.ann.feat_end[fi] - self.ann.feat_start[fi] + 1)
+                thr_missing = 0
+                if o.non_overlap_feature >= 0 and span > o.non_overlap_feature:
+                    thr_missing = span - o.non_overlap_feature
+                frac_f = o.frac_overlap_feature * span
+                thr_frac = int(frac_f)
+                if frac_f - thr_frac >= 0.001:
+                    thr_frac += 1
+                need_f = max(thr_frac, thr_missing)
+                ov = union_len(
+                    feat_hits[0].get(fi, []) + feat_hits[1].get(fi, [])
+                )
+                if ov < need_f:
+                    feat_hits[0].pop(fi, None)
+                    feat_hits[1].pop(fi, None)
+
+        end_hits: list[dict[int, list[tuple[int, int]]]] = [{}, {}]
+        for ei in range(2):
+            for fi, ivs in feat_hits[ei].items():
+                t = int(self.feat_target[fi])
+                end_hits[ei].setdefault(t, []).extend(ivs)
+
+        targets = set(end_hits[0]) | set(end_hits[1])
+        if not targets:
+            s["Unassigned_NoFeatures"] += 1
+            self._detail(recs, "Unassigned_NoFeatures", -1, None)
+            return
+
+        need_len = (o.min_overlap > 1 or o.frac_overlap > 0
+                    or o.largest_overlap or o.non_overlap >= 0)
 
         numbers: dict[int, int] = {}
         for t in targets:
@@ -354,6 +482,10 @@ class FeatureCounter:
                 if o.frac_overlap * read_span - frac_need >= 0.001:
                     frac_need += 1
                 need = max(need, frac_need)
+            if o.non_overlap >= 0 and read_span > o.non_overlap:
+                # --nonOverlap (readSummary.c:4908-4911): at most N read
+                # bases may fall outside the assigned feature.
+                need = max(need, read_span - o.non_overlap)
             if o.largest_overlap:
                 for t in targets:
                     both = (t in end_hits[0]) and (t in end_hits[1])
@@ -368,10 +500,12 @@ class FeatureCounter:
         best = max(numbers.values())
         if best < 1:
             s["Unassigned_Overlapping_Length"] += 1
+            self._detail(recs, "Unassigned_Overlapping_Length", -1, None)
             return
         winners = [t for t, v in numbers.items() if v == best]
         if len(winners) > 1 and not o.allow_multi_overlap:
             s["Unassigned_Ambiguity"] += 1
+            self._detail(recs, "Unassigned_Ambiguity", -1, None)
             return
 
         weight = 1.0
@@ -382,7 +516,10 @@ class FeatureCounter:
                 weight /= len(winners)
         s["Assigned"] += 1
         for t in winners:
-            self.counts[t] += weight
+            counts[t] += weight
+        if self._detail_fh is not None:
+            names = ",".join(self._target_name(t) for t in winners)
+            self._detail(recs, "Assigned", len(winners), names)
 
     def _count_junctions(self, mapped, overlap):
         for r in mapped:
@@ -443,6 +580,7 @@ class FeatureCounter:
         from ..io.bam import bam_to_sam_lines
 
         o = self.opts
+        keep_raw = self._detail_fmt in ("SAM", "BAM")
         pending: dict[str, list[str]] = {}
         for fields in bam_to_sam_lines(path):
             flag = int(fields[1])
@@ -452,11 +590,12 @@ class FeatureCounter:
                 if mate is None:
                     pending[qname] = fields
                 else:
-                    self._assign([_parse_rec(mate), _parse_rec(fields)])
+                    self._assign([_parse_rec(mate, keep_raw),
+                                  _parse_rec(fields, keep_raw)])
             else:
-                self._assign([_parse_rec(fields)])
+                self._assign([_parse_rec(fields, keep_raw)])
         for fields in pending.values():
-            self._assign([_parse_rec(fields)])
+            self._assign([_parse_rec(fields, keep_raw)])
 
     # --- native fast path --------------------------------------------------
 
@@ -469,6 +608,10 @@ class FeatureCounter:
             or o.largest_overlap or o.min_overlap > 1 or o.frac_overlap > 0
             or o.read2pos or o.ext5 or o.ext3 or o.split_only
             or o.non_split_only or o.count_junctions
+            or o.read_shift_size or o.non_overlap >= 0
+            or o.non_overlap_feature >= 0 or o.frac_overlap_feature > 0
+            or o.by_read_group or o.long_reads
+            or self._detail_fh is not None
         )
 
     def _native_tables(self):
@@ -519,6 +662,7 @@ class FeatureCounter:
         if self._native_eligible() and self._count_sam_native(path):
             return
         o = self.opts
+        keep_raw = self._detail_fmt in ("SAM", "BAM")
         pending: dict[str, list[str]] = {}
         with open(path) as f:
             for line in f:
@@ -532,35 +676,62 @@ class FeatureCounter:
                     if mate is None:
                         pending[qname] = fields
                     else:
-                        self._assign([_parse_rec(mate), _parse_rec(fields)])
+                        self._assign([_parse_rec(mate, keep_raw),
+                                      _parse_rec(fields, keep_raw)])
                 else:
-                    self._assign([_parse_rec(fields)])
+                    self._assign([_parse_rec(fields, keep_raw)])
         # leftover singletons (mate never seen)
         for fields in pending.values():
-            self._assign([_parse_rec(fields)])
+            self._assign([_parse_rec(fields, keep_raw)])
 
     # --- outputs ------------------------------------------------------------
 
+    def _count_columns(
+        self, input_names: list[str]
+    ) -> tuple[list[str], list[np.ndarray]]:
+        """Column headers + count vectors: one per input, or one per
+        (input, read-group) when --byReadGroup (reference appends RG ids
+        to the file name with ':')."""
+        if self.opts.by_read_group and self.rg_tables:
+            hdr, cols = [], []
+            base = input_names[0] if input_names else "input"
+            for rg in sorted(self.rg_tables):
+                hdr.append(f"{base}:{rg}")
+                cols.append(self.rg_tables[rg][0])
+            return hdr, cols
+        return list(input_names), [self.counts]
+
     def write_counts(self, path: str, input_names: list[str]) -> None:
         ann = self.ann
+        hdr, cols = self._count_columns(input_names)
+        extra_names = ann.extra_attr_names
         with open(path, "w") as f:
             f.write(
                 "# Program:subread_tpu featureCounts; Output:gene-level\n"
             )
+            extra_hdr = "".join("\t" + n for n in extra_names)
             f.write(
-                "Geneid\tChr\tStart\tEnd\tStrand\tLength\t"
-                + "\t".join(input_names) + "\n"
+                "Geneid\tChr\tStart\tEnd\tStrand\tLength"
+                + extra_hdr + "\t" + "\t".join(hdr) + "\n"
             )
             strands = "+-."
+
+            def extras(gidx: int) -> str:
+                return "".join(
+                    "\t" + ann.gene_extra[ai][gidx]
+                    for ai in range(len(extra_names))
+                )
+
             if self.opts.feature_level:
                 for i in range(ann.n_features):
-                    cnt = self.counts[i]
+                    gidx = int(ann.feat_gene[i])
+                    cnts = "\t".join(self._fmt(c[i]) for c in cols)
                     f.write(
-                        f"{ann.gene_names[int(ann.feat_gene[i])]}\t{ann.feat_chro[i]}"
+                        f"{ann.gene_names[gidx]}\t{ann.feat_chro[i]}"
                         f"\t{int(ann.feat_start[i])}\t{int(ann.feat_end[i])}"
                         f"\t{strands[int(ann.feat_strand[i])]}"
                         f"\t{int(ann.feat_end[i]-ann.feat_start[i]+1)}"
-                        f"\t{self._fmt(cnt)}\n"
+                        f"{extras(gidx)}\t{cnts}\n"
                     )
             else:
                 lengths = ann.gene_lengths()
@@ -571,9 +742,10 @@ class FeatureCounter:
                     starts = ";".join(str(int(ann.feat_start[i])) for i in order)
                     ends = ";".join(str(int(ann.feat_end[i])) for i in order)
                     strs = ";".join(strands[int(ann.feat_strand[i])] for i in order)
+                    cnts = "\t".join(self._fmt(c[gidx]) for c in cols)
                     f.write(
                         f"{gname}\t{chrs}\t{starts}\t{ends}\t{strs}"
-                        f"\t{int(lengths[gidx])}\t{self._fmt(self.counts[gidx])}\n"
+                        f"\t{int(lengths[gidx])}{extras(gidx)}\t{cnts}\n"
                     )
 
     @staticmethod
@@ -583,16 +755,75 @@ class FeatureCounter:
         return f"{v:.2f}"
 
     def write_summary(self, path: str, input_names: list[str]) -> None:
+        hdr, _ = self._count_columns(input_names)
+        tables = (
+            [self.rg_tables[rg][1] for rg in sorted(self.rg_tables)]
+            if self.opts.by_read_group and self.rg_tables
+            else [self.summary]
+        )
         with open(path, "w") as f:
-            f.write("Status\t" + "\t".join(input_names) + "\n")
+            f.write("Status\t" + "\t".join(hdr) + "\n")
             for c in SUMMARY_CATEGORIES:
+                # readSummary.c:7207: the split gate's category is labelled
+                # by mode — Unassigned_Split under --nonSplitOnly.
                 label = (
-                    "Unassigned_Split" if c == "Unassigned_Nonjunction" and
+                    "Unassigned_Split" if c == "Unassigned_NonSplit" and
                     self.opts.non_split_only else c
                 )
-                f.write(f"{label}\t{self.summary[c]}\n")
+                vals = "\t".join(str(t[c]) for t in tables)
+                f.write(f"{label}\t{vals}\n")
 
-    def write_jcounts(self, path: str, input_names: list[str]) -> None:
+    def _junction_genes(self, chro: str, s1: int, s2: int) -> tuple[str, str]:
+        """PrimaryGene/SecondaryGenes for a junction: genes whose features
+        overlap either splice site; primary = max overlap-count then first
+        appearance (readSummary.c jcounts output)."""
+        ci = self.by_chrom.get(chro)
+        if ci is None:
+            return "NA", "NA"
+        votes: dict[int, int] = {}
+        for site in (s1, s2):
+            for j in ci.query(site, site):
+                g = int(self.ann.feat_gene[int(ci.feat_idx[j])])
+                votes[g] = votes.get(g, 0) + 1
+        if not votes:
+            return "NA", "NA"
+        primary = max(votes, key=lambda g: (votes[g], -g))
+        secondary = sorted(g for g in votes if g != primary)
+        return (
+            self.ann.gene_names[primary],
+            ";".join(self.ann.gene_names[g] for g in secondary) or "NA",
+        )
+
+    def write_jcounts(self, path: str, input_names: list[str],
+                      genome=None) -> None:
+        """-J output.  With a genome (fasta path or Genome), splice-site
+        strand comes from the donor/acceptor motif (GT..AG fwd, CT..AC rev
+        — the -G option's use in the reference)."""
+        lookup = None
+        if genome is not None:
+            from ..index.genome import Genome, genome_from_fasta
+
+            g = genome if isinstance(genome, Genome) else genome_from_fasta(genome)
+            name_to_ci = {n: i for i, n in enumerate(g.names)}
+
+            def lookup(chro, s1, s2):
+                ci = name_to_ci.get(chro)
+                if ci is None:
+                    return "NA"
+                import numpy as _np
+
+                def base(p):
+                    lin = g.chro_to_linear(ci, p - 1)
+                    return "AGCT"[int(g.codes[lin])]
+
+                donor = base(s1 + 1) + base(s1 + 2)
+                accep = base(s2 - 2) + base(s2 - 1)
+                if donor == "GT" and accep == "AG":
+                    return "+"
+                if donor == "CT" and accep == "AC":
+                    return "-"
+                return "NA"
+
         with open(path, "w") as f:
             f.write(
                 "PrimaryGene\tSecondaryGenes\tSite1_chr\tSite1_location\t"
@@ -600,8 +831,11 @@ class FeatureCounter:
                 + "\t".join(input_names) + "\n"
             )
             for (chro, s1, s2), cnt in sorted(self.jcounts.items()):
+                pg, sg = self._junction_genes(chro, s1, s2)
+                strand = lookup(chro, s1, s2) if lookup else "NA"
                 f.write(
-                    f"NA\tNA\t{chro}\t{s1}\tNA\t{chro}\t{s2}\tNA\t{int(cnt)}\n"
+                    f"{pg}\t{sg}\t{chro}\t{s1}\t{strand}"
+                    f"\t{chro}\t{s2}\t{strand}\t{int(cnt)}\n"
                 )
 
 
@@ -652,6 +886,14 @@ def read_summary(argv: list[str]) -> int:
         max_mop=num(38, 10),
         frac_overlap=float(txt(40, "0") or 0),
         primary_only=bool(num(50)),
+        by_read_group=bool(num(43)),
+        long_reads=bool(num(44)),
+        verbose=bool(num(45)),
+        frac_overlap_feature=float(txt(46, "0") or 0),
+        non_overlap=num(48, -1),
+        non_overlap_feature=num(49, -1),
+        read_shift_type=txt(54, "upstream"),
+        read_shift_size=num(55, 0),
     )
     fmt = "GTF" if num(11, 1) else "SAF"
     feature_type = txt(17, "exon")
@@ -664,14 +906,30 @@ def read_summary(argv: list[str]) -> int:
             parts = line.strip().split(",")
             if len(parts) == 2:
                 aliases[parts[1]] = parts[0]
+    extra_cols = txt(52)
+    extra_attrs = (
+        [c for c in extra_cols.replace(";", ",").split(",") if c]
+        if extra_cols else None
+    )
     ann = load_annotation(
-        ann_path, fmt=fmt, feature_type=feature_type, attr_type=attr_type
+        ann_path, fmt=fmt, feature_type=feature_type, attr_type=attr_type,
+        extra_attrs=extra_attrs,
     )
     fc = FeatureCounter(ann, opts, chro_aliases=aliases)
+    if num(13):  # isReadSummaryReported -> -R CORE details
+        import os as _os
+
+        rpath = txt(51) or _os.path.dirname(out_path) or "."
+        fc.open_details(
+            _os.path.join(rpath, _os.path.basename(in_files[0])
+                          + ".featureCounts"),
+            "CORE",
+        )
     for path in in_files:
         fc.count_file(path)
+    fc.close_details()
     fc.write_counts(out_path, in_files)
     fc.write_summary(out_path + ".summary", in_files)
     if opts.count_junctions:
-        fc.write_jcounts(out_path + ".jcounts", in_files)
+        fc.write_jcounts(out_path + ".jcounts", in_files, genome=txt(37) or None)
     return 0

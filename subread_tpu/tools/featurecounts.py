@@ -41,8 +41,27 @@ def build_parser():
     ap.add_argument("--nonSplitOnly", action="store_true")
     ap.add_argument("--donotsort", action="store_true")
     ap.add_argument("-J", dest="junctions", action="store_true")
+    ap.add_argument("-G", dest="genome", help="genome FASTA for -J strands")
     ap.add_argument("-T", dest="threads", type=int, default=1)
-    ap.add_argument("input", nargs="+", help="SAM input file(s)")
+    ap.add_argument("--readShiftSize", type=int, default=0)
+    ap.add_argument("--readShiftType", default="upstream",
+                    choices=["upstream", "downstream", "left", "right"])
+    ap.add_argument("--nonOverlap", type=int, default=-1)
+    ap.add_argument("--nonOverlapFeature", type=int, default=-1)
+    ap.add_argument("--fracOverlapFeature", type=float, default=0.0)
+    ap.add_argument("--extraAttributes", default=None,
+                    help="comma-separated extra GTF attributes to output")
+    ap.add_argument("--byReadGroup", action="store_true")
+    ap.add_argument("-L", dest="long_reads", action="store_true",
+                    help="long-read counting (no CIGAR M-op cap, SE only)")
+    ap.add_argument("-R", dest="detail_format", default=None,
+                    choices=["CORE", "SAM", "BAM"],
+                    help="per-read assignment detail output")
+    ap.add_argument("--Rpath", default=None,
+                    help="directory for -R detail files")
+    ap.add_argument("--tmpDir", default=None)
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("input", nargs="+", help="SAM/BAM input file(s)")
     return ap
 
 
@@ -57,9 +76,14 @@ def main(argv=None) -> int:
         if not _os.path.exists(path):
             print(f"ERROR: file not found: {path}", file=sys.stderr)
             return 1
+    extra_attrs = (
+        [c for c in args.extraAttributes.replace(";", ",").split(",") if c]
+        if args.extraAttributes else None
+    )
     ann = load_annotation(
         args.annotation, fmt=args.format,
         feature_type=args.feature_type, attr_type=args.attr_type,
+        extra_attrs=extra_attrs,
     )
     if ann.n_features == 0:
         print(
@@ -68,6 +92,16 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 1
+    # negative --minOverlap = allowed gap -> read extensions
+    # (readSummary.c:8153-8156)
+    min_overlap, ext5, ext3 = (
+        args.minOverlap, args.readExtension5, args.readExtension3
+    )
+    if min_overlap < 1:
+        ext5 += 1 - min_overlap
+        ext3 += 1 - min_overlap
+        min_overlap = 1
+    strand_list = [int(s) for s in args.strand.split(",")]
     opts = FCOptions(
         paired=args.paired,
         count_read_pairs=args.count_read_pairs,
@@ -79,22 +113,32 @@ def main(argv=None) -> int:
         count_multi=args.multi,
         primary_only=args.primary,
         min_mapq=args.min_mapq,
-        strand=int(args.strand.split(",")[0]),
+        strand=strand_list[0],
         feature_level=args.feature_level,
         allow_multi_overlap=args.multi_overlap,
-        min_overlap=args.minOverlap,
+        min_overlap=min_overlap,
         frac_overlap=args.fracOverlap,
         largest_overlap=args.largestOverlap,
         read2pos=args.read2pos,
-        ext5=args.readExtension5,
-        ext3=args.readExtension3,
+        ext5=ext5,
+        ext3=ext3,
         ignore_dup=args.ignoreDup,
         fraction=args.fraction,
         max_mop=args.maxMOp,
         split_only=args.splitOnly,
         non_split_only=args.nonSplitOnly,
         count_junctions=args.junctions,
+        read_shift_size=args.readShiftSize,
+        read_shift_type=args.readShiftType,
+        non_overlap=args.nonOverlap,
+        non_overlap_feature=args.nonOverlapFeature,
+        frac_overlap_feature=args.fracOverlapFeature,
+        by_read_group=args.byReadGroup,
+        long_reads=args.long_reads,
+        verbose=args.verbose,
     )
+    if args.long_reads:
+        opts.paired = False
     aliases = None
     if args.aliases:
         aliases = {}
@@ -105,12 +149,25 @@ def main(argv=None) -> int:
                 aliases[a] = b
     fc = FeatureCounter(ann, opts, chro_aliases=aliases)
     names = [os.path.basename(p) for p in args.input]
-    for path in args.input:
+    detail_dir = args.Rpath or os.path.dirname(args.output) or "."
+    for fi, path in enumerate(args.input):
+        # -s accepts a comma-separated per-input strand list
+        fc.opts.strand = strand_list[min(fi, len(strand_list) - 1)]
+        if args.detail_format:
+            fmt = "CORE" if args.detail_format == "CORE" else "SAM"
+            if args.detail_format == "BAM":
+                print("NOTE: -R BAM details are written as SAM text",
+                      file=sys.stderr)
+            ext = ".featureCounts" + ("" if fmt == "CORE" else ".sam")
+            fc.open_details(
+                os.path.join(detail_dir, os.path.basename(path) + ext), fmt
+            )
         fc.count_file(path)
+        fc.close_details()
     fc.write_counts(args.output, names)
     fc.write_summary(args.output + ".summary", names)
     if args.junctions:
-        fc.write_jcounts(args.output + ".jcounts", names)
+        fc.write_jcounts(args.output + ".jcounts", names, genome=args.genome)
     print(
         f"// Assigned {int(fc.summary['Assigned'])} fragments", file=sys.stderr
     )
