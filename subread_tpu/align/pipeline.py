@@ -562,17 +562,20 @@ class Aligner:
         V = v1[:, :, None] + v2[:, None, :]
         VV = jnp.where(val1[:, :, None] & val2[:, None, :], V, -1)
 
-        tlen_fwd = P2 + L2 - P1   # mate1 fwd, mate2 downstream-rev
-        tlen_rev = P1 + L1 - P2
-        proper_fwd = (
-            (S1 == 0) & (S2 == 1)
-            & (tlen_fwd >= cfg.min_fragment) & (tlen_fwd <= cfg.max_fragment)
-        )
-        proper_rev = (
-            (S1 == 1) & (S2 == 0)
-            & (tlen_rev >= cfg.min_fragment) & (tlen_rev <= cfg.max_fragment)
-        )
-        proper = proper_fwd | proper_rev
+        tlen_fwd = P2 + L2 - P1   # mate1 leftmost
+        tlen_rev = P1 + L1 - P2   # mate2 leftmost
+        in_range = lambda t: (t >= cfg.min_fragment) & (t <= cfg.max_fragment)
+        # -S fr|ff|rf mate orientation (core-interface-aligner.c "order")
+        if cfg.mate_orientation == "ff":
+            proper = (S1 == S2) & (in_range(tlen_fwd) | in_range(tlen_rev))
+        elif cfg.mate_orientation == "rf":
+            proper = ((S1 == 1) & (S2 == 0) & in_range(tlen_fwd)) | (
+                (S1 == 0) & (S2 == 1) & in_range(tlen_rev)
+            )
+        else:  # fr (default)
+            proper = ((S1 == 0) & (S2 == 1) & in_range(tlen_fwd)) | (
+                (S1 == 1) & (S2 == 0) & in_range(tlen_rev)
+            )
         near = jnp.abs(P1 - P2) < 500000  # same-chromosome proxy
         w = jnp.where(proper, 1300, jnp.where(near, 1000, 800))
         combo = VV * w + sc1["score_k"][:, :, None] // 100000 \
@@ -803,6 +806,9 @@ class Aligner:
         if (
             junctions is None
             and self.cfg.rg_id is None
+            and self.cfg.report_multi_mapping
+            and not self.cfg.ignore_unmapped
+            and self.cfg.min_mapped_length <= 0
             and isinstance(writer, samio.SamWriter)
             and self._emit_sam_native(writer, batch, res, summary, indel_events)
         ):
@@ -905,6 +911,9 @@ class Aligner:
         cidx, coff = g.linear_to_chro(lin)
         in_contig = (coff >= 0) & (coff < g.lengths[cidx])
         mapped = res["mapped"] & in_contig
+        if not self.cfg.report_multi_mapping:
+            # -u: multi-mapping reads are reported unmapped
+            mapped = mapped & ~np.asarray(res["multi"], bool)
         for i, name in enumerate(batch.names):
             L = int(batch.lengths[i])
             strand = int(res["strand"][i])
@@ -918,10 +927,11 @@ class Aligner:
             summary.total += 1
             if not mapped[i]:
                 summary.unmapped += 1
-                writer.write(
-                    samio.SamRecord(name, samio.FLAG_UNMAPPED, "*", 0, 0, "*",
-                                    seq=seq, qual=qual)
-                )
+                if not self.cfg.ignore_unmapped:
+                    writer.write(
+                        samio.SamRecord(name, samio.FLAG_UNMAPPED, "*", 0, 0,
+                                        "*", seq=seq, qual=qual)
+                    )
                 continue
             summary.mapped += 1
             if res["multi"][i]:
@@ -969,6 +979,20 @@ class Aligner:
                 cl = int(res.get("clip_l", np.zeros(1, np.int32))[i]) if "clip_l" in res else 0
                 cr = int(res.get("clip_r", np.zeros(1, np.int32))[i]) if "clip_r" in res else 0
                 mid = L - cl - cr
+                if 0 < self.cfg.min_mapped_length > mid:
+                    # --minMappedLength: too few mapped bases -> unmapped
+                    summary.mapped -= 1
+                    summary.unmapped += 1
+                    if res["multi"][i]:
+                        summary.multi -= 1
+                    else:
+                        summary.unique -= 1
+                    if not self.cfg.ignore_unmapped:
+                        writer.write(
+                            samio.SamRecord(name, samio.FLAG_UNMAPPED, "*", 0,
+                                            0, "*", seq=seq, qual=qual)
+                        )
+                    continue
                 cigar = (f"{cl}S" if cl else "") + f"{mid}M" + (f"{cr}S" if cr else "")
             if indel != 0 and indel_events is not None:
                 ins_seq = seq[split : split - indel] if indel < 0 else ""
@@ -1045,6 +1069,9 @@ class Aligner:
         cidx2, coff2 = g.linear_to_chro(res2["pos"].astype(np.int64))
         ok1 = res1["mapped"] & (coff1 >= 0) & (coff1 < g.lengths[cidx1])
         ok2 = res2["mapped"] & (coff2 >= 0) & (coff2 < g.lengths[cidx2])
+        if not self.cfg.report_multi_mapping:
+            ok1 = ok1 & ~np.asarray(res1["multi"], bool)
+            ok2 = ok2 & ~np.asarray(res2["multi"], bool)
         for i, name in enumerate(b1.names):
             recs = []
             for mate, (batch, res, cidx, coff, ok, mok, mcidx, mcoff) in enumerate(
@@ -1068,6 +1095,8 @@ class Aligner:
                 summary.total += 1
                 if not ok[i]:
                     summary.unmapped += 1
+                    if self.cfg.ignore_unmapped:
+                        continue
                     flag |= samio.FLAG_UNMAPPED
                     if not mok[i]:
                         flag |= samio.FLAG_MATE_UNMAPPED
@@ -1134,10 +1163,11 @@ class Aligner:
                 writer.write(r)
 
     def align_file_pe(
-        self, fq1: str, fq2: str, out_sam: str, chunk_reads: int = 1 << 20
+        self, fq1: str, fq2: str, out_sam: str, chunk_reads: int = 1 << 20,
+        readers=None,
     ) -> AlignSummary:
         summary = AlignSummary()
-        rd1, rd2 = FastqReader(fq1), FastqReader(fq2)
+        rd1, rd2 = readers if readers else (FastqReader(fq1), FastqReader(fq2))
         writer = samio.make_writer(
             out_sam, self.genome.names, [int(x) for x in self.genome.lengths],
             sam_output=self.cfg.sam_output or out_sam.endswith(".sam"),
@@ -1166,10 +1196,11 @@ class Aligner:
         return summary
 
     def align_file(
-        self, fastq_path: str, out_sam: str, chunk_reads: int = 1 << 20
+        self, fastq_path: str, out_sam: str, chunk_reads: int = 1 << 20,
+        reader=None,
     ) -> AlignSummary:
         summary = AlignSummary()
-        reader = FastqReader(fastq_path)
+        reader = reader if reader is not None else FastqReader(fastq_path)
         writer = samio.make_writer(
             out_sam,
             self.genome.names,

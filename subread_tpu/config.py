@@ -34,7 +34,9 @@ class AlignConfig:
 
     # reporting
     multi_best: int = 1               # -B multi-mapping reports
-    report_multi_mapping: bool = True
+    report_multi_mapping: bool = True # --multiMapping; -u reports unique only
+    ignore_unmapped: bool = False     # --ignoreUnmapped: omit unmapped records
+    min_mapped_length: int = 0        # --minMappedLength
     mapq_unique: int = 40             # MQS base (UsersGuide:580-592)
     show_soft_clipping: bool = True   # -J disables
     phred_offset: int = 33            # -P
@@ -50,6 +52,11 @@ class AlignConfig:
     # scan-2 / realignment
     realign_band: int = 16            # banded DP half-width (core-indel.c:4573)
     dp_mismatch_tolerance: int = 2    # indel accepted if window mismatches <=2
+    # banded-DP penalties (-X/-Y/-G/-E; core.h:248-251 DP_* defaults)
+    dp_mismatch: int = 0              # -X DPMismatch
+    dp_match: int = 2                 # -Y DPMatch
+    dp_gap_open: int = -1             # -G DPGapOpen
+    dp_gap_ext: int = 0               # -E DPGapExt
 
 
 def aligner_config(**overrides) -> AlignConfig:

@@ -126,6 +126,34 @@ def packed_as_u32(packed: np.ndarray) -> np.ndarray:
 # Key packing is big-endian-first: base 0 at bits 30-31 (`genekey2int`,
 # reference input-files.c:1232).
 
+# SOLiD color-space decode (-b/--color-convert; reference colorread2base,
+# input-files.c:1271-1307).  Color c maps previous base -> next base:
+# 0 same, 1 A<->C/G<->T, 2 A<->G/C<->T, 3 A<->T/C<->G.  The primer base at
+# position 0 is kept, mirroring the reference's in-place conversion.
+_CS_NEXT = {
+    b"A"[0]: b"ACGT", b"C"[0]: b"CATG", b"G"[0]: b"GTAC", b"T"[0]: b"TGCA",
+}
+
+
+def colorspace_decode(seq: bytes) -> bytes:
+    if not seq:
+        return seq
+    out = bytearray(seq)
+    last = out[0]
+    if last not in _CS_NEXT:  # not color-space after all
+        return seq
+    for i in range(1, len(out)):
+        d = out[i] - 0x30  # '0'..'3'
+        if 0 <= d <= 3:
+            last = _CS_NEXT[last][d]
+        else:  # '.' / 'N' color: emit N, restart from A
+            last = b"N"[0]
+        out[i] = last
+        if last == b"N"[0]:
+            last = b"A"[0]
+    return bytes(out)
+
+
 KMER = 16
 
 

@@ -48,7 +48,51 @@ def build_parser(prog="subread_tpu-align", subjunc=False):
                     help="compat flag; gz detected automatically")
     ap.add_argument("--rg-id", dest="rg_id")
     ap.add_argument("--rg", dest="rg", action="append", default=[])
-    ap.add_argument("-B", "--multi-best", type=int, default=1)
+    ap.add_argument("-B", "--multi", dest="multi_best", type=int, default=1,
+                    help="report up to N best locations per read")
+    ap.add_argument("-u", "--unique", action="store_true",
+                    help="report uniquely mapped reads only")
+    ap.add_argument("--multiMapping", action="store_true",
+                    help="report multi-mapping reads (with -B)")
+    ap.add_argument("-5", "--trim5", type=int, default=0,
+                    help="trim N bases from the read 5' end")
+    ap.add_argument("-3", "--trim3", type=int, default=0,
+                    help="trim N bases from the read 3' end")
+    ap.add_argument("-S", "--order", default="fr", choices=["fr", "ff", "rf"],
+                    help="mate orientation")
+    ap.add_argument("-b", "--color-convert", dest="color_convert",
+                    action="store_true",
+                    help="convert SOLiD color-space input to base space")
+    ap.add_argument("--fast", action="store_true",
+                    help="fast top-1 mapping (reference --fast)")
+    ap.add_argument("--SAMinput", action="store_true",
+                    help="input reads are a SAM file (re-alignment)")
+    ap.add_argument("--BAMinput", action="store_true",
+                    help="input reads are a BAM file (re-alignment)")
+    ap.add_argument("--keepReadOrder", action="store_true",
+                    help="keep input read order in BAM output (default here)")
+    ap.add_argument("--ignoreUnmapped", action="store_true",
+                    help="omit unmapped reads from the output")
+    ap.add_argument("--minMappedLength", type=int, default=0)
+    ap.add_argument("--maxVoteSimples", type=int, default=None,
+                    help="candidate locations examined per read")
+    ap.add_argument("--minVoteCutoff", type=int, default=None,
+                    help="vote difference cutoff (compat)")
+    ap.add_argument("--maxRealignLocations", type=int, default=None)
+    ap.add_argument("--complexIndels", action="store_true",
+                    help="detect adjacent short indels (always on here)")
+    ap.add_argument("--sv", action="store_true",
+                    help="detect structural variants (breakpoints output)")
+    ap.add_argument("--longDel", action="store_true",
+                    help="detect long deletions (breakpoints output)")
+    ap.add_argument("--forcedPE", action="store_true")
+    ap.add_argument("--noTLENpreference", action="store_true")
+    ap.add_argument("--reportPairedMultiBest", action="store_true")
+    ap.add_argument("--memoryMultiplex", type=float, default=1.0)
+    ap.add_argument("-X", "--DPMismatch", type=int, default=0)
+    ap.add_argument("-Y", "--DPMatch", type=int, default=2)
+    ap.add_argument("-G", "--DPGapOpen", type=int, default=-1)
+    ap.add_argument("-E", "--DPGapExt", type=int, default=0)
     return ap
 
 
@@ -102,6 +146,14 @@ def run_align(args, subjunc: bool) -> int:
         multi_best=args.multi_best,
         all_junctions=getattr(args, "allJunctions", False),
     )
+    overrides.update(
+        report_multi_mapping=not args.unique,
+        ignore_unmapped=args.ignoreUnmapped,
+        min_mapped_length=args.minMappedLength,
+        mate_orientation=args.order,
+        dp_mismatch=args.DPMismatch, dp_match=args.DPMatch,
+        dp_gap_open=args.DPGapOpen, dp_gap_ext=args.DPGapExt,
+    )
     if not subjunc and args.type == 1:
         overrides["is_rna_seq"] = False
     if args.subreads is not None:
@@ -110,13 +162,42 @@ def run_align(args, subjunc: bool) -> int:
         overrides["min_votes"] = args.min_votes
     if args.min_votes2 is not None:
         overrides["min_votes_second"] = args.min_votes2
+    if args.maxVoteSimples is not None:
+        overrides["top_k"] = max(1, args.maxVoteSimples)
+    if args.maxRealignLocations is not None:
+        overrides["multi_best"] = min(
+            overrides.get("multi_best", 1), args.maxRealignLocations
+        )
+    if args.fast:
+        # --fast (core.c:899-904): single best location, no multi reporting
+        overrides["top_k"] = 1
+        overrides["multi_best"] = 1
+    if (args.sv or args.longDel) and not subjunc:
+        # --sv/--longDel set do_breakpoint_detection (core-indel.c:4405)
+        overrides["detect_junctions"] = True
+        overrides["all_junctions"] = True
     cfg = mk(**overrides)
+
+    from ..io.fastq import make_trim_transform, open_read_source
+
+    tf = make_trim_transform(args.trim5, args.trim3, args.color_convert)
+    fmt = "SAM" if args.SAMinput else ("BAM" if args.BAMinput else None)
 
     aligner = Aligner(genome, index, cfg)
     if args.reads2:
-        summary = aligner.align_file_pe(args.reads, args.reads2, args.output)
+        # PE from one SAM/BAM: pass the same file to -r and -R; reads are
+        # split by first/second-in-pair flags
+        mates = (0, 1) if (fmt and args.reads2 == args.reads) else (None, None)
+        readers = (
+            open_read_source(args.reads, fmt, transform=tf, mate=mates[0]),
+            open_read_source(args.reads2, fmt, transform=tf, mate=mates[1]),
+        )
+        summary = aligner.align_file_pe(
+            args.reads, args.reads2, args.output, readers=readers
+        )
     else:
-        summary = aligner.align_file(args.reads, args.output)
+        reader = open_read_source(args.reads, fmt, transform=tf)
+        summary = aligner.align_file(args.reads, args.output, reader=reader)
 
     d = summary.as_dict()
     print(
