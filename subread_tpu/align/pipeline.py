@@ -115,6 +115,34 @@ def collect_junctions(res: dict, batch, genome, table: dict) -> dict | None:
     return donor_of
 
 
+def known_junctions_from_annotation(ann) -> dict:
+    """-a exon annotation -> preloaded junction events
+    (load_known_junctions, core-indel.c:1313 + add_annotation_to_junctions
+    :1163): per (gene, chromosome), exons sorted by start; a junction spans
+    from the running max exon end to the next exon's start.  Keys use the
+    pipeline's (chro, left_edge0, right_edge0, donor_strand) format with
+    support 0 — they seed the scan-2 rescue event table but only appear in
+    .junction.bed once reads actually support them."""
+    out: dict = {}
+    by_gene: dict[tuple[int, str], list[tuple[int, int, int]]] = {}
+    for i in range(ann.n_features):
+        key = (int(ann.feat_gene[i]), ann.feat_chro[i])
+        by_gene.setdefault(key, []).append(
+            (int(ann.feat_start[i]), int(ann.feat_end[i]),
+             int(ann.feat_strand[i]))
+        )
+    for (_g, chro), exons in by_gene.items():
+        exons.sort()
+        large_end = -1
+        for start, end, strand in exons:
+            if 0 < large_end < start:
+                # left edge = last exon base, right = first next-exon base
+                out[(chro, large_end - 1, start - 1, 1 if strand == 1 else 0)] \
+                    = (0, 0, 0)
+            large_end = max(large_end, end)
+    return out
+
+
 def junction_event_arrays(
     genome, table: dict
 ) -> tuple[np.ndarray, np.ndarray, dict]:
@@ -1257,9 +1285,10 @@ class Aligner:
                             indel_events[k] = (s0 + sup, p0)
                 if junctions is not None:
                     # scan-2 event-table sharing: junctions discovered in
-                    # this chunk (plus all earlier chunks) rescue reads
-                    # without their own minor vote cluster
-                    prelim = dict(junctions)
+                    # this chunk (plus all earlier chunks, plus -a annotated
+                    # junctions) rescue reads without their own minor cluster
+                    prelim = dict(getattr(self, "annot_junctions", None) or {})
+                    prelim.update(junctions)
                     collect_junctions(res, batch, self.genome, prelim)
                     ev_l, ev_r, donor = junction_event_arrays(
                         self.genome, prelim

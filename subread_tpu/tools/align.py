@@ -93,6 +93,14 @@ def build_parser(prog="subread_tpu-align", subjunc=False):
     ap.add_argument("-Y", "--DPMatch", type=int, default=2)
     ap.add_argument("-G", "--DPGapOpen", type=int, default=-1)
     ap.add_argument("-E", "--DPGapExt", type=int, default=0)
+    ap.add_argument("-a", "--exonAnnotation", default=None,
+                    help="exon annotation (known junctions preload)")
+    ap.add_argument("-F", "--exonFormat", default="GTF",
+                    choices=["GTF", "SAF"])
+    ap.add_argument("-A", "--exonAlias", default=None,
+                    help="chromosome alias CSV for -a")
+    ap.add_argument("--gtfFeature", default="exon")
+    ap.add_argument("--gtfAttr", default="gene_id")
     return ap
 
 
@@ -184,6 +192,28 @@ def run_align(args, subjunc: bool) -> int:
     fmt = "SAM" if args.SAMinput else ("BAM" if args.BAMinput else None)
 
     aligner = Aligner(genome, index, cfg)
+    if args.exonAnnotation:
+        from ..align.pipeline import known_junctions_from_annotation
+        from ..io.gtf import load_annotation
+
+        ann = load_annotation(
+            args.exonAnnotation, fmt=args.exonFormat,
+            feature_type=args.gtfFeature, attr_type=args.gtfAttr,
+        )
+        if args.exonAlias:
+            # alias CSV maps annotation chro -> index chro
+            amap = {}
+            for line in open(args.exonAlias):
+                line = line.strip()
+                if line and "," in line:
+                    a, b = line.split(",", 1)
+                    amap[a] = b
+            ann.feat_chro = [amap.get(c, c) for c in ann.feat_chro]
+        aligner.annot_junctions = known_junctions_from_annotation(ann)
+        print(
+            f"// Loaded {len(aligner.annot_junctions)} annotated junctions "
+            f"from {args.exonAnnotation}", file=sys.stderr,
+        )
     if args.reads2:
         # PE from one SAM/BAM: pass the same file to -r and -R; reads are
         # split by first/second-in-pair flags

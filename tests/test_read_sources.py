@@ -101,3 +101,24 @@ def test_sam_reader_mate_split(tmp_path):
     r2 = SamReadReader(str(p), mate=1).next_batch(10)
     assert dna.decode(r1.codes[0, :4]) == "AAAA"
     assert dna.decode(r2.codes[0, :4]) == "CCCC"
+
+
+def test_known_junctions_from_annotation(tmp_path):
+    from subread_tpu.align.pipeline import known_junctions_from_annotation
+    from subread_tpu.io.gtf import load_annotation
+
+    gtf = tmp_path / "a.gtf"
+    gtf.write_text(
+        'c1\tx\texon\t100\t200\t.\t+\t.\tgene_id "g1";\n'
+        'c1\tx\texon\t301\t400\t.\t+\t.\tgene_id "g1";\n'
+        'c1\tx\texon\t150\t220\t.\t+\t.\tgene_id "g1";\n'   # extends 1st
+        'c2\tx\texon\t10\t20\t.\t-\t.\tgene_id "g2";\n'
+        'c2\tx\texon\t50\t60\t.\t-\t.\tgene_id "g2";\n'
+    )
+    ann = load_annotation(str(gtf))
+    j = known_junctions_from_annotation(ann)
+    # g1: junction from max-end 220 to next start 301 (0-based edges)
+    assert ("c1", 219, 300, 0) in j
+    # g2 on minus strand
+    assert ("c2", 19, 49, 1) in j
+    assert len(j) == 2
