@@ -40,10 +40,10 @@ def main():
     # warmup (compile + first transfers)
     aligner.align_batch(batch)
 
-    # median of 5: the tunnel-shared chip's throughput drifts +/-20%
+    # median of 9: the tunnel-shared chip's throughput drifts +/-20%
     # between runs, so a single mean is noisy
     times = []
-    for _ in range(5):
+    for _ in range(9):
         t0 = time.time()
         res = aligner.align_batch(batch)
         times.append(time.time() - t0)

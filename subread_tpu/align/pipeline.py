@@ -40,6 +40,7 @@ from ..io.fastq import FastqReader, ReadBatch
 from ..ops.extend import (
     genome_base,
     mismatch_matrix,
+    softclip_from_prefix,
     oriented_read,
     place_single_indel,
     softclip_bounds,
@@ -328,16 +329,36 @@ class Aligner:
         )  # [R, K, L']
         flat = lambda a: a.reshape(R * K, *a.shape[2:])
         lens_k = jnp.broadcast_to(lens[:, None], (R, K))
-        split_f, mism_f = place_single_indel(
+        lens_f = flat(lens_k[:, :, None])[:, 0]
+        want_clip = cfg.show_soft_clipping
+        psi = place_single_indel(
             genome_u32,
             flat(oriented_k),
-            flat(lens_k[:, :, None])[:, 0],
+            lens_f,
             flat(pos_k[:, :, None])[:, 0],
             flat(indel_k[:, :, None])[:, 0],
             max_indel_static=si,
+            return_head_prefix=want_clip,
         )
+        split_f, mism_f = psi[0], psi[1]
         split_k = split_f.reshape(R, K)
         mism_k = mism_f.reshape(R, K)
+        clip_kk = {}
+        if want_clip:
+            # per-candidate softclip from the head prefix (free gather-wise);
+            # _select_se folds the winner's values with _apply_softclip's
+            # exact gating (only indel-free alignments are clipped)
+            cl_f, cr_f, mab_f = softclip_from_prefix(psi[2], lens_f)
+            skip = cl_f + cr_f >= lens_f - 16
+            total_f = psi[2][:, -1]
+            cl_f = jnp.where(skip, 0, cl_f)
+            cr_f = jnp.where(skip, 0, cr_f)
+            mab_f = jnp.where(skip, total_f, mab_f)
+            clip_kk = dict(
+                clip_l_k=cl_f.reshape(R, K),
+                clip_r_k=cr_f.reshape(R, K),
+                mismc_k=mab_f.reshape(R, K),
+            )
 
         votes_k = v.votes
         mv = cfg.min_votes if min_votes is None else min_votes
@@ -353,7 +374,7 @@ class Aligner:
         return dict(
             pos_k=pos_k, strand_k=strand_k, indel_k=indel_k, split_k=split_k,
             mism_k=mism_k, votes_k=votes_k, valid_k=valid_k, score_k=score_k,
-            probe_kv_k=v.probe_kv,
+            probe_kv_k=v.probe_kv, **clip_kk,
         )
 
     @functools.partial(jax.jit, static_argnames=("self",))
@@ -377,9 +398,37 @@ class Aligner:
         mapq = jnp.where(
             n_best > 1, 0, cfg.mapq_unique // (1 + jnp.maximum(b_mism, 0))
         ).astype(jnp.int32)
+        clip_out = {}
+        b_pos0 = b_pos  # unclipped: probe_kv deltas below live in this space
+        # (the SE junction path never softclips — _select_se_junc builds on
+        # the unclipped base; PE subjunc does, via _select_pe's pick)
+        if "clip_l_k" in sc and not cfg.detect_junctions:
+            # fold the winner's per-candidate softclip (same gating as the
+            # former _apply_softclip stage: only indel-free alignments clip,
+            # the mismatch limit applies to the unclipped region)
+            cl_w = take(sc["clip_l_k"])
+            cr_w = take(sc["clip_r_k"])
+            mc_w = take(sc["mismc_k"])
+            no_ind = b_indel == 0
+            valid_pos = b_pos != np.uint32(0xFFFFFFFF)
+            mapped = jnp.where(
+                no_ind,
+                (mc_w <= cfg.max_mismatches)
+                & valid_pos
+                & (b_votes >= cfg.min_votes),
+                mapped,
+            )
+            b_mism = jnp.where(no_ind, mc_w, b_mism)
+            cl_w = jnp.where(no_ind, cl_w, 0)
+            cr_w = jnp.where(no_ind, cr_w, 0)
+            b_pos = jnp.where(
+                mapped & no_ind, b_pos + cl_w.astype(jnp.uint32), b_pos
+            )
+            clip_out = dict(clip_l=cl_w, clip_r=cr_w)
         # Output dtypes are shrunk to the value ranges (tunnel fetch is
         # ~60MB/s; fetched bytes are wall-clock).
         out = dict(
+            **clip_out,
             pos=b_pos, strand=b_strand.astype(jnp.int8),
             indel=b_indel.astype(jnp.int8), split=b_split.astype(jnp.int16),
             mism=jnp.minimum(b_mism, 999).astype(jnp.int16),
@@ -391,9 +440,9 @@ class Aligner:
             # the host only fetches the [R, P] probe_kv table when a batch
             # actually contains flagged reads (rare)
             SEN = np.uint32(0xFFFFFFFF)
-            anchored = (b_pos != SEN) & (b_votes >= cfg.min_votes)
+            anchored = (b_pos0 != SEN) & (b_votes >= cfg.min_votes)
             validp = (b_pkv != SEN) & anchored[:, None]
-            delta = jnp.where(validp, b_pkv - b_pos[:, None], SEN)
+            delta = jnp.where(validp, b_pkv - b_pos0[:, None], SEN)
             ds = jnp.sort(delta, axis=1)
             nvalid = validp.sum(axis=1)
             j = np.arange(1, b_pkv.shape[1], dtype=np.int32)[None, :]
@@ -410,11 +459,9 @@ class Aligner:
         if self.cfg.detect_junctions:
             return self._select_se_junc(codes, lens, genome_u32, v, sc,
                                         uniform_len=uniform_len)
-        res = self._select_se(lens, sc)
-        if self.cfg.show_soft_clipping:
-            res = self._apply_softclip(codes, lens, genome_u32, res,
-                                       uniform_len=uniform_len)
-        return res
+        # softclip is folded into _score_candidates/_select_se (per-candidate
+        # bounds from the head prefix — no second genome gather or dispatch)
+        return self._select_se(lens, sc)
 
     @functools.partial(jax.jit, static_argnames=("self", "uniform_len"))
     def _apply_softclip(self, codes, lens, genome_u32, res, uniform_len=None):
@@ -624,6 +671,9 @@ class Aligner:
             take = lambda a: jnp.take_along_axis(a, kk[:, None], axis=1)[:, 0]
             b_mism = take(sc["mism_k"])
             b_score = take(sc["score_k"])
+            b_pos = take(sc["pos_k"])
+            b_indel = take(sc["indel_k"])
+            b_votes = take(sc["votes_k"])
             mapped = take(sc["valid_k"]) & (b_mism <= cfg.max_mismatches)
             n_best = jnp.sum(
                 (sc["score_k"] == b_score[:, None]) & sc["valid_k"], axis=1
@@ -631,10 +681,33 @@ class Aligner:
             mapq = jnp.where(
                 n_best > 1, 0, cfg.mapq_unique // (1 + jnp.maximum(b_mism, 0))
             ).astype(jnp.int32)
+            clip_out = {}
+            if "clip_l_k" in sc:
+                # fold per-candidate softclip (see _select_se)
+                cl_w = take(sc["clip_l_k"])
+                cr_w = take(sc["clip_r_k"])
+                mc_w = take(sc["mismc_k"])
+                no_ind = b_indel == 0
+                valid_pos = b_pos != np.uint32(0xFFFFFFFF)
+                mapped = jnp.where(
+                    no_ind,
+                    (mc_w <= cfg.max_mismatches)
+                    & valid_pos
+                    & (b_votes >= cfg.min_votes),
+                    mapped,
+                )
+                b_mism = jnp.where(no_ind, mc_w, b_mism)
+                cl_w = jnp.where(no_ind, cl_w, 0)
+                cr_w = jnp.where(no_ind, cr_w, 0)
+                b_pos = jnp.where(
+                    mapped & no_ind, b_pos + cl_w.astype(jnp.uint32), b_pos
+                )
+                clip_out = dict(clip_l=cl_w, clip_r=cr_w)
             return dict(
-                pos=take(sc["pos_k"]), strand=take(sc["strand_k"]),
-                indel=take(sc["indel_k"]), split=take(sc["split_k"]),
-                mism=b_mism, votes=take(sc["votes_k"]), mapped=mapped,
+                **clip_out,
+                pos=b_pos, strand=take(sc["strand_k"]),
+                indel=b_indel, split=take(sc["split_k"]),
+                mism=b_mism, votes=b_votes, mapped=mapped,
                 multi=n_best > 1, mapq=mapq,
             )
 
@@ -663,14 +736,9 @@ class Aligner:
             c2, a2, l2, genome_u32, v2, min_votes=self.cfg.min_votes_second,
             uniform_len=ul2,
         )
-        r1, r2 = self._select_pe(l1, l2, sc1, sc2)
-        if self.cfg.show_soft_clipping:
-            p1, p2 = r1.pop("proper"), r2.pop("proper")
-            r1 = self._apply_softclip(c1, l1, genome_u32, r1, uniform_len=ul1)
-            r2 = self._apply_softclip(c2, l2, genome_u32, r2, uniform_len=ul2)
-            r1["proper"] = p1 & r1["mapped"] & r2["mapped"]
-            r2["proper"] = r1["proper"]
-        return r1, r2
+        # softclip folded into _score_candidates/_select_pe's pick (the
+        # "proper" flag there already uses the post-clip mapped states)
+        return self._select_pe(l1, l2, sc1, sc2)
 
     # --- host orchestration -------------------------------------------------
 

@@ -121,7 +121,8 @@ def place_single_indel(
     head_pos: jnp.ndarray,   # [R] uint32
     indel: jnp.ndarray,      # [R] int32 net indel: >0 deletion, <0 insertion
     max_indel_static: int = 16,  # static |indel| bound (config max_indel)
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    return_head_prefix: bool = False,
+) -> tuple[jnp.ndarray, ...]:
     """Optimal split s for a single indel of known size.
 
     Head segment read[0:s] aligns at head_pos; tail segment read[s':L]
@@ -169,7 +170,51 @@ def place_single_indel(
     total = jnp.where(valid, total, 1 << 20)
     split = jnp.argmin(total, axis=1).astype(jnp.int32)
     best = jnp.take_along_axis(total, split[:, None], axis=1)[:, 0]
+    if return_head_prefix:
+        # the head-alignment mismatch prefix table doubles as the final
+        # alignment's profile for indel-free candidates — softclip bounds
+        # can then be derived without a second genome gather
+        return split, best, prefix
     return split, best
+
+
+def softclip_from_prefix(
+    prefix: jnp.ndarray,     # int32 [R, L+1]: prefix[b] = head-alignment
+    #                          mismatches in read[0:b], masked to read_len
+    read_len: jnp.ndarray,   # [R]
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """softclip_bounds computed from an existing mismatch prefix table.
+
+    Same max-scoring-window (Kadane) semantics as softclip_bounds, but
+    reusing the prefix sums place_single_indel already built — so the
+    pipeline's softclip stage needs no second genome-window gather.  Valid
+    for indel-free candidates, whose head alignment IS the final alignment.
+    Returns (clip_left, clip_right, mismatches inside the kept window).
+    """
+    R, L1 = prefix.shape
+    L = L1 - 1
+    idx = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
+    # S[b] = sum over read[0:b] of (mismatch ? -3 : +1), zero past read_len:
+    # matches in [0,b) = min(b, len) - prefix[b]  ->  S = min(b,len) - 4*prefix
+    S = jnp.minimum(idx, read_len[:, None]) - 4 * prefix
+    pm = jax.lax.cummin(S, axis=1)
+    gain = S - pm
+    b = jnp.argmax(gain, axis=1).astype(jnp.int32)
+    minv = jnp.take_along_axis(pm, b[:, None], axis=1)[:, 0]
+    a = jnp.argmax((S == minv[:, None]) & (idx <= b[:, None]), axis=1).astype(
+        jnp.int32
+    )
+    clip_left = a
+    clip_right = jnp.maximum(read_len - b, 0)
+    too_much = clip_left + clip_right >= read_len
+    clip_left = jnp.where(too_much, 0, clip_left)
+    clip_right = jnp.where(too_much, 0, clip_right)
+    last = jnp.clip(read_len - clip_right, 0, L)
+    m_ab = (
+        jnp.take_along_axis(prefix, last[:, None], axis=1)[:, 0]
+        - jnp.take_along_axis(prefix, jnp.minimum(clip_left, L)[:, None], axis=1)[:, 0]
+    )
+    return clip_left, clip_right, jnp.maximum(m_ab, 0)
 
 
 def softclip_bounds(
