@@ -40,14 +40,22 @@ def main():
     # warmup (compile + first transfers)
     aligner.align_batch(batch)
 
-    # median of 9: the tunnel-shared chip's throughput drifts +/-20%
-    # between runs, so a single mean is noisy
-    times = []
-    for _ in range(9):
+    # Steady-state streaming throughput, exactly as align_file drives the
+    # device (submit chunk N+1 before collecting chunk N so host prep and
+    # fetches overlap device compute).  Median of 3 streams x 5 chunks:
+    # the tunnel-shared chip's throughput drifts +/-20% between runs.
+    per_stream = []
+    chunks = 5
+    for _ in range(3):
         t0 = time.time()
-        res = aligner.align_batch(batch)
-        times.append(time.time() - t0)
-    dt = sorted(times)[len(times) // 2]
+        state = aligner.submit_batch(batch)
+        for _ in range(chunks - 1):
+            nxt = aligner.submit_batch(batch)
+            res = aligner.collect_batch(state)
+            state = nxt
+        res = aligner.collect_batch(state)
+        per_stream.append(time.time() - t0)
+    dt = sorted(per_stream)[1] / chunks
     reads_per_sec = n_reads / dt
 
     mapped = float(res["mapped"].sum()) / n_reads

@@ -819,13 +819,19 @@ class Aligner:
         return items, off
 
     def align_batch(self, batch: ReadBatch) -> dict[str, np.ndarray]:
-        """One-upload / one-fetch device loop.  Measured tunnel economics
+        return self.collect_batch(self.submit_batch(batch))
+
+    def submit_batch(self, batch: ReadBatch):
+        """Host prep + upload + all device dispatches for one chunk
+        (non-blocking beyond the upload).  Measured tunnel economics
         (see _pack_res): every host->device upload blocks the client
         ~12-28ms regardless of size, and every device->host fetch of a
         separate computed array costs a round-trip — so the whole chunk
         uploads as one packed words tensor, sub-batches are sliced ON
         DEVICE (_prep, traced index), and all sub-batch results come back
-        as one packed byte buffer per sub-batch."""
+        as one packed byte buffer per sub-batch (fetched in collect_batch).
+        Splitting submit/collect lets align_file overlap chunk N's host
+        postprocess+emit with chunk N+1's device compute."""
         codes, ambig, lens, R = self._pad_batch(batch)
         n = len(lens)
         ul = uniform_length(lens[:R])
@@ -856,6 +862,10 @@ class Aligner:
             )
             pending.append(res)
             bufs.append(self._pack_res(res))
+        return pending, bufs, bs, R, n_sub
+
+    def collect_batch(self, state) -> dict[str, np.ndarray]:
+        pending, bufs, bs, R, n_sub = state
         # one single-array fetch per sub-batch: the first waits on compute,
         # later transfers ride under the still-running FIFO queue (measured:
         # a device-side concat into one buffer is ~25% SLOWER end-to-end)
@@ -1106,8 +1116,11 @@ class Aligner:
             )
 
     def align_batch_pe(self, b1: ReadBatch, b2: ReadBatch):
+        return self.collect_batch_pe(self.submit_batch_pe(b1, b2))
+
+    def submit_batch_pe(self, b1: ReadBatch, b2: ReadBatch):
         """PE variant of the one-upload / packed-single-buffer-fetch loop
-        (see align_batch): both mates upload once per chunk; each sub-batch
+        (see submit_batch): both mates upload once per chunk; each sub-batch
         returns one packed byte buffer per mate."""
         c1, a1, l1, R = self._pad_batch(b1)
         c2, a2, l2, _ = self._pad_batch(b2)
@@ -1140,6 +1153,10 @@ class Aligner:
                 ul1=ul1, ul2=ul2,
             )
             bufs.append((self._pack_res(r1), self._pack_res(r2), r1, r2))
+        return bufs, bs, R, n_sub
+
+    def collect_batch_pe(self, state):
+        bufs, bs, R, n_sub = state
         parts1, parts2 = [], []
         layout = None
         for j in range(n_sub):
@@ -1270,21 +1287,33 @@ class Aligner:
             sort_by_coordinates=self.cfg.sort_by_coordinates,
             rg_id=self.cfg.rg_id, rg_extra=list(self.cfg.rg_extra) or None,
         )
+        def read_pair():
+            b1 = rd1.next_batch(chunk_reads, pad_to=self.cfg.pad_read_len)
+            b2 = rd2.next_batch(chunk_reads, pad_to=self.cfg.pad_read_len)
+            if b1 is None or b2 is None:
+                return None
+            assert len(b1) == len(b2), "mate files out of sync"
+            return b1, b2
+
         try:
-            while True:
+            t0 = time.time()
+            pair = read_pair()
+            t_read = time.time() - t0
+            state = self.submit_batch_pe(*pair) if pair is not None else None
+            while pair is not None:
+                # depth-1 chunk pipeline (see align_file)
                 t0 = time.time()
-                b1 = rd1.next_batch(chunk_reads, pad_to=self.cfg.pad_read_len)
-                b2 = rd2.next_batch(chunk_reads, pad_to=self.cfg.pad_read_len)
-                if b1 is None or b2 is None:
-                    break
-                assert len(b1) == len(b2), "mate files out of sync"
+                nxt = read_pair()
+                t_read_next = time.time() - t0
+                nxt_state = self.submit_batch_pe(*nxt) if nxt is not None else None
                 t1 = time.time()
-                r1, r2 = self.align_batch_pe(b1, b2)
+                r1, r2 = self.collect_batch_pe(state)
                 t2 = time.time()
-                self._emit_sam_pe(writer, b1, b2, r1, r2, summary)
+                self._emit_sam_pe(writer, pair[0], pair[1], r1, r2, summary)
                 t3 = time.time()
-                summary.time_io += (t1 - t0) + (t3 - t2)
+                summary.time_io += t_read + (t3 - t2)
                 summary.time_voting += t2 - t1
+                pair, state, t_read = nxt, nxt_state, t_read_next
         finally:
             rd1.close()
             rd2.close()
@@ -1310,13 +1339,21 @@ class Aligner:
         indel_events: dict = {}
         breakpoints: dict | None = {} if self.cfg.all_junctions else None
         try:
-            while True:
+            t0 = time.time()
+            batch = reader.next_batch(chunk_reads, pad_to=self.cfg.pad_read_len)
+            t_read = time.time() - t0
+            state = self.submit_batch(batch) if batch is not None else None
+            while batch is not None:
+                # depth-1 chunk pipeline: read + submit chunk N+1 BEFORE
+                # collecting chunk N, so its device compute runs under this
+                # chunk's fetch + host postprocess + emit (the device never
+                # idles during the ~25ms host prep or the SAM write)
                 t0 = time.time()
-                batch = reader.next_batch(chunk_reads, pad_to=self.cfg.pad_read_len)
-                if batch is None:
-                    break
+                nxt = reader.next_batch(chunk_reads, pad_to=self.cfg.pad_read_len)
+                t_read_next = time.time() - t0
+                nxt_state = self.submit_batch(nxt) if nxt is not None else None
                 t1 = time.time()
-                res = self.align_batch(batch)
+                res = self.collect_batch(state)
                 if junctions is None and "probe_kv" in res:
                     ov = refine_multi_indels(
                         self.genome, batch, res, self.cfg.max_indel,
@@ -1374,8 +1411,9 @@ class Aligner:
                 self._emit_sam(writer, batch, res, summary,
                                junctions=junctions, indel_events=indel_events)
                 t3 = time.time()
-                summary.time_io += (t1 - t0) + (t3 - t2)
+                summary.time_io += t_read + (t3 - t2)
                 summary.time_voting += t2 - t1  # vote+realign fused on device
+                batch, state, t_read = nxt, nxt_state, t_read_next
         finally:
             reader.close()
             writer.close()
