@@ -35,6 +35,13 @@ def main():
         genome, n_reads, read_len=100, rng=rng, error_rate=0.005
     )
     cfg = aligner_config(batch_reads=16384)
+    if batch.max_len < cfg.pad_read_len:
+        # pre-pad to the standard width, exactly as FastqReader(pad_to=...)
+        # delivers chunks to align_file — submit_batch then skips its copy
+        pad = cfg.pad_read_len - batch.max_len
+        batch.codes = np.pad(batch.codes, ((0, 0), (0, pad)))
+        batch.quals = np.pad(batch.quals, ((0, 0), (0, pad)))
+        batch.ambig = np.pad(batch.ambig, ((0, 0), (0, pad)))
     aligner = Aligner(genome, index, cfg)
 
     # warmup (compile + first transfers)

@@ -747,6 +747,15 @@ class Aligner:
         R = len(batch)
         Rp = -(-R // cfg.batch_reads) * cfg.batch_reads if R else cfg.batch_reads
         Lp = max(cfg.pad_read_len, batch.max_len)
+        if R == Rp and batch.max_len == Lp:
+            # full chunk already reader-padded to the standard width: no copy
+            # (~15ms of host numpy per 65K chunk otherwise)
+            return (
+                np.ascontiguousarray(batch.codes),
+                np.ascontiguousarray(batch.ambig),
+                batch.lengths.astype(np.int32, copy=False),
+                R,
+            )
         codes = np.zeros((Rp, Lp), np.uint8)
         ambig = np.zeros((Rp, Lp), bool)
         lens = np.zeros(Rp, np.int32)
