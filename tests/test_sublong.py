@@ -78,3 +78,42 @@ def test_long_read_deletion_event(tmp_path, chr901_genome, chr901_index, rng):
     # read bases consumed match the read length minus clips
     consumed = sum(n_ for n_, op in h.cigar_ops if op in "MI")
     assert consumed == len(codes) - h.clip_left - h.clip_right
+
+
+def test_sequence_parallel_long_read_matches_single_device(
+    chr901_genome, chr901_index, rng
+):
+    """One extreme read's windows sharded across an 8-device CPU mesh
+    (SURVEY §5 long-context scaling) must chain identically to the
+    single-device path."""
+    from subread_tpu.align.longread import map_long_reads, map_long_reads_sharded
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+    from subread_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 virtual CPU devices")
+    g = chr901_genome
+    reads = []
+    # one extreme read (~60kbp -> 600 windows, ~75/chip) + a few medium ones
+    for L in (60_000, 4_000, 2_500):
+        pos = int(rng.integers(0, int(g.lengths[0]) - L - 1))
+        lin = g.chro_to_linear(0, pos)
+        codes = g.codes[lin : lin + L].copy()
+        err = rng.random(L) < 0.02
+        codes[err] = (codes[err] + rng.integers(1, 4, size=err.sum())) % 4
+        reads.append(codes)
+    reads.append(dna.revcomp(reads[0][:30_000]))  # rc half of the extreme read
+
+    al = Aligner(g, chr901_index, aligner_config(batch_reads=2048, min_votes=2))
+    mesh = make_mesh(8, devices=devs[:8])
+    base = map_long_reads(al, reads)
+    shard = map_long_reads_sharded(al, reads, mesh)
+    for b, s in zip(base, shard):
+        assert s.mapped == b.mapped
+        if b.mapped:
+            assert s.pos == b.pos and s.strand == b.strand
+            assert s.cigar_ops == b.cigar_ops
+            assert (s.clip_left, s.clip_right) == (b.clip_left, b.clip_right)
+    assert base[0].mapped and base[0].n_windows >= 450
