@@ -48,9 +48,21 @@ def _bgzf_blocks(raw: bytes):
         off += bsize
 
 
-def bgzf_decompress(path: str) -> bytes:
+def bgzf_decompress(path: str, threads: int | None = None) -> bytes:
+    """Whole-file BGZF inflate.
+
+    Blocks are independent deflate streams (the reference reads them
+    serially, SamBam_fgets sambam-file.h:195); the native path
+    (native/bgzf.cpp) scans block boundaries once and inflates all blocks
+    with a C++ thread pool into one preallocated buffer.  Python block
+    loop as fallback."""
+    from .. import native
+
     with open(path, "rb") as f:
         raw = f.read()
+    out = native.bgzf_inflate(raw, threads or 0)
+    if out is not None:
+        return out
     return b"".join(_bgzf_blocks(raw))
 
 

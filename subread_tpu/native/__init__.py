@@ -20,7 +20,10 @@ _TRIED = False
 
 
 def _build() -> pathlib.Path | None:
-    srcs = [_HERE / "samtext.cpp", _HERE / "fccount.cpp", _HERE / "pack.cpp"]
+    srcs = [
+        _HERE / "samtext.cpp", _HERE / "fccount.cpp", _HERE / "pack.cpp",
+        _HERE / "bgzf.cpp",
+    ]
     out = _HERE / "libsamtext.so"
     if out.exists() and all(
         out.stat().st_mtime >= s.stat().st_mtime for s in srcs
@@ -28,8 +31,8 @@ def _build() -> pathlib.Path | None:
         return out
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", str(out)]
-            + [str(s) for s in srcs],
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", str(out)]
+            + [str(s) for s in srcs] + ["-lz"],
             check=True, capture_output=True, timeout=120,
         )
         return out
@@ -52,6 +55,8 @@ def get_lib():
     lib.fc_count_sam_simple.restype = ctypes.c_long
     lib.fc_count_bam_simple.restype = ctypes.c_long
     lib.pack_reads_2bit.restype = ctypes.c_long
+    lib.bgzf_total_isize.restype = ctypes.c_long
+    lib.bgzf_inflate_all.restype = ctypes.c_long
     _LIB = lib
     return _LIB
 
@@ -170,7 +175,7 @@ def fc_count_sam_simple(
 
 
 def fc_count_bam_simple(
-    bam_records: bytes,          # uncompressed BAM alignment section
+    bam_records: bytes,          # uncompressed BAM stream (records at `start`)
     ref2chrom: np.ndarray,       # int32 [n_refs] BAM ref id -> chrom table id
     feat_start: np.ndarray, feat_end: np.ndarray,
     feat_pmax_end: np.ndarray, feat_target: np.ndarray,
@@ -178,8 +183,12 @@ def fc_count_bam_simple(
     n_targets: int,
     min_mapq: int, primary_only: bool, ignore_dup: bool,
     count_multi: bool, strandness: int, max_mop: int,
+    start: int = 0,
 ):
-    """Native single-end featureCounts pass over BAM records."""
+    """Native single-end featureCounts pass over BAM records.
+
+    `start` offsets into bam_records without slicing (a [208MB stream]
+    slice copy measured ~0.2s per call)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -193,8 +202,10 @@ def fc_count_bam_simple(
         st=c(feat_strand, np.int8), co=c(chrom_feat_off, np.int64),
     )
     ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    base = ctypes.cast(ctypes.c_char_p(bam_records), ctypes.c_void_p).value
     rv = lib.fc_count_bam_simple(
-        ctypes.c_char_p(bam_records), ctypes.c_long(len(bam_records)),
+        ctypes.c_void_p(base + start),
+        ctypes.c_long(len(bam_records) - start),
         ptr(arrs["r2c"]), ctypes.c_int32(len(ref2chrom)),
         ptr(arrs["fs"]), ptr(arrs["fe"]), ptr(arrs["pm"]), ptr(arrs["tg"]),
         ptr(arrs["st"]), ptr(arrs["co"]), ctypes.c_int64(n_targets),
@@ -206,6 +217,36 @@ def fc_count_bam_simple(
     if rv < 0:
         return None
     return counts, dict(zip(FC_SUMMARY_SLOTS, summary.tolist())), int(rv)
+
+
+def bgzf_inflate(raw: bytes, threads: int = 0) -> bytes | None:
+    """Parallel whole-stream BGZF inflate (bgzf.cpp); None when the native
+    library is unavailable or the stream is malformed (caller falls back
+    to the Python block loop)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if threads <= 0:
+        threads = min(8, os.cpu_count() or 1)
+    total = lib.bgzf_total_isize(ctypes.c_char_p(raw), ctypes.c_long(len(raw)))
+    if total < 0:
+        return None
+    # Allocate uninitialized bytes and let the C++ pool write straight into
+    # it (the C-extension pattern: PyBytes_FromStringAndSize(NULL, n) then
+    # fill while refcount==1).  Avoids both create_string_buffer's zero-fill
+    # and a tobytes copy — each measured ~0.2-0.6s on a 208MB stream.
+    api = ctypes.pythonapi
+    api.PyBytes_FromStringAndSize.restype = ctypes.py_object
+    api.PyBytes_FromStringAndSize.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
+    out = api.PyBytes_FromStringAndSize(None, total)
+    dst = ctypes.cast(ctypes.c_char_p(out), ctypes.c_void_p)
+    rv = lib.bgzf_inflate_all(
+        ctypes.c_char_p(raw), ctypes.c_long(len(raw)),
+        dst, ctypes.c_long(total), ctypes.c_int32(threads),
+    )
+    if rv != total:
+        return None
+    return out
 
 
 def pack_reads_2bit(codes: np.ndarray, ambig: np.ndarray | None):

@@ -560,11 +560,12 @@ class FeatureCounter:
             [name_to_ci.get(n, -1) for n in rd.ref_names], np.int32
         )
         res = native.fc_count_bam_simple(
-            bytes(rd._data[rd._off :]), ref2chrom,
+            rd._data, ref2chrom,
             *nt[1:], n_targets=self.n_targets,
             min_mapq=o.min_mapq, primary_only=o.primary_only,
             ignore_dup=o.ignore_dup, count_multi=o.count_multi,
             strandness=o.strand, max_mop=o.max_mop,
+            start=rd._off,
         )
         if res is None:
             return False
@@ -735,13 +736,26 @@ class FeatureCounter:
                     )
             else:
                 lengths = ann.gene_lengths()
+                # one global (gene, start) sort + searchsorted group bounds
+                # instead of a per-gene flatnonzero scan (O(F log F) total,
+                # was O(G*F): 1.3s of the 2M-record BAM wall on 20K genes)
+                order_all = np.lexsort(
+                    (np.arange(ann.n_features), ann.feat_start, ann.feat_gene)
+                )
+                fg_sorted = ann.feat_gene[order_all]
+                bounds = np.searchsorted(
+                    fg_sorted, np.arange(len(ann.gene_names) + 1)
+                )
+                fstart_s = ann.feat_start[order_all]
+                fend_s = ann.feat_end[order_all]
+                fstrand_s = ann.feat_strand[order_all]
                 for gidx, gname in enumerate(ann.gene_names):
-                    sel = np.flatnonzero(ann.feat_gene == gidx)
-                    order = sel[np.argsort(ann.feat_start[sel], kind="stable")]
+                    lo, hi = int(bounds[gidx]), int(bounds[gidx + 1])
+                    order = order_all[lo:hi]
                     chrs = ";".join(ann.feat_chro[i] for i in order)
-                    starts = ";".join(str(int(ann.feat_start[i])) for i in order)
-                    ends = ";".join(str(int(ann.feat_end[i])) for i in order)
-                    strs = ";".join(strands[int(ann.feat_strand[i])] for i in order)
+                    starts = ";".join(map(str, fstart_s[lo:hi].tolist()))
+                    ends = ";".join(map(str, fend_s[lo:hi].tolist()))
+                    strs = ";".join(strands[s] for s in fstrand_s[lo:hi].tolist())
                     cnts = "\t".join(self._fmt(c[gidx]) for c in cols)
                     f.write(
                         f"{gname}\t{chrs}\t{starts}\t{ends}\t{strs}"
