@@ -140,10 +140,13 @@ def fc_count_sam_simple(
     n_targets: int,
     min_mapq: int, primary_only: bool, ignore_dup: bool,
     count_multi: bool, strandness: int, max_mop: int,
+    start: int = 0, length: int | None = None,
 ):
     """Native single-end featureCounts pass.  Returns (counts, summary
     dict, n_records) or None when unavailable / the file needs the full
-    python engine."""
+    python engine.  start/length window into sam_bytes without a slice
+    copy, so line-aligned ranges can count in parallel threads (the C
+    call releases the GIL)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -159,8 +162,11 @@ def fc_count_sam_simple(
         st=c(feat_strand, np.int8), co=c(chrom_feat_off, np.int64),
     )
     ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    if length is None:
+        length = len(sam_bytes) - start
+    base = ctypes.cast(ctypes.c_char_p(sam_bytes), ctypes.c_void_p).value
     rv = lib.fc_count_sam_simple(
-        ctypes.c_char_p(sam_bytes), ctypes.c_long(len(sam_bytes)),
+        ctypes.c_void_p(base + start), ctypes.c_long(length),
         ctypes.c_char_p(blob), ptr(off), ctypes.c_int32(len(chrom_names)),
         ptr(arrs["fs"]), ptr(arrs["fe"]), ptr(arrs["pm"]), ptr(arrs["tg"]),
         ptr(arrs["st"]), ptr(arrs["co"]), ctypes.c_int64(n_targets),

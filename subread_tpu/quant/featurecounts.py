@@ -639,16 +639,49 @@ class FeatureCounter:
     def _count_sam_native(self, path: str) -> bool:
         from .. import native
 
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
         o = self.opts
         nt = self._native_tables()
         with open(path, "rb") as f:
             data = f.read()
-        res = native.fc_count_sam_simple(
-            data, *nt, n_targets=self.n_targets,
-            min_mapq=o.min_mapq, primary_only=o.primary_only,
-            ignore_dup=o.ignore_dup, count_multi=o.count_multi,
-            strandness=o.strand, max_mop=o.max_mop,
-        )
+
+        def run(start, length):
+            return native.fc_count_sam_simple(
+                data, *nt, n_targets=self.n_targets,
+                min_mapq=o.min_mapq, primary_only=o.primary_only,
+                ignore_dup=o.ignore_dup, count_multi=o.count_multi,
+                strandness=o.strand, max_mop=o.max_mop,
+                start=start, length=length,
+            )
+
+        # line-aligned ranges counted in parallel (the ctypes call releases
+        # the GIL; records are independent in the simple-options subset)
+        T = min(8, os.cpu_count() or 1)
+        if T > 1 and len(data) > (1 << 22):
+            cuts = [0]
+            step = len(data) // T
+            for t in range(1, T):
+                j = data.find(b"\n", t * step)
+                cuts.append(len(data) if j < 0 else j + 1)
+            cuts.append(len(data))
+            cuts = sorted(set(cuts))
+            spans = [
+                (cuts[i], cuts[i + 1] - cuts[i])
+                for i in range(len(cuts) - 1)
+                if cuts[i + 1] > cuts[i]
+            ]
+            with ThreadPoolExecutor(len(spans)) as ex:
+                results = list(ex.map(lambda s: run(*s), spans))
+            if any(r is None for r in results):
+                return False
+            for counts, summ, _n in results:
+                self.counts += counts
+                for k, v in summ.items():
+                    self.summary[k] += v
+            return True
+        res = run(0, len(data))
         if res is None:
             return False
         counts, summ, _n = res
