@@ -29,6 +29,9 @@ class Annotation:
     # values, one list per requested attribute name; "NA" when absent.
     extra_attr_names: list[str] = field(default_factory=list)
     gene_extra: list[list[str]] = field(default_factory=list)
+    # --detectionCall (readSummary.c:1152-1159): per-gene GC-fraction
+    # string echoed from the SAF annotation's 6th column; None = not loaded
+    gene_gc: dict[str, str] | None = None
 
     @property
     def n_features(self) -> int:
@@ -92,8 +95,10 @@ def load_annotation(
     feature_type: str = "exon",
     attr_type: str = "gene_id",
     extra_attrs: list[str] | None = None,
+    gc_column: bool = False,
 ) -> Annotation:
     gene_idx: dict[str, int] = {}
+    gene_gc: dict[str, str] | None = {} if gc_column else None
     gene_names: list[str] = []
     fg, fc, fs, fe, fstr = [], [], [], [], []
     extra_attrs = extra_attrs or []
@@ -125,6 +130,8 @@ def load_annotation(
                 fs.append(int(cols[2]))
                 fe.append(int(cols[3]))
                 fstr.append({"+": 0, "-": 1}.get(cols[4], 2))
+                if gene_gc is not None and len(cols) > 5 and cols[5]:
+                    gene_gc[cols[0]] = cols[5]
         else:
             for line in f:
                 if not line.strip() or line.startswith("#"):
@@ -162,4 +169,5 @@ def load_annotation(
         feat_strand=np.asarray(fstr, dtype=np.int8),
         extra_attr_names=list(extra_attrs),
         gene_extra=gene_extra,
+        gene_gc=gene_gc,
     )

@@ -22,7 +22,7 @@ _TRIED = False
 def _build() -> pathlib.Path | None:
     srcs = [
         _HERE / "samtext.cpp", _HERE / "fccount.cpp", _HERE / "pack.cpp",
-        _HERE / "bgzf.cpp",
+        _HERE / "bgzf.cpp", _HERE / "snppile.cpp",
     ]
     out = _HERE / "libsamtext.so"
     if out.exists() and all(
@@ -57,6 +57,7 @@ def get_lib():
     lib.pack_reads_2bit.restype = ctypes.c_long
     lib.bgzf_total_isize.restype = ctypes.c_long
     lib.bgzf_inflate_all.restype = ctypes.c_long
+    lib.snp_pileup_bam.restype = ctypes.c_long
     _LIB = lib
     return _LIB
 
@@ -253,6 +254,71 @@ def bgzf_inflate(raw: bytes, threads: int = 0) -> bytes | None:
     if rv != total:
         return None
     return out
+
+
+def snp_pileup_bam(
+    bam_records: bytes, start: int,
+    ref2chrom: np.ndarray,        # int32 [n_refs] -> chrom id or -1
+    chrom_off: np.ndarray,        # int64 [n_chroms] position offsets in votes
+    chrom_len: np.ndarray,        # int64 [n_chroms]
+    votes: np.ndarray,            # int32 [total_positions, 4], accumulated into
+    trim: int, min_q: int, qual_bias: int,
+):
+    """Native exactSNP pileup (snppile.cpp).  Returns
+    (n_records, indels list of (chrom, pos0, length, seq, count)) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    base = ctypes.cast(ctypes.c_char_p(bam_records), ctypes.c_void_p).value
+    r2c = np.ascontiguousarray(ref2chrom, np.int32)
+    coff = np.ascontiguousarray(chrom_off, np.int64)
+    clen = np.ascontiguousarray(chrom_len, np.int64)
+    assert votes.dtype == np.int32 and votes.flags.c_contiguous
+    # accumulate into a scratch buffer: the C call votes BEFORE serializing
+    # indels, so a capacity retry must not double-count into the caller's
+    tmp = np.zeros_like(votes)
+    cap = 1 << 16
+    blob_cap = 1 << 20
+    while True:
+        o_chrom = np.empty(cap, np.int32)
+        o_pos = np.empty(cap, np.int64)
+        o_len = np.empty(cap, np.int32)
+        o_cnt = np.empty(cap, np.int64)
+        o_soff = np.empty(cap, np.int64)
+        o_blob = np.empty(blob_cap, np.uint8)
+        n_ind = ctypes.c_long(0)
+        blob_len = ctypes.c_long(0)
+        rv = lib.snp_pileup_bam(
+            ctypes.c_void_p(base + start),
+            ctypes.c_long(len(bam_records) - start),
+            ptr(r2c), ctypes.c_int32(len(r2c)),
+            ptr(coff), ptr(clen), ctypes.c_int32(len(coff)),
+            ctypes.c_int32(trim), ctypes.c_int32(min_q),
+            ctypes.c_int32(qual_bias),
+            ptr(tmp),
+            ptr(o_chrom), ptr(o_pos), ptr(o_len), ptr(o_cnt), ptr(o_soff),
+            ctypes.c_long(cap), ptr(o_blob), ctypes.c_long(blob_cap),
+            ctypes.byref(n_ind), ctypes.byref(blob_len),
+        )
+        if rv == -2:
+            cap *= 4
+            blob_cap *= 4
+            tmp[:] = 0
+            continue
+        if rv < 0:
+            return None
+        votes += tmp
+        ind = []
+        blob = o_blob.tobytes()
+        for i in range(n_ind.value):
+            so = int(o_soff[i])
+            sl = -int(o_len[i]) if o_len[i] < 0 else 0
+            ind.append((
+                int(o_chrom[i]), int(o_pos[i]), int(o_len[i]),
+                blob[so : so + sl].decode(), int(o_cnt[i]),
+            ))
+        return int(rv), ind
 
 
 def pack_reads_2bit(codes: np.ndarray, ambig: np.ndarray | None):

@@ -212,6 +212,9 @@ class FeatureCounter:
         # -R detail output (write_read_details_FP, readSummary.c:2851)
         self._detail_fh = None
         self._detail_fmt = None
+        # --scSampleSheet sub-mode: a quant.fc_scrna.ScRNACounter fed one
+        # (read_name, gene, mapped) triple per fragment
+        self.sc = None
 
     # --- per-RG tables / -R detail output -----------------------------------
 
@@ -324,18 +327,24 @@ class FeatureCounter:
         if not mapped:
             s["Unassigned_Unmapped"] += 1
             self._detail(recs, "Unassigned_Unmapped", 0, None)
+            if self.sc is not None:
+                self.sc.add_fragment(recs[0].qname, -1, False)
             return
         if o.require_both_ends and o.paired:
             paired_recs = [r for r in recs if r.flag & 0x1]
             if len(mapped) < 2 and paired_recs:
                 s["Unassigned_Singleton"] += 1
                 self._detail(recs, "Unassigned_Singleton", 0, None)
+                if self.sc is not None:
+                    self.sc.add_fragment(recs[0].qname, -1, True)
                 return
         if o.min_mapq:
             q = max(r.mapq for r in mapped) if o.paired else mapped[0].mapq
             if q < o.min_mapq:
                 s["Unassigned_MappingQuality"] += 1
                 self._detail(recs, "Unassigned_MappingQuality", 0, None)
+                if self.sc is not None:
+                    self.sc.add_fragment(recs[0].qname, -1, True)
                 return
         if o.paired and len(mapped) == 2 and (o.check_pe_dist or o.no_chimeric):
             r1, r2 = mapped[0], mapped[1]
@@ -346,34 +355,48 @@ class FeatureCounter:
                     if not (o.min_fragment <= flen <= o.max_fragment):
                         s["Unassigned_FragmentLength"] += 1
                         self._detail(recs, "Unassigned_FragmentLength", -1, None)
+                        if self.sc is not None:
+                            self.sc.add_fragment(recs[0].qname, -1, True)
                         return
             else:
                 if o.no_chimeric:
                     s["Unassigned_Chimera"] += 1
                     self._detail(recs, "Unassigned_Chimera", -1, None)
+                    if self.sc is not None:
+                        self.sc.add_fragment(recs[0].qname, -1, True)
                     return
         if o.ignore_dup and any(r.flag & 0x400 for r in recs):
             s["Unassigned_Duplicate"] += 1
             self._detail(recs, "Unassigned_Duplicate", -1, None)
+            if self.sc is not None:
+                self.sc.add_fragment(recs[0].qname, -1, True)
             return
         nh = max(r.nh for r in mapped)
         is_multi = nh > 1
         if is_multi and not o.count_multi:
             s["Unassigned_MultiMapping"] += 1
             self._detail(recs, "Unassigned_MultiMapping", -1, None)
+            if self.sc is not None:
+                self.sc.add_fragment(recs[0].qname, -1, True)
             return
         if o.primary_only and any(r.flag & 0x100 for r in mapped):
             s["Unassigned_MultiMapping"] += 1
             self._detail(recs, "Unassigned_MultiMapping", -1, None)
+            if self.sc is not None:
+                self.sc.add_fragment(recs[0].qname, -1, True)
             return
         has_split = any("N" in r.cigar for r in mapped)
         if o.split_only and not has_split:
             s["Unassigned_NonSplit"] += 1
             self._detail(recs, "Unassigned_NonSplit", -1, None)
+            if self.sc is not None:
+                self.sc.add_fragment(recs[0].qname, -1, True)
             return
         if o.non_split_only and has_split:
             s["Unassigned_NonSplit"] += 1
             self._detail(recs, "Unassigned_Split", -1, None)
+            if self.sc is not None:
+                self.sc.add_fragment(recs[0].qname, -1, True)
             return
 
         # strandness: fragment strand = strand of the first-in-pair read
@@ -454,6 +477,8 @@ class FeatureCounter:
         if not targets:
             s["Unassigned_NoFeatures"] += 1
             self._detail(recs, "Unassigned_NoFeatures", -1, None)
+            if self.sc is not None:
+                self.sc.add_fragment(recs[0].qname, -1, True)
             return
 
         need_len = (o.min_overlap > 1 or o.frac_overlap > 0
@@ -501,11 +526,15 @@ class FeatureCounter:
         if best < 1:
             s["Unassigned_Overlapping_Length"] += 1
             self._detail(recs, "Unassigned_Overlapping_Length", -1, None)
+            if self.sc is not None:
+                self.sc.add_fragment(recs[0].qname, -1, True)
             return
         winners = [t for t, v in numbers.items() if v == best]
         if len(winners) > 1 and not o.allow_multi_overlap:
             s["Unassigned_Ambiguity"] += 1
             self._detail(recs, "Unassigned_Ambiguity", -1, None)
+            if self.sc is not None:
+                self.sc.add_fragment(recs[0].qname, -1, True)
             return
 
         weight = 1.0
@@ -517,6 +546,11 @@ class FeatureCounter:
         s["Assigned"] += 1
         for t in winners:
             counts[t] += weight
+        if self.sc is not None:
+            self.sc.add_fragment(
+                recs[0].qname,
+                int(winners[0]) if len(winners) == 1 else -1, True,
+            )
         if self._detail_fh is not None:
             names = ",".join(self._target_name(t) for t in winners)
             self._detail(recs, "Assigned", len(winners), names)
@@ -613,6 +647,7 @@ class FeatureCounter:
             or o.non_overlap_feature >= 0 or o.frac_overlap_feature > 0
             or o.by_read_group or o.long_reads
             or self._detail_fh is not None
+            or self.sc is not None
         )
 
     def _native_tables(self):
@@ -744,11 +779,19 @@ class FeatureCounter:
                 "# Program:subread_tpu featureCounts; Output:gene-level\n"
             )
             extra_hdr = "".join("\t" + n for n in extra_names)
+            # --detectionCall: GCfraction echoed as the 2nd column
+            # (readSummary.c:6954,7129-7136)
+            gc_hdr = "GCfraction\t" if ann.gene_gc is not None else ""
             f.write(
-                "Geneid\tChr\tStart\tEnd\tStrand\tLength"
+                f"Geneid\t{gc_hdr}Chr\tStart\tEnd\tStrand\tLength"
                 + extra_hdr + "\t" + "\t".join(hdr) + "\n"
             )
             strands = "+-."
+
+            def gc_col(gidx: int) -> str:
+                if ann.gene_gc is None:
+                    return ""
+                return ann.gene_gc.get(ann.gene_names[gidx], "nan") + "\t"
 
             def extras(gidx: int) -> str:
                 return "".join(
@@ -761,7 +804,7 @@ class FeatureCounter:
                     gidx = int(ann.feat_gene[i])
                     cnts = "\t".join(self._fmt(c[i]) for c in cols)
                     f.write(
-                        f"{ann.gene_names[gidx]}\t{ann.feat_chro[i]}"
+                        f"{ann.gene_names[gidx]}\t{gc_col(gidx)}{ann.feat_chro[i]}"
                         f"\t{int(ann.feat_start[i])}\t{int(ann.feat_end[i])}"
                         f"\t{strands[int(ann.feat_strand[i])]}"
                         f"\t{int(ann.feat_end[i]-ann.feat_start[i]+1)}"
@@ -791,7 +834,7 @@ class FeatureCounter:
                     strs = ";".join(strands[s] for s in fstrand_s[lo:hi].tolist())
                     cnts = "\t".join(self._fmt(c[gidx]) for c in cols)
                     f.write(
-                        f"{gname}\t{chrs}\t{starts}\t{ends}\t{strs}"
+                        f"{gname}\t{gc_col(gidx)}{chrs}\t{starts}\t{ends}\t{strs}"
                         f"\t{int(lengths[gidx])}{extras(gidx)}\t{cnts}\n"
                     )
 

@@ -61,6 +61,26 @@ def build_parser():
                     help="directory for -R detail files")
     ap.add_argument("--tmpDir", default=None)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--detectionCall", dest="detection_call",
+                    action="store_true",
+                    help="echo the SAF 6th column as a GCfraction column")
+    # accepted-for-parity no-ops: -S/--order is deprecated upstream
+    # (readSummary.c:8973-8986); --restrictedlyNoOverlap is parsed but
+    # never read (readSummary.c:6506 is its only consumer, itself unread);
+    # --debugCommand is internal debugging
+    ap.add_argument("-S", "--order", dest="order", default=None,
+                    help="(deprecated upstream; accepted and ignored)")
+    ap.add_argument("--restrictedlyNoOverlap", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--debugCommand", default=None, help=argparse.SUPPRESS)
+    # scRNA sub-mode (readSummary.c:7332-7334): BC+UMI parsed from
+    # '|'-joined read names; per-sample sparse matrices emitted
+    ap.add_argument("--scSampleSheet", default=None,
+                    help="scRNA sample sheet CSV; enables the scRNA sub-mode")
+    ap.add_argument("--scInputMode", default="BAM", choices=["FASTQ", "BAM"],
+                    help="scRNA input kind (BAM = barcodes in read names)")
+    ap.add_argument("--scCellBarcodeFile", default=None,
+                    help="cell barcode whitelist (one barcode per line)")
     ap.add_argument("input", nargs="+", help="SAM/BAM input file(s)")
     return ap
 
@@ -80,10 +100,12 @@ def main(argv=None) -> int:
         [c for c in args.extraAttributes.replace(";", ",").split(",") if c]
         if args.extraAttributes else None
     )
+    if args.order:
+        print('The "-S" option has been depreciated.', file=sys.stderr)
     ann = load_annotation(
         args.annotation, fmt=args.format,
         feature_type=args.feature_type, attr_type=args.attr_type,
-        extra_attrs=extra_attrs,
+        extra_attrs=extra_attrs, gc_column=args.detection_call,
     )
     if ann.n_features == 0:
         print(
@@ -148,7 +170,27 @@ def main(argv=None) -> int:
                 a, b = line.split(",", 1)
                 aliases[a] = b
     fc = FeatureCounter(ann, opts, chro_aliases=aliases)
-    names = [os.path.basename(p) for p in args.input]
+    sc = None
+    if args.scSampleSheet:
+        if not args.scCellBarcodeFile:
+            print("ERROR: --scSampleSheet needs --scCellBarcodeFile",
+                  file=sys.stderr)
+            return 1
+        from ..io.bcl import parse_sample_sheet
+        from ..quant.fc_scrna import ScRNACounter
+
+        _, entries = parse_sample_sheet(args.scSampleSheet)
+        # BAM input mode: one sample per run (readSummary.c:3821-3822)
+        sample_names = [entries[0].sample if entries else "Sample1"]
+        barcodes = [
+            l.strip().split("-")[0].split("\t")[0]
+            for l in open(args.scCellBarcodeFile) if l.strip()
+        ]
+        sc = ScRNACounter(barcodes, sample_names)
+        fc.sc = sc
+    # count-column headers are the input paths exactly as typed
+    # (readSummary.c writes argv paths verbatim)
+    names = list(args.input)
     detail_dir = args.Rpath or os.path.dirname(args.output) or "."
     for fi, path in enumerate(args.input):
         # -s accepts a comma-separated per-input strand list
@@ -164,6 +206,14 @@ def main(argv=None) -> int:
             )
         fc.count_file(path)
         fc.close_details()
+        if sc is not None:
+            # outputs are prefixed by the INPUT path (the reference uses
+            # global_context->input_file_name)
+            target_names = (
+                ann.gene_names if not opts.feature_level
+                else [ann.gene_names[int(g)] for g in ann.feat_gene]
+            )
+            sc.write_outputs(path, target_names)
     fc.write_counts(args.output, names)
     fc.write_summary(args.output + ".summary", names)
     if args.junctions:

@@ -232,3 +232,24 @@ def test_cli_strand_list_and_flags(tmp_path):
         for l in out.read_text().splitlines()[2:]
     }
     assert float(rows["geneA"][6]) == 2.0
+
+
+def test_detection_call_gc_column(tmp_path):
+    """--detectionCall echoes the SAF 6th column as a GCfraction column
+    (fixture = reference binary run with --detectionCall on gc.SAF)."""
+    import pathlib
+
+    from subread_tpu.tools.featurecounts import main
+
+    here = pathlib.Path(__file__).parent / "data" / "fc_flags"
+    sam = "/root/reference/test/featureCounts/data/test-minimum.sam"
+    out = tmp_path / "gc.FC"
+    assert main([
+        "-p", "--countReadPairs", "--detectionCall", "-F", "SAF",
+        "-a", str(here / "gc.SAF"), "-o", str(out), sam,
+    ]) == 0
+    ours = out.read_text().splitlines()[1:]
+    ref = (here / "gc.ref.FC").read_text().splitlines()[1:]
+    assert ours == ref
+    assert (out.parent / "gc.FC.summary").read_text() \
+        == (here / "gc.ref.FC.summary").read_text()
