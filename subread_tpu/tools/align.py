@@ -101,6 +101,30 @@ def build_parser(prog="subread_tpu-align", subjunc=False):
                     help="chromosome alias CSV for -a")
     ap.add_argument("--gtfFeature", default="exon")
     ap.add_argument("--gtfAttr", default="gene_id")
+    ap.add_argument("-v", "--version", action="version",
+                    version=prog)
+    # scRNA input modes (core-interface-aligner.c:502-513): read names
+    # carry '|'-joined barcode/UMI/sample fields for downstream counting
+    ap.add_argument("--scRNA_FQinput", action="store_true",
+                    help="-r is scRNA FASTQ triplets (io/scrna.py format)")
+    ap.add_argument("--scRNA_BAMinput", action="store_true",
+                    help="-r is a BAM whose names carry barcode fields")
+    ap.add_argument("--BCLinput", action="store_true",
+                    help="-r is a raw Illumina run directory")
+    ap.add_argument("--SVdetection", action="store_true",
+                    help="structural-variant detection (same as --sv)")
+    ap.add_argument("--accurateFusions", action="store_true",
+                    help="stricter fusion filtering (compat)")
+    # accepted-for-parity no-ops: the reference parses these but the
+    # values are never consumed in v2.0.6 (-s downscale_mapping_quality
+    # core.c:626 and --extraColumns SAM_extra_columns never reach the SAM
+    # writer; --exonAnnotationScreenOut only redirects a progress table)
+    ap.add_argument("-s", dest="downscale_mapq", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--extraColumns", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--exonAnnotationScreenOut", default=None,
+                    help=argparse.SUPPRESS)
     return ap
 
 
@@ -180,6 +204,8 @@ def run_align(args, subjunc: bool) -> int:
         # --fast (core.c:899-904): single best location, no multi reporting
         overrides["top_k"] = 1
         overrides["multi_best"] = 1
+    if getattr(args, "SVdetection", False):
+        args.sv = True
     if (args.sv or args.longDel) and not subjunc:
         # --sv/--longDel set do_breakpoint_detection (core-indel.c:4405)
         overrides["detect_junctions"] = True
@@ -189,7 +215,10 @@ def run_align(args, subjunc: bool) -> int:
     from ..io.fastq import make_trim_transform, open_read_source
 
     tf = make_trim_transform(args.trim5, args.trim3, args.color_convert)
-    fmt = "SAM" if args.SAMinput else ("BAM" if args.BAMinput else None)
+    scrna_bam = getattr(args, "scRNA_BAMinput", False)
+    fmt = "SAM" if args.SAMinput else (
+        "BAM" if (args.BAMinput or scrna_bam) else None
+    )
 
     aligner = Aligner(genome, index, cfg)
     if args.exonAnnotation:
@@ -226,7 +255,16 @@ def run_align(args, subjunc: bool) -> int:
             args.reads, args.reads2, args.output, readers=readers
         )
     else:
-        reader = open_read_source(args.reads, fmt, transform=tf)
+        if getattr(args, "scRNA_FQinput", False):
+            from ..io.scrna import ScRNAFastqReader
+
+            reader = ScRNAFastqReader(args.reads, transform=tf)
+        elif getattr(args, "BCLinput", False):
+            from ..io.scrna import BCLReadReader
+
+            reader = BCLReadReader(args.reads, transform=tf)
+        else:
+            reader = open_read_source(args.reads, fmt, transform=tf)
         summary = aligner.align_file(args.reads, args.output, reader=reader)
 
     d = summary.as_dict()
