@@ -1094,8 +1094,12 @@ class Aligner:
                 cl = int(res.get("clip_l", np.zeros(1, np.int32))[i]) if "clip_l" in res else 0
                 cr = int(res.get("clip_r", np.zeros(1, np.int32))[i]) if "clip_r" in res else 0
                 mid = L - cl - cr
-                if 0 < self.cfg.min_mapped_length > mid:
-                    # --minMappedLength: too few mapped bases -> unmapped
+                if (0 < self.cfg.min_mapped_length > mid) or (
+                    0 < self.cfg.min_mapped_fraction
+                    and mid * 100 < self.cfg.min_mapped_fraction * L
+                ):
+                    # --minMappedLength / --minMappedFraction:
+                    # too few mapped bases -> unmapped
                     summary.mapped -= 1
                     summary.unmapped += 1
                     if res["multi"][i]:

@@ -37,6 +37,7 @@ class AlignConfig:
     report_multi_mapping: bool = True # --multiMapping; -u reports unique only
     ignore_unmapped: bool = False     # --ignoreUnmapped: omit unmapped records
     min_mapped_length: int = 0        # --minMappedLength
+    min_mapped_fraction: int = 0      # --minMappedFraction (subjunc, %)
     mapq_unique: int = 40             # MQS base (UsersGuide:580-592)
     show_soft_clipping: bool = True   # -J disables
     phred_offset: int = 33            # -P

@@ -182,6 +182,7 @@ def run_align(args, subjunc: bool) -> int:
         report_multi_mapping=not args.unique,
         ignore_unmapped=args.ignoreUnmapped,
         min_mapped_length=args.minMappedLength,
+        min_mapped_fraction=getattr(args, "minMappedFraction", 0),
         mate_orientation=args.order,
         dp_mismatch=args.DPMismatch, dp_match=args.DPMatch,
         dp_gap_open=args.DPGapOpen, dp_gap_ext=args.DPGapExt,
@@ -219,6 +220,10 @@ def run_align(args, subjunc: bool) -> int:
     fmt = "SAM" if args.SAMinput else (
         "BAM" if (args.BAMinput or scrna_bam) else None
     )
+
+    if getattr(args, "pairedSAM", False) and fmt and not args.reads2:
+        # --pairedSAM: one SAM/BAM holds both mates
+        args.reads2 = args.reads
 
     aligner = Aligner(genome, index, cfg)
     if args.exonAnnotation:
