@@ -253,7 +253,8 @@ def map_long_reads_sharded(
     ]
 
 
-def sublong_file(aligner, fastq_path: str, out_sam: str, min_windows: int = 2):
+def sublong_file(aligner, fastq_path: str, out_sam: str, min_windows: int = 2,
+                 sam_output: bool = False):
     """Map a long-read FASTQ; returns (mapped, total)."""
     import gzip
 
@@ -268,7 +269,7 @@ def sublong_file(aligner, fastq_path: str, out_sam: str, min_windows: int = 2):
 
     writer = samio.make_writer(
         out_sam, g.names, [int(x) for x in g.lengths],
-        sam_output=out_sam.endswith(".sam"),
+        sam_output=sam_output or out_sam.endswith(".sam"),
     )
     mapped = total = 0
     # chunk reads so one device batch holds ~batch_reads windows

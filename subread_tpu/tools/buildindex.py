@@ -34,8 +34,26 @@ def main(argv=None) -> int:
     ap.add_argument("--reference-format", action="store_true",
                     help="also emit byte-exact reference-format artifacts "
                          "({prefix}.00.b.tab/.array)")
+    ap.add_argument("-b", dest="ignore_bar", action="store_true",
+                    help="truncate chromosome names at the first '|' "
+                         "(index-builder.c:218 ignore_bar_in_seqnames)")
+    ap.add_argument("-c", dest="color_space", action="store_true",
+                    help="color-space index (unsupported: use the "
+                         "aligner's -b read-side conversion instead)")
+    ap.add_argument("-k", dest="mark_noninformative", action="store_true",
+                    help=argparse.SUPPRESS)  # dead upstream: set at
+                    # index-builder.c:1076 but never read in v2.0.6
+    ap.add_argument("-v", "--version", action="version",
+                    version="subread_tpu-buildindex")
     ap.add_argument("fasta", nargs="+", help="reference FASTA file(s)")
     args = ap.parse_args(argv)
+    if args.color_space:
+        print(
+            "ERROR: color-space indexes are not supported; align SOLiD "
+            "reads with the base-space index and 'align -b' instead.",
+            file=sys.stderr,
+        )
+        return 1
 
     from ..index.build import build_hash_index
     from ..index.genome import build_genome
@@ -45,6 +63,9 @@ def main(argv=None) -> int:
     contigs = []
     for path in args.fasta:
         contigs.extend(read_fasta(path))
+    if args.ignore_bar:
+        for c in contigs:
+            c.name = c.name.split("|")[0]
     genome = build_genome(contigs)
     gap = 3 if args.gapped else 1
     index = build_hash_index(genome, index_gap=gap, repeat_threshold=args.threshold)

@@ -105,6 +105,28 @@ def main(argv=None) -> int:
     ap.add_argument("--cellCalling", action="store_true",
                     help="apply knee-point cell calling in FASTQ mode "
                          "(always on in BCL mode)")
+    # remaining reference long options (cell-counts.c:399-422)
+    ap.add_argument("--annotationChroAlias", default=None,
+                    help="chromosome alias CSV (annotation name, index name)")
+    ap.add_argument("--annotationType", default="exon",
+                    help="GTF feature type (default exon)")
+    ap.add_argument("--geneIdColumn", default="gene_id",
+                    help="GTF attribute holding the gene id")
+    ap.add_argument("--subreadsPerRead", type=int, default=None,
+                    help="subreads extracted per read")
+    ap.add_argument("--minVotesPerRead", type=int, default=None,
+                    help="min consensus votes to report a location")
+    ap.add_argument("--maxMismatch", type=int, default=None)
+    ap.add_argument("--minMappedLength", type=int, default=0)
+    ap.add_argument("--maxDiffToTopVotes", type=int, default=None,
+                    help="vote gap below the top vote still examined")
+    ap.add_argument("--reportedAlignmentsPerRead", type=int, default=1,
+                    help="alignments reported per read (top-1 counted)")
+    ap.add_argument("--reportMultiMappingReads", action="store_true")
+    ap.add_argument("--reportExcludedBarcodes", default=None,
+                    help="write reads with unmatched barcodes to this file")
+    ap.add_argument("-T", "--threads", type=int, default=1,
+                    help="compatibility (device parallelism is automatic)")
     args = ap.parse_args(argv)
 
     from ..align.pipeline import Aligner
@@ -120,10 +142,32 @@ def main(argv=None) -> int:
     mode = args.inputMode or ("BCL" if args.dataset else "FASTQ")
     genome, index = load_index_any(args.index)
     fmt = "GTF" if args.isGTFannotation else args.anno_format
-    ann = load_annotation(args.annotation, fmt=fmt)
+    ann = load_annotation(
+        args.annotation, fmt=fmt,
+        feature_type=args.annotationType, attr_type=args.geneIdColumn,
+    )
     whitelist = parse_cell_barcodes(args.cell_barcodes)
-    fcview = FeatureCounter(ann, FCOptions())  # reuse its interval index
-    aligner = Aligner(genome, index, subjunc_config(batch_reads=2048))
+    aliases = None
+    if args.annotationChroAlias:
+        aliases = {}
+        for line in open(args.annotationChroAlias):
+            line = line.strip()
+            if line and "," in line:
+                a, b = line.split(",", 1)
+                aliases[a] = b
+    fcview = FeatureCounter(ann, FCOptions(), chro_aliases=aliases)
+    overrides = dict(batch_reads=2048)
+    if args.subreadsPerRead is not None:
+        overrides["total_subreads"] = args.subreadsPerRead
+    if args.minVotesPerRead is not None:
+        overrides["min_votes"] = args.minVotesPerRead
+    if args.maxMismatch is not None:
+        overrides["max_mismatches"] = args.maxMismatch
+    if args.minMappedLength:
+        overrides["min_mapped_length"] = args.minMappedLength
+    if args.reportMultiMappingReads:
+        overrides["report_multi_mapping"] = True
+    aligner = Aligner(genome, index, subjunc_config(**overrides))
 
     if mode == "FASTQ":
         if not (args.reads and args.reads2):
