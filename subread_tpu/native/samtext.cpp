@@ -75,9 +75,14 @@ extern "C" long format_sam_records(
             // CIGAR from (split, indel, junc_gap)
             int32_t ind = indel[i], sp = split[i], jg = junc_gap ? junc_gap[i] : 0;
             if (jg > 0) {
+                // clipped junction: clS spM jgN (L-cl-sp-cr)M crS
+                int32_t cl = clip_l ? clip_l[i] : 0;
+                int32_t cr = clip_r ? clip_r[i] : 0;
+                if (cl > 0) { p = put_i32(p, cl); *p++ = 'S'; }
                 p = put_i32(p, sp); *p++ = 'M';
                 p = put_i32(p, jg); *p++ = 'N';
-                p = put_i32(p, L - sp); *p++ = 'M';
+                p = put_i32(p, L - cl - sp - cr); *p++ = 'M';
+                if (cr > 0) { p = put_i32(p, cr); *p++ = 'S'; }
             } else if (ind > 0) {
                 p = put_i32(p, sp); *p++ = 'M';
                 p = put_i32(p, ind); *p++ = 'D';

@@ -90,11 +90,36 @@ def junction_split_scan(
     use_rev = mr < mf
     split = jnp.where(use_rev, sr, sf)
     mism = jnp.where(use_rev, mr, mf)
+    ok = mism < big
+
+    # soft-clip noisy read ends of the junction explanation (the
+    # reference emits e.g. 16M168N71M14S: find_soft_clipping applies to
+    # explained reads too).  The combined mismatch vector stitches the
+    # head half (< split) with the tail half (>= split); clips may not
+    # consume an exon side below 8 bases (the split in_range floor).
+    from .extend import softclip_bounds
+
+    mm_comb = jnp.where(ar < split[:, None], mm_h, mm_t)
+    cl, cr = softclip_bounds(mm_comb, read_len)
+    cl = jnp.minimum(cl, jnp.maximum(split - 8, 0))
+    cr = jnp.minimum(cr, jnp.maximum(read_len - split - 8, 0))
+    no_clip = (cl + cr >= read_len - 16) | ~ok
+    cl = jnp.where(no_clip, 0, cl)
+    cr = jnp.where(no_clip, 0, cr)
+    pc = jnp.cumsum(mm_comb.astype(jnp.int32), axis=1)
+    head_mm = jnp.where(cl > 0, jnp.take_along_axis(
+        pc, jnp.maximum(cl - 1, 0)[:, None], axis=1)[:, 0], 0)
+    last_keep = jnp.clip(read_len - cr - 1, 0, L - 1)
+    upto = jnp.take_along_axis(pc, last_keep[:, None], axis=1)[:, 0]
+    mism_clipped = jnp.where(ok, jnp.maximum(upto - head_mm, 0), mism)
+
     return dict(
         split=split,
-        mism=mism,
+        mism=mism_clipped,
+        clip_l=cl,
+        clip_r=cr,
         donor_strand=use_rev.astype(jnp.int32),
-        ok=mism < big,
+        ok=ok,
     )
 
 
@@ -130,7 +155,10 @@ def pick_junction_pair(v, sc, max_indel: int):
     )
     minor_votes = jnp.where(ok, v.votes, -1)
     minor_k = jnp.argmax(minor_votes, axis=1)
-    minor_ok = jnp.take_along_axis(minor_votes, minor_k[:, None], axis=1)[:, 0] > 0
+    best_minor_votes = jnp.take_along_axis(
+        minor_votes, minor_k[:, None], axis=1
+    )[:, 0]
+    minor_ok = best_minor_votes > 0
     m_pos = jnp.take_along_axis(pos_k, minor_k[:, None], axis=1)[:, 0]
     m_is_tail = jnp.take_along_axis(minor_is_tail, minor_k[:, None], axis=1)[:, 0]
 
@@ -143,6 +171,8 @@ def pick_junction_pair(v, sc, max_indel: int):
         gap=gap,
         valid=pair_valid,
         strand=b_strand,
+        best_pos=b_pos,
+        best_votes=take(v.votes),
     )
 
 
