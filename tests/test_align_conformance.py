@@ -58,3 +58,51 @@ def test_position_agreement_with_reference(tmp_path, chr901_genome, chr901_index
     assert rate >= 0.99, f"position agreement {rate:.4f} ({agree}/{both})"
     # we should not lose many reads the reference maps
     assert ref_only < 400, f"reference-only mapped: {ref_only}"
+
+
+PE_R1 = HERE / "data" / "sim10k-pe-chr901-r1.fq.gz"
+PE_R2 = HERE / "data" / "sim10k-pe-chr901-r2.fq.gz"
+PE_REF = HERE / "data" / "sim10k-pe-chr901.ref-align.tsv.gz"
+
+
+def test_pe_position_agreement_with_reference(tmp_path, chr901_genome,
+                                              chr901_index):
+    """PE record-level conformance: 10k simulated pairs (1% error, 10%
+    indels) vs the reference binary run with -r/-R -t1 --SAMoutput."""
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+
+    al = Aligner(chr901_genome, chr901_index, aligner_config(batch_reads=2048))
+    out = tmp_path / "ours.sam"
+    al.align_file_pe(str(PE_R1), str(PE_R2), str(out))
+
+    ref = {}
+    with gzip.open(PE_REF, "rt") as f:
+        for line in f:
+            q, flag, rname, pos, _mapq, _cigar = line.rstrip("\n").split("\t")
+            which = 1 if int(flag) & 0x40 else 2
+            ref[(q, which)] = (int(flag) & 0x4, rname, int(pos))
+
+    both = agree = ref_only = 0
+    for line in open(out):
+        if line.startswith("@"):
+            continue
+        fds = line.split("\t")
+        which = 1 if int(fds[1]) & 0x40 else 2
+        r = ref.get((fds[0], which))
+        if r is None:
+            continue
+        ours_unmapped = bool(int(fds[1]) & 0x4)
+        if r[0]:
+            continue
+        if ours_unmapped:
+            ref_only += 1
+            continue
+        both += 1
+        if r[1] == fds[2] and abs(r[2] - int(fds[3])) <= 5:
+            agree += 1
+
+    assert both > 18000, f"both-mapped too low: {both}"
+    rate = agree / both
+    assert rate >= 0.98, f"PE position agreement {rate:.4f} ({agree}/{both})"
+    assert ref_only < 400, f"reference-only mapped: {ref_only}"
