@@ -699,6 +699,128 @@ class Aligner:
             out["junc_donor_strand"] = ds
         return out
 
+    def chain_clipped_junctions(self, batch: ReadBatch, res: dict,
+                                junctions: dict, events: dict | None = None) -> dict:
+        """Multi-junction CIGARs (e.g. the reference's 8M98N74M168N19M):
+        a junction read whose clipped end is explained by ANOTHER table
+        junction genome-adjacent to its aligned span gets a second N op
+        (explain_read walks up to MAX_EVENTS_IN_READ=8 events,
+        core-junction.c:2617; here: one extra event per clipped side).
+        Host pass over the (rare) clipped junction reads."""
+        if events is None:
+            events = junctions
+        if "junc" not in res or not events:
+            return res
+        junc = np.asarray(res["junc"], bool)
+        R = len(junc)
+        zeros = np.zeros(R, np.int32)
+        cl = np.asarray(res.get("clip_l", zeros))
+        cr = np.asarray(res.get("clip_r", zeros))
+        cand = np.flatnonzero(junc & ((cl >= 6) | (cr >= 6)))
+        if len(cand) == 0:
+            return res
+
+        g = self.genome
+        name_to_idx = {n: i for i, n in enumerate(g.names)}
+        by_right: dict[int, tuple[int, int]] = {}
+        by_left: dict[int, tuple[int, int]] = {}
+        for (chro, le, re_, ds) in events:
+            c = name_to_idx.get(chro)
+            if c is None:
+                continue
+            ll = g.chro_to_linear(c, le)
+            rl = g.chro_to_linear(c, re_)
+            by_right[rl] = (ll, ds)
+            by_left[ll] = (rl, ds)
+        overrides = res.get("cigar_override") or {}
+        pos_arr = np.asarray(res["pos"]).copy()
+        mism_arr = np.asarray(res["mism"], np.int32).copy()
+        changed = False
+        for i in cand:
+            L = int(batch.lengths[i])
+            o = batch.codes[i, :L]
+            if int(res["strand"][i]):
+                o = 3 - o[::-1]
+            p0 = int(pos_arr[i])
+            ci, cli, cri = int(res["split"][i]), int(cl[i]), int(cr[i])
+            gap = int(res["junc_gap"][i])
+            tail_m = L - cli - ci - cri
+            ci0 = ci  # pre-chain split (the primary junction's geometry)
+            parts = [(ci, gap, tail_m)]
+            mm_add = 0
+            new_pos = p0
+            head_cig = tail_cig = None
+            if cli >= 6:
+                # slack d: the clipped boundary may sit a couple of bases
+                # past the true exon edge (the clip bound is heuristic)
+                for d in (0, 1, 2):
+                    if p0 + d not in by_right or ci - d < 8:
+                        continue
+                    le2, ds2 = by_right[p0 + d]
+                    pre = cli + d
+                    s2 = le2 - pre + 1
+                    if s2 < 0:
+                        continue
+                    seg = g.codes[s2 : s2 + pre]
+                    mm = int(np.sum(seg != o[:pre]))
+                    if mm <= 2:
+                        head_cig = (pre, (p0 + d) - le2 - 1)
+                        ci -= d
+                        new_pos = s2
+                        mm_add += mm
+                        cidx, coff = g.linear_to_chro(np.asarray([le2]))
+                        # key uses contig coords of (le, re)
+                        key = (g.names[int(cidx[0])], int(coff[0]),
+                               int(coff[0]) + ((p0 + d) - le2), ds2)
+                        sup, ml, mr = junctions.get(key, (0, 0, 0))
+                        junctions[key] = (sup + 1, max(ml, pre), max(mr, ci))
+                        break
+            last_base = p0 + ci0 + gap + tail_m - 1
+            if cri >= 8 and (last_base in by_left):
+                re2, ds2 = by_left[last_base]
+                seg = g.codes[re2 : re2 + cri]
+                if len(seg) == cri:
+                    mm = int(np.sum(seg != o[L - cri:]))
+                    if mm <= 2:
+                        tail_cig = (re2 - last_base - 1, cri)
+                        mm_add += mm
+                        cidx, coff = g.linear_to_chro(np.asarray([last_base]))
+                        key = (g.names[int(cidx[0])], int(coff[0]),
+                               int(coff[0]) + (re2 - last_base), ds2)
+                        sup, ml, mr = junctions.get(key, (0, 0, 0))
+                        junctions[key] = (sup + 1, max(ml, tail_m), max(mr, cri))
+            if head_cig is None and tail_cig is None:
+                continue
+            # the emitter skips override reads, so count the read's PRIMARY
+            # junction here (it would otherwise lose this support)
+            cidx0, coff0 = g.linear_to_chro(np.asarray([p0]))
+            key0 = (g.names[int(cidx0[0])], int(coff0[0]) + ci0 - 1,
+                    int(coff0[0]) + ci0 + gap,
+                    int(res["junc_donor_strand"][i]))
+            sup, ml, mr = junctions.get(key0, (0, 0, 0))
+            junctions[key0] = (sup + 1, max(ml, ci), max(mr, tail_m))
+            cig = ""
+            if head_cig is not None:
+                cig += f"{head_cig[0]}M{head_cig[1]}N"
+            elif cli:
+                cig += f"{cli}S"
+            cig += f"{ci}M{gap}N{tail_m}M"
+            if tail_cig is not None:
+                cig += f"{tail_cig[0]}N{tail_cig[1]}M"
+            elif cri:
+                cig += f"{cri}S"
+            mism_arr[i] += mm_add
+            pos_arr[i] = new_pos
+            overrides[int(i)] = (cig, int(mism_arr[i]), int(mism_arr[i]))
+            changed = True
+        if not changed:
+            return res
+        out = dict(res)
+        out["pos"] = pos_arr
+        out["mism"] = mism_arr
+        out["cigar_override"] = overrides
+        return out
+
     @functools.partial(jax.jit, static_argnames=("self",))
     def _select_pe(self, lens1, lens2, sc1, sc2):
         """Paired-end combination selection.
@@ -1079,8 +1201,8 @@ class Aligner:
         summary.unique += nm_mapped - int(multi.sum())
         has_indel = mapped & (indel != 0)
         if overrides:
-            for i in overrides:
-                has_indel[i] = True
+            for i, (cig_o, _m, _n) in overrides.items():
+                has_indel[i] = ("I" in cig_o) or ("D" in cig_o)
         summary.indels += int(has_indel.sum())
         if indel_events is not None:
             for i in np.flatnonzero(has_indel):
@@ -1146,7 +1268,8 @@ class Aligner:
             override = (res.get("cigar_override") or {}).get(i)
             if override is not None:
                 cigar, mism_i, nm_i = override
-                summary.indels += 1
+                if "I" in cigar or "D" in cigar:
+                    summary.indels += 1
                 writer.write(
                     samio.SamRecord(
                         name, samio.FLAG_REVERSE if strand else 0,
@@ -1508,6 +1631,11 @@ class Aligner:
                     )
                     self._ev_donor = donor
                     res = self.rescue_with_events(batch, res, ev_l, ev_r)
+                    # chain lookups use the full event set (prelim) but
+                    # support counts land in the output table (junctions)
+                    res = self.chain_clipped_junctions(
+                        batch, res, junctions, events=prelim
+                    )
                 t2 = time.time()
                 if breakpoints is not None and "vk_pos" in res:
                     from .fusion import accumulate_breakpoints, detect_fusion_pairs

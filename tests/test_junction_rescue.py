@@ -76,3 +76,60 @@ def test_junction_rescue_lifts_support(tmp_path, chr901_genome, chr901_index, rn
     assert juncs
     sup = max(int(l.split("\t")[4]) for l in juncs)
     assert sup >= 30, sup  # support includes the rescued reads
+
+
+def test_second_junction_chaining(tmp_path, chr901_genome, chr901_index):
+    """Multi-junction CIGARs: a read crossing two junctions whose first
+    exon chunk is too short to vote gets a second N op chained from the
+    event table (reference explain_read emits e.g. 8M98N74M168N19M)."""
+    import numpy as np
+
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import subjunc_config
+    g = chr901_genome
+    base = 300_000 + g.padding
+    # exons: [base, base+9], [base+110, base+189], [base+290, base+309]
+    # with GT..AG donors planted at both introns
+    codes = np.asarray(g.codes).copy()
+    GT = [1, 3]; AG = [0, 1]
+    codes[base + 10 : base + 12] = GT
+    codes[base + 108 : base + 110] = AG
+    codes[base + 190 : base + 192] = GT
+    codes[base + 288 : base + 290] = AG
+    import dataclasses
+
+    g2 = dataclasses.replace(g, codes=codes)
+    from subread_tpu.index.build import build_hash_index
+
+    idx = build_hash_index(g2, index_gap=1)
+    ex1 = codes[base : base + 10]
+    ex2 = codes[base + 110 : base + 190]
+    ex3 = codes[base + 290 : base + 310]
+    read = np.concatenate([ex1, ex2, ex3])  # 10 + 80 + 20 = 110bp
+    # plus companion reads that discover the junctions with long halves
+    r_j1 = codes[base - 40 + 10 : base + 10]  # 50/50 around intron 1
+    r_j1 = np.concatenate([codes[base - 40 : base + 10], ex2[:50]])
+    r_j2 = np.concatenate([ex2[30:], ex3, codes[base + 310 : base + 340]])
+    names = ["multi"] + [f"d1_{i}" for i in range(3)] + [f"d2_{i}" for i in range(3)]
+    seqs = [read] + [r_j1] * 3 + [r_j2] * 3
+    recs = [
+        (n, "".join("AGCT"[c] for c in s), "I" * len(s))
+        for n, s in zip(names, seqs)
+    ]
+    fq = tmp_path / "multi.fq"
+    with open(fq, "w") as f:
+        for n, s, q in recs:
+            f.write(f"@{n}\n{s}\n+\n{q}\n")
+    al = Aligner(g2, idx, subjunc_config(batch_reads=256, pad_read_len=128))
+    out = tmp_path / "out.sam"
+    al.align_file(str(fq), str(out))
+    got = {}
+    for line in open(out):
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        got[f[0]] = (int(f[3]), f[5])
+    pos, cig = got["multi"]
+    assert cig.count("N") == 2, f"expected chained CIGAR, got {cig}"
+    assert cig == "10M100N80M100N20M", cig
+    assert pos == base - g.padding + 1

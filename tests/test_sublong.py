@@ -117,3 +117,56 @@ def test_sequence_parallel_long_read_matches_single_device(
             assert s.cigar_ops == b.cigar_ops
             assert (s.clip_left, s.clip_right) == (b.clip_left, b.clip_right)
     assert base[0].mapped and base[0].n_windows >= 450
+
+
+def test_sublong_truth_agreement_and_completeness(
+    tmp_path, chr901_genome, chr901_index
+):
+    """50 simulated 2-20kb reads (2% error): >=94% clip-adjusted position
+    agreement with the encoded truth, and >=95% of read bases aligned.
+    (The reference binary on the same input maps 50/50 but aligns only
+    ~20% of each read's bases, soft-clipping the rest; we chain the whole
+    read.)"""
+    import gzip as _gz
+    import pathlib
+    import re
+
+    here = pathlib.Path(__file__).parent
+    fq_gz = here / "data" / "long50-chr901.fq.gz"
+    fq = tmp_path / "long50.fq"
+    fq.write_bytes(_gz.decompress(fq_gz.read_bytes()))
+
+    from subread_tpu.align.longread import sublong_file
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+
+    al = Aligner(
+        chr901_genome, chr901_index,
+        aligner_config(batch_reads=2048, min_votes=2),
+    )
+    out = tmp_path / "out.sam"
+    mapped, total = sublong_file(al, str(fq), str(out))
+    assert total == 50 and mapped >= 47
+
+    def lead_clip(cig):
+        m = re.match(r"(\d+)S", cig)
+        return int(m.group(1)) if m else 0
+
+    def aligned(cig):
+        return sum(int(n) for n, op in re.findall(r"(\d+)([A-Z])", cig)
+                   if op == "M")
+
+    ok = tot = ab = rl = 0
+    for line in open(out):
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        tot += 1
+        truth = int(f[0].split("_")[1]) - 1210
+        start0 = int(f[3]) - 1 - lead_clip(f[5])
+        if not (int(f[1]) & 4) and abs(start0 - truth) <= 50:
+            ok += 1
+        ab += aligned(f[5])
+        rl += len(f[9]) if f[9] != "*" else 0
+    assert ok >= 0.94 * tot, f"{ok}/{tot}"
+    assert ab >= 0.95 * rl, f"aligned fraction {ab/max(rl,1):.2f}"
