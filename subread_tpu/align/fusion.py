@@ -30,6 +30,8 @@ def detect_fusion_pairs(
     lens: np.ndarray,
     max_indel: int,
     min_minor_votes: int = 2,
+    batch=None,
+    genome=None,
 ) -> list[tuple[int, int, int, int, int]]:
     """Per-read fusion breakend pairs from exported vote clusters.
 
@@ -77,6 +79,22 @@ def detect_fusion_pairs(
     incompatible = (strand != b_strand[:, None]) | (diff > MAX_INTRON)
     no_overlap = (f_cs >= bf_ce - 8) | (f_ce <= bf_cs + 8)
     cand = valid & incompatible & no_overlap & anchored[:, None]
+    # NOTE: no multi-mapping gate here — a true chimera's two halves tie
+    # as equally-scored distinct locations, so ambiguity is EXPECTED of
+    # fusion reads; false pairs are filtered by the sequence validation
+    # and the explained-read gate below instead
+    if "mapped" in res:
+        # a read already explained end-to-end (mapped with only small
+        # clips and no junction split) needs no fusion: its minor cluster
+        # is repeat noise.  Fusion evidence = a large unexplained fragment.
+        zeros = np.zeros(R, np.int32)
+        cl = np.asarray(res.get("clip_l", zeros))
+        cr = np.asarray(res.get("clip_r", zeros))
+        junc = np.asarray(res.get("junc", np.zeros(R, bool)), bool)
+        explained = (
+            np.asarray(res["mapped"], bool) & ~junc & (cl + cr < 16)
+        )
+        cand &= ~explained[:, None]
 
     span = f_ce - f_cs
     scores = np.where(cand, votes * 1000 + span, -1)  # votes, then coverage
@@ -105,6 +123,29 @@ def detect_fusion_pairs(
                 return p + split, 1
             return p + Li - 1 - split, 0
 
+        if batch is not None and genome is not None:
+            # sequence-validate the MINOR's voted coverage span (the
+            # reference confirms fusion halves by realignment before
+            # emitting breakpoints; vote clusters alone are too weak).
+            # cov_s/cov_e are in the cluster's own oriented coordinates,
+            # so no span conversion is needed.
+            o = np.asarray(batch.codes[i, :Li])
+            st_m = int(strand[i, k])
+            o_m = (3 - o[::-1]) if st_m == 1 else o
+            rs, re_ = int(cov_s[i, k]), int(cov_e[i, k])
+            rs = max(0, rs)
+            re_ = min(Li, re_)
+            flen = re_ - rs
+            if flen < 16:
+                continue
+            p_m = int(pos[i, k])
+            gs = p_m + rs
+            seg = np.asarray(genome.codes[gs : gs + flen])
+            if len(seg) != flen:
+                continue
+            mm = int(np.sum(seg != o_m[rs:re_]))
+            if mm > max(2, flen // 10):
+                continue
         # major covers the prefix when the minor is the tail
         e1, f1 = edges(int(b_pos[i]), int(b_strand[i]), bool(m_tail))
         e2, f2 = edges(int(pos[i, k]), int(strand[i, k]), not bool(m_tail))

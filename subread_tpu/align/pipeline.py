@@ -396,7 +396,17 @@ class Aligner:
 
         # mismatch gate (CORE_TOO_MANY_MISMATCHES analog)
         mapped = b_valid & (b_mism <= cfg.max_mismatches)
-        n_best = jnp.sum((score_k == b_score[:, None]) & valid_k, axis=1)
+        # multi-mapping = another DISTINCT location ties the best score;
+        # the vote table repeats the best cluster into unused slots, so
+        # equal-best slots only count when (pos, strand) differs (the
+        # reference dedups repeated candidates, add_repeated_buffer
+        # core.c:2751)
+        n_best = 1 + jnp.sum(
+            (score_k == b_score[:, None]) & valid_k
+            & ((sc["pos_k"] != b_pos[:, None])
+               | (sc["strand_k"] != b_strand[:, None])),
+            axis=1,
+        )
         mapq = jnp.where(
             n_best > 1, 0, cfg.mapq_unique // (1 + jnp.maximum(b_mism, 0))
         ).astype(jnp.int32)
@@ -885,8 +895,14 @@ class Aligner:
             b_indel = take(sc["indel_k"])
             b_votes = take(sc["votes_k"])
             mapped = take(sc["valid_k"]) & (b_mism <= cfg.max_mismatches)
-            n_best = jnp.sum(
-                (sc["score_k"] == b_score[:, None]) & sc["valid_k"], axis=1
+            b_strand_ = take(sc["strand_k"])
+            # distinct-location tie count (see _select_se: the vote table
+            # repeats the best cluster into unused slots)
+            n_best = 1 + jnp.sum(
+                (sc["score_k"] == b_score[:, None]) & sc["valid_k"]
+                & ((sc["pos_k"] != b_pos[:, None])
+                   | (sc["strand_k"] != b_strand_[:, None])),
+                axis=1,
             )
             mapq = jnp.where(
                 n_best > 1, 0, cfg.mapq_unique // (1 + jnp.maximum(b_mism, 0))
@@ -1641,7 +1657,8 @@ class Aligner:
                     from .fusion import accumulate_breakpoints, detect_fusion_pairs
 
                     pairs = detect_fusion_pairs(
-                        res, batch.lengths, self.cfg.max_indel
+                        res, batch.lengths, self.cfg.max_indel,
+                        batch=batch, genome=self.genome,
                     )
                     accumulate_breakpoints(breakpoints, pairs)
                 self._emit_sam(writer, batch, res, summary,
