@@ -58,6 +58,8 @@ def get_lib():
     lib.bgzf_total_isize.restype = ctypes.c_long
     lib.bgzf_inflate_all.restype = ctypes.c_long
     lib.snp_pileup_bam.restype = ctypes.c_long
+    lib.fc_count_sam_pe.restype = ctypes.c_long
+    lib.fc_count_bam_pe.restype = ctypes.c_long
     _LIB = lib
     return _LIB
 
@@ -211,6 +213,90 @@ def fc_count_bam_simple(
     ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
     base = ctypes.cast(ctypes.c_char_p(bam_records), ctypes.c_void_p).value
     rv = lib.fc_count_bam_simple(
+        ctypes.c_void_p(base + start),
+        ctypes.c_long(len(bam_records) - start),
+        ptr(arrs["r2c"]), ctypes.c_int32(len(ref2chrom)),
+        ptr(arrs["fs"]), ptr(arrs["fe"]), ptr(arrs["pm"]), ptr(arrs["tg"]),
+        ptr(arrs["st"]), ptr(arrs["co"]), ctypes.c_int64(n_targets),
+        ctypes.c_int32(min_mapq), ctypes.c_int32(int(primary_only)),
+        ctypes.c_int32(int(ignore_dup)), ctypes.c_int32(int(count_multi)),
+        ctypes.c_int32(strandness), ctypes.c_int32(max_mop),
+        ptr(counts), ptr(summary),
+    )
+    if rv < 0:
+        return None
+    return counts, dict(zip(FC_SUMMARY_SLOTS, summary.tolist())), int(rv)
+
+
+def fc_count_sam_pe(
+    sam_bytes: bytes,
+    chrom_names: list[str],
+    feat_start: np.ndarray, feat_end: np.ndarray,
+    feat_pmax_end: np.ndarray, feat_target: np.ndarray,
+    feat_strand: np.ndarray, chrom_feat_off: np.ndarray,
+    n_targets: int,
+    min_mapq: int, primary_only: bool, ignore_dup: bool,
+    count_multi: bool, strandness: int, max_mop: int,
+):
+    """Native paired-end featureCounts pass (fragment counting with qname
+    mate re-pairing).  Same return contract as fc_count_sam_simple."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    blob = "".join(chrom_names).encode()
+    off = np.zeros(len(chrom_names) + 1, np.int64)
+    np.cumsum([len(c.encode()) for c in chrom_names], out=off[1:])
+    counts = np.zeros(n_targets, np.float64)
+    summary = np.zeros(len(FC_SUMMARY_SLOTS), np.int64)
+    c = lambda a, t: np.ascontiguousarray(a, dtype=t)
+    arrs = dict(
+        fs=c(feat_start, np.int32), fe=c(feat_end, np.int32),
+        pm=c(feat_pmax_end, np.int32), tg=c(feat_target, np.int64),
+        st=c(feat_strand, np.int8), co=c(chrom_feat_off, np.int64),
+    )
+    ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    rv = lib.fc_count_sam_pe(
+        ctypes.c_char_p(sam_bytes), ctypes.c_long(len(sam_bytes)),
+        ctypes.c_char_p(blob), ptr(off), ctypes.c_int32(len(chrom_names)),
+        ptr(arrs["fs"]), ptr(arrs["fe"]), ptr(arrs["pm"]), ptr(arrs["tg"]),
+        ptr(arrs["st"]), ptr(arrs["co"]), ctypes.c_int64(n_targets),
+        ctypes.c_int32(min_mapq), ctypes.c_int32(int(primary_only)),
+        ctypes.c_int32(int(ignore_dup)), ctypes.c_int32(int(count_multi)),
+        ctypes.c_int32(strandness), ctypes.c_int32(max_mop),
+        ptr(counts), ptr(summary),
+    )
+    if rv < 0:
+        return None
+    return counts, dict(zip(FC_SUMMARY_SLOTS, summary.tolist())), int(rv)
+
+
+def fc_count_bam_pe(
+    bam_records: bytes,
+    ref2chrom: np.ndarray,
+    feat_start: np.ndarray, feat_end: np.ndarray,
+    feat_pmax_end: np.ndarray, feat_target: np.ndarray,
+    feat_strand: np.ndarray, chrom_feat_off: np.ndarray,
+    n_targets: int,
+    min_mapq: int, primary_only: bool, ignore_dup: bool,
+    count_multi: bool, strandness: int, max_mop: int,
+    start: int = 0,
+):
+    """Native paired-end featureCounts pass over BAM records."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = np.zeros(n_targets, np.float64)
+    summary = np.zeros(len(FC_SUMMARY_SLOTS), np.int64)
+    c = lambda a, t: np.ascontiguousarray(a, dtype=t)
+    arrs = dict(
+        r2c=c(ref2chrom, np.int32),
+        fs=c(feat_start, np.int32), fe=c(feat_end, np.int32),
+        pm=c(feat_pmax_end, np.int32), tg=c(feat_target, np.int64),
+        st=c(feat_strand, np.int8), co=c(chrom_feat_off, np.int64),
+    )
+    ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    base = ctypes.cast(ctypes.c_char_p(bam_records), ctypes.c_void_p).value
+    rv = lib.fc_count_bam_pe(
         ctypes.c_void_p(base + start),
         ctypes.c_long(len(bam_records) - start),
         ptr(arrs["r2c"]), ctypes.c_int32(len(ref2chrom)),

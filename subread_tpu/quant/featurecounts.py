@@ -593,7 +593,8 @@ class FeatureCounter:
         ref2chrom = np.asarray(
             [name_to_ci.get(n, -1) for n in rd.ref_names], np.int32
         )
-        res = native.fc_count_bam_simple(
+        fn = native.fc_count_bam_pe if o.paired else native.fc_count_bam_simple
+        res = fn(
             rd._data, ref2chrom,
             *nt[1:], n_targets=self.n_targets,
             min_mapq=o.min_mapq, primary_only=o.primary_only,
@@ -636,10 +637,29 @@ class FeatureCounter:
 
     def _native_eligible(self) -> bool:
         """True when the active options are inside the subset the C++
-        fast path implements exactly (single-end, default overlap rules)."""
+        fast path implements exactly (single-end, default overlap rules;
+        the PE fast path additionally needs --countReadPairs and no
+        -B/-C/-P gates — see _native_pe_eligible)."""
         o = self.opts
+        if o.paired:
+            return self._native_pe_eligible()
         return not (
-            o.paired or o.allow_multi_overlap or o.fraction
+            o.allow_multi_overlap or o.fraction
+            or o.largest_overlap or o.min_overlap > 1 or o.frac_overlap > 0
+            or o.read2pos or o.ext5 or o.ext3 or o.split_only
+            or o.non_split_only or o.count_junctions
+            or o.read_shift_size or o.non_overlap >= 0
+            or o.non_overlap_feature >= 0 or o.frac_overlap_feature > 0
+            or o.by_read_group or o.long_reads
+            or self._detail_fh is not None
+            or self.sc is not None
+        )
+
+    def _native_pe_eligible(self) -> bool:
+        o = self.opts
+        return o.count_read_pairs and not (
+            o.require_both_ends or o.no_chimeric or o.check_pe_dist
+            or o.allow_multi_overlap or o.fraction
             or o.largest_overlap or o.min_overlap > 1 or o.frac_overlap > 0
             or o.read2pos or o.ext5 or o.ext3 or o.split_only
             or o.non_split_only or o.count_junctions
@@ -681,6 +701,23 @@ class FeatureCounter:
         nt = self._native_tables()
         with open(path, "rb") as f:
             data = f.read()
+
+        if o.paired:
+            # PE: qname mate-pairing crosses any line range, so no thread
+            # fan-out; the single pass still runs at C speed
+            res = native.fc_count_sam_pe(
+                data, *nt, n_targets=self.n_targets,
+                min_mapq=o.min_mapq, primary_only=o.primary_only,
+                ignore_dup=o.ignore_dup, count_multi=o.count_multi,
+                strandness=o.strand, max_mop=o.max_mop,
+            )
+            if res is None:
+                return False
+            counts, summ, _n = res
+            self.counts += counts
+            for k, v in summ.items():
+                self.summary[k] += v
+            return True
 
         def run(start, length):
             return native.fc_count_sam_simple(

@@ -253,3 +253,25 @@ def test_detection_call_gc_column(tmp_path):
     assert ours == ref
     assert (out.parent / "gc.FC.summary").read_text() \
         == (here / "gc.ref.FC.summary").read_text()
+
+
+def test_native_pe_matches_python(tmp_path):
+    """The native PE fast path (fc_count_sam_pe / fc_count_bam_pe) and the
+    python engine produce identical counts and summaries."""
+    import numpy as np
+
+    from subread_tpu.io.gtf import load_annotation
+    from subread_tpu.quant.featurecounts import FCOptions, FeatureCounter
+
+    saf = "/root/reference/test/featureCounts/data/test-minimum.SAF"
+    sam = "/root/reference/test/featureCounts/data/test-minimum.sam"
+    ann = load_annotation(saf, fmt="SAF")
+    for strand in (0, 1, 2):
+        opts = FCOptions(paired=True, count_read_pairs=True, strand=strand)
+        a = FeatureCounter(ann, opts)
+        a.count_file(sam)
+        b = FeatureCounter(ann, opts)
+        b._native_eligible = lambda: False
+        b.count_file(sam)
+        assert np.array_equal(a.counts, b.counts), f"strand={strand}"
+        assert a.summary == b.summary, f"strand={strand}"
