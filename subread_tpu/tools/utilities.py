@@ -51,6 +51,8 @@ def propmapped(argv=None) -> int:
                                  description="fraction of mapped reads")
     ap.add_argument("-i", "--input", required=True)
     ap.add_argument("-o", "--output", help="append result to this file")
+    ap.add_argument("-V", dest="verbose", action="store_true",
+                    help="verbose per-chromosome output (compat)")
     ap.add_argument("-f", dest="fragments", action="store_true",
                     help="count fragments instead of reads")
     ap.add_argument("-p", dest="primary", action="store_true",
@@ -87,8 +89,13 @@ def qualityscores(argv=None) -> int:
     ap.add_argument("-i", "--input", required=True, help="FASTQ input")
     ap.add_argument("-o", "--output")
     ap.add_argument("-n", "--nreads", type=int, default=10000)
-    ap.add_argument("--offset", type=int, default=33)
+    ap.add_argument("-P", dest="phred", choices=["3", "6"], default="3",
+                    help="3 = phred+33, 6 = phred+64")
+    ap.add_argument("--offset", type=int, default=None)
     args = ap.parse_args(argv)
+    offset = args.offset if args.offset is not None else (
+        64 if args.phred == "6" else 33
+    )
     from ..io.fastq import FastqReader
 
     r = FastqReader(args.input)
@@ -100,7 +107,7 @@ def qualityscores(argv=None) -> int:
     out = open(args.output, "w") if args.output else sys.stdout
     for i in range(len(batch)):
         L = int(batch.lengths[i])
-        scores = (batch.quals[i, :L].astype(np.int32) - args.offset)
+        scores = (batch.quals[i, :L].astype(np.int32) - offset)
         out.write("\t".join(str(int(x)) for x in scores) + "\n")
     if args.output:
         out.close()
@@ -113,6 +120,13 @@ def removedup(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="removeDup")
     ap.add_argument("-i", "--input", required=True, help="SAM/BAM input")
     ap.add_argument("-o", "--output", required=True, help="SAM output")
+    ap.add_argument("-S", dest="sam_output", action="store_true",
+                    help="SAM text output (default here)")
+    ap.add_argument("-t", dest="temp_dir", default=None,
+                    help="temp-file directory (accepted; not needed)")
+    ap.add_argument("-T", dest="threads", type=int, default=1)
+    ap.add_argument("-D", dest="debug", action="store_true",
+                    help=argparse.SUPPRESS)
     ap.add_argument("-r", "--threshold", type=int, default=2,
                     help="remove reads at positions with >= r duplicates")
     args = ap.parse_args(argv)
