@@ -1423,7 +1423,143 @@ class Aligner:
         out2 = {k: np.concatenate([p[k] for p in parts2])[:R] for k in parts2[0]}
         return out1, out2
 
+    def _emit_sam_pe_native(self, writer, b1, b2, res1, res2,
+                            summary: AlignSummary) -> bool:
+        """Vectorised PE record emission through the native formatter
+        (mate columns added to format_sam_records); mirrors the python
+        loop below exactly."""
+        from .. import native
+
+        if native.get_lib() is None:
+            return False
+        if res1.get("cigar_override") or res2.get("cigar_override"):
+            return False
+        if (res1.get("junc") is not None and np.any(res1["junc"])) or (
+            res2.get("junc") is not None and np.any(res2["junc"])
+        ):
+            return False
+        g = self.genome
+        R = len(b1.names)
+        if R == 0:
+            return True
+        Lmax = max(b1.codes.shape[1], b2.codes.shape[1])
+
+        def prep(res, batch):
+            lin = res["pos"].astype(np.int64)
+            cidx, coff = g.linear_to_chro(lin)
+            ok = (
+                np.asarray(res["mapped"], bool)
+                & (coff >= 0) & (coff < g.lengths[cidx])
+            )
+            if not self.cfg.report_multi_mapping:
+                ok = ok & ~np.asarray(res["multi"], bool)
+            return cidx.astype(np.int32), coff.astype(np.int64), ok
+
+        c1, o1, ok1 = prep(res1, b1)
+        c2, o2, ok2 = prep(res2, b2)
+        L1 = b1.lengths.astype(np.int64)
+        L2 = b2.lengths.astype(np.int64)
+        s1 = np.asarray(res1["strand"], np.int32)
+        s2 = np.asarray(res2["strand"], np.int32)
+        z = np.zeros(R, np.int32)
+
+        def mate_arrays(res, batch, cidx, coff, ok, strand,
+                        mok, mcidx, mcoff, mstrand, L_self, L_mate, first):
+            flags = np.full(R, samio.FLAG_PAIRED
+                            | (samio.FLAG_FIRST if first else samio.FLAG_SECOND),
+                            np.int32)
+            flags = np.where(ok, flags, flags | samio.FLAG_UNMAPPED)
+            flags = np.where(ok & (strand == 1),
+                             flags | samio.FLAG_REVERSE, flags)
+            proper = np.asarray(res.get("proper", np.zeros(R)), bool)
+            flags = np.where(ok & proper, flags | samio.FLAG_PROPER_PAIR, flags)
+            flags = np.where(~mok, flags | samio.FLAG_MATE_UNMAPPED, flags)
+            flags = np.where(ok & mok & (mstrand == 1),
+                             flags | samio.FLAG_MATE_REVERSE, flags)
+            same = ok & mok & (cidx == mcidx)
+            rnext = np.where(~ok | ~mok, -1,
+                             np.where(same, -2, mcidx)).astype(np.int32)
+            pnext = np.where(ok & mok, mcoff + 1, 0).astype(np.int32)
+            p_self = coff + 1
+            p_mate = mcoff + 1
+            tl = np.where(
+                p_self <= p_mate,
+                p_mate + L_mate - p_self,
+                -(p_self + L_self - p_mate),
+            )
+            tlen = np.where(same, tl, 0).astype(np.int32)
+            indel = np.where(ok, np.asarray(res["indel"], np.int32), 0)
+            split = np.asarray(res["split"], np.int32)
+            cl = np.asarray(res.get("clip_l", z), np.int32)
+            cr = np.asarray(res.get("clip_r", z), np.int32)
+            cl = np.where(ok & (indel == 0), cl, 0)
+            cr = np.where(ok & (indel == 0), cr, 0)
+            nm = np.asarray(res["mism"], np.int32) + np.abs(indel)
+            mapq = np.asarray(res["mapq"], np.int32)
+            return flags, rnext, pnext, tlen, indel, split, cl, cr, nm, mapq
+
+        m1 = mate_arrays(res1, b1, c1, o1, ok1, s1, ok2, c2, o2, s2,
+                         L1, L2, True)
+        m2 = mate_arrays(res2, b2, c2, o2, ok2, s2, ok1, c1, o1, s1,
+                         L2, L1, False)
+
+        def interleave(a, b, dtype=None):
+            out = np.empty(2 * R, dtype or a.dtype)
+            out[0::2] = a
+            out[1::2] = b
+            return out
+
+        names = [None] * (2 * R)
+        names[0::2] = b1.names
+        names[1::2] = b2.names
+        codes = np.zeros((2 * R, Lmax), np.uint8)
+        quals = np.zeros((2 * R, Lmax), np.uint8)
+        codes[0::2, : b1.codes.shape[1]] = b1.codes
+        codes[1::2, : b2.codes.shape[1]] = b2.codes
+        quals[0::2, : b1.quals.shape[1]] = b1.quals
+        quals[1::2, : b2.quals.shape[1]] = b2.quals
+        lens = interleave(b1.lengths.astype(np.int32),
+                          b2.lengths.astype(np.int32))
+        okA = interleave(ok1.astype(np.uint8), ok2.astype(np.uint8))
+        suppress = None
+        if self.cfg.ignore_unmapped:
+            suppress = (okA == 0).astype(np.uint8)
+        blob = native.format_sam_records(
+            names, codes, quals, lens,
+            interleave(m1[0], m2[0]),
+            interleave(c1, c2),
+            interleave((o1 + 1).astype(np.int32), (o2 + 1).astype(np.int32)),
+            interleave(m1[9], m2[9]),
+            interleave(m1[4], m2[4]),
+            interleave(m1[5], m2[5]),
+            None,
+            interleave(m1[6], m2[6]), interleave(m1[7], m2[7]),
+            okA, interleave(m1[8], m2[8]),
+            g.names, suppress=suppress,
+            rnext_cidx=interleave(m1[1], m2[1]),
+            pnext=interleave(m1[2], m2[2]),
+            tlen=interleave(m1[3], m2[3]),
+        )
+        if blob is None:
+            return False
+        writer.write_bytes(blob)
+        summary.total += 2 * R
+        n_ok = int(ok1.sum()) + int(ok2.sum())
+        summary.mapped += n_ok
+        summary.unmapped += 2 * R - n_ok
+        multi = int((np.asarray(res1["multi"], bool) & ok1).sum()) + int(
+            (np.asarray(res2["multi"], bool) & ok2).sum()
+        )
+        summary.multi += multi
+        summary.unique += n_ok - multi
+        summary.indels += int((ok1 & (m1[4] != 0)).sum()) + int(
+            (ok2 & (m2[4] != 0)).sum()
+        )
+        return True
+
     def _emit_sam_pe(self, writer, b1, b2, res1, res2, summary: AlignSummary):
+        if self._emit_sam_pe_native(writer, b1, b2, res1, res2, summary):
+            return
         g = self.genome
         cidx1, coff1 = g.linear_to_chro(res1["pos"].astype(np.int64))
         cidx2, coff2 = g.linear_to_chro(res2["pos"].astype(np.int64))
@@ -1444,7 +1580,8 @@ class Aligner:
                 strand = int(res["strand"][i])
                 seq_codes = batch.codes[i, :L]
                 qual = batch.quals[i, :L].tobytes().decode()
-                if strand == 1:
+                if strand == 1 and ok[i]:
+                    # unmapped records keep the original orientation
                     seq = dna.decode(dna.revcomp(seq_codes))
                     qual = qual[::-1]
                 else:

@@ -74,6 +74,9 @@ def format_sam_records(
     mapped: np.ndarray, nm: np.ndarray,
     contig_names: list[str],
     suppress: np.ndarray | None = None,
+    rnext_cidx: np.ndarray | None = None,   # -1 = "*", -2 = "="
+    pnext: np.ndarray | None = None,
+    tlen: np.ndarray | None = None,
 ) -> bytes | None:
     """Format a batch of SAM records natively; None → caller falls back."""
     lib = get_lib()
@@ -109,6 +112,11 @@ def format_sam_records(
         np.ascontiguousarray(suppress, np.uint8)
         if suppress is not None else None
     )
+    pe = rnext_cidx is not None
+    if pe:
+        arrs["rnext"] = c(rnext_cidx, np.int32)
+        arrs["pnext"] = c(pnext, np.int32)
+        arrs["tlen"] = c(tlen, np.int32)
     written = lib.format_sam_records(
         ctypes.c_int32(n),
         ctypes.c_char_p(name_blob), ptr(name_off),
@@ -119,6 +127,9 @@ def format_sam_records(
         ptr(arrs["mapped"]), ptr(arrs["nm"]),
         ctypes.c_char_p(contig_blob), ptr(contig_off),
         ptr(sup) if sup is not None else None,
+        ptr(arrs["rnext"]) if pe else None,
+        ptr(arrs["pnext"]) if pe else None,
+        ptr(arrs["tlen"]) if pe else None,
         out, ctypes.c_int64(cap),
     )
     if written < 0:

@@ -44,6 +44,9 @@ extern "C" long format_sam_records(
     const uint8_t *mapped, const int32_t *nm,
     const char *contigs, const int64_t *contig_off,    // [n_contigs+1]
     const uint8_t *suppress,                           // may be null
+    // PE mate columns (all null for single-end): rnext_cidx -1 = "*",
+    // -2 = "="; pnext 1-based; tlen signed
+    const int32_t *rnext_cidx, const int32_t *pnext, const int32_t *tlen,
     char *out, int64_t outcap)
 {
     char *p = out;
@@ -98,7 +101,21 @@ extern "C" long format_sam_records(
                 p = put_i32(p, L - cl - cr); *p++ = 'M';
                 if (cr > 0) { p = put_i32(p, cr); *p++ = 'S'; }
             }
-            p = put_str(p, "\t*\t0\t0\t", 7);
+            if (rnext_cidx) {
+                *p++ = '\t';
+                int32_t rn = rnext_cidx[i];
+                if (rn == -1) *p++ = '*';
+                else if (rn == -2) *p++ = '=';
+                else p = put_str(p, contigs + contig_off[rn],
+                                 contig_off[rn + 1] - contig_off[rn]);
+                *p++ = '\t';
+                p = put_i32(p, pnext[i]);
+                *p++ = '\t';
+                p = put_i32(p, tlen[i]);
+                *p++ = '\t';
+            } else {
+                p = put_str(p, "\t*\t0\t0\t", 7);
+            }
         }
         // SEQ (+ QUAL), reverse-complemented for reverse-strand alignments
         const uint8_t *cd = codes + (int64_t)i * Lmax;

@@ -245,3 +245,28 @@ def test_long_indel_rescue(tmp_path, chr901_genome, chr901_index):
     vcf = open(str(out) + ".indel.vcf").read()
     assert any(str(del_start) in l and len(l.split("\t")[3]) == D + 1
                for l in vcf.splitlines() if not l.startswith("#")), vcf
+
+
+def test_pe_native_emit_matches_python(tmp_path, chr901_genome, chr901_index):
+    """The native PE SAM emitter (format_sam_records mate columns) and the
+    python loop produce byte-identical output and equal counters."""
+    import filecmp
+    import pathlib
+
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+
+    here = pathlib.Path(__file__).parent
+    r1 = str(here / "data" / "sim10k-pe-chr901-r1.fq.gz")
+    r2 = str(here / "data" / "sim10k-pe-chr901-r2.fq.gz")
+    a = Aligner(chr901_genome, chr901_index, aligner_config(batch_reads=2048))
+    s1 = a.align_file_pe(r1, r2, str(tmp_path / "nat.sam"))
+    b = Aligner(chr901_genome, chr901_index, aligner_config(batch_reads=2048))
+    b._emit_sam_pe_native = lambda *args, **kw: False
+    s2 = b.align_file_pe(r1, r2, str(tmp_path / "py.sam"))
+    assert filecmp.cmp(tmp_path / "nat.sam", tmp_path / "py.sam",
+                       shallow=False)
+    d1, d2 = s1.as_dict(), s2.as_dict()
+    for k in d1:
+        if not k.startswith("time_"):
+            assert d1[k] == d2[k], k
