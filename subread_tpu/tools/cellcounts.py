@@ -80,6 +80,8 @@ def _count_batches(aligner, genome, fcview, counter, batch_pairs,
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="subread_tpu-cellCounts")
+    ap.add_argument("-v", "--version", action="version",
+                    version="subread_tpu-cellCounts")
     ap.add_argument("-i", "--index", required=True, help="index prefix")
     ap.add_argument("--inputMode", default=None, choices=["FASTQ", "BCL"],
                     help="FASTQ (default) or raw BCL/CBCL run directory")

@@ -9,6 +9,8 @@ import sys
 
 def build_parser():
     ap = argparse.ArgumentParser(prog="subread_tpu-featureCounts")
+    ap.add_argument("-v", "--version", action="version",
+                    version="subread_tpu-featureCounts")
     ap.add_argument("-a", "--annotation", required=True)
     ap.add_argument("-A", "--aliases", help="chromosome alias CSV (anno,sam)")
     ap.add_argument("-o", "--output", required=True)

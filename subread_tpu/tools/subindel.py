@@ -17,6 +17,8 @@ import sys
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="subread_tpu-subindel")
+    ap.add_argument("-v", "--version", action="version",
+                    version="subread_tpu-subindel")
     ap.add_argument("-i", "--input", required=True, help="SAM/BAM input")
     ap.add_argument("-g", "--genome", required=True, help="reference FASTA")
     ap.add_argument("-o", "--output", required=True, help="VCF output")
