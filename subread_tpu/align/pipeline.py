@@ -946,7 +946,66 @@ class Aligner:
         r2 = pick(sc2, lens2, k2)
         r1["proper"] = b_proper & r1["mapped"] & r2["mapped"]
         r2["proper"] = r1["proper"]
+        r1["best_k"] = k1
+        r2["best_k"] = k2
         return r1, r2
+
+    @functools.partial(jax.jit, static_argnames=("self", "uniform_len"))
+    def _pe_junction_update(self, codes, lens, genome_u32, v: VoteResult,
+                            sc, res, uniform_len=None):
+        """Per-mate junction detection on the PE path (subjunc -p):
+        the pair-selected candidate anchors the head/tail cluster search,
+        otherwise identical to _select_se_junc's junction arm."""
+        from ..ops.junction import junction_split_scan, pick_junction_pair
+
+        cfg = self.cfg
+        pair = pick_junction_pair(v, sc, cfg.max_indel, best=res["best_k"])
+        oriented = oriented_read(codes, lens, res["strand"], uniform_len)
+        jr = junction_split_scan(
+            genome_u32, oriented, lens, pair["head_pos"], pair["gap"],
+            pair["valid"],
+        )
+        no_ind = res["indel"] == 0
+        cl_w = res.get("clip_l", jnp.zeros_like(res["mism"]))
+        cr_w = res.get("clip_r", jnp.zeros_like(res["mism"]))
+        plain_cost = jnp.where(no_ind, cl_w + cr_w + res["mism"], res["mism"])
+        junc_cost = jr["mism"] + jr["clip_l"] + jr["clip_r"]
+        best_pos = pair["best_pos"]
+        minor_pos = jnp.where(
+            pair["head_pos"].astype(jnp.int64) == best_pos,
+            pair["head_pos"].astype(jnp.int64) + pair["gap"],
+            pair["head_pos"].astype(jnp.int64),
+        )
+        other = (
+            (sc["pos_k"].astype(jnp.int64) != best_pos[:, None])
+            & (sc["pos_k"].astype(jnp.int64) != minor_pos[:, None])
+        )
+        n_amb = jnp.sum(
+            (sc["votes_k"] >= pair["best_votes"][:, None] - 1)
+            & sc["valid_k"] & other, axis=1,
+        )
+        use = pair["valid"] & jr["ok"] & (junc_cost < plain_cost) & (
+            jr["mism"] <= cfg.max_mismatches
+        ) & (n_amb == 0)
+        out = dict(res)
+        out["pos"] = jnp.where(
+            use, pair["head_pos"] + jr["clip_l"].astype(jnp.uint32),
+            res["pos"],
+        )
+        out["mism"] = jnp.where(use, jr["mism"], res["mism"])
+        out["mapped"] = res["mapped"] | use
+        out["indel"] = jnp.where(use, 0, res["indel"])
+        out["split"] = jnp.where(use, jr["split"] - jr["clip_l"], res["split"])
+        out["junc"] = use
+        out["junc_gap"] = jnp.where(use, pair["gap"], 0)
+        out["junc_donor_strand"] = jr["donor_strand"]
+        if "clip_l" in res:
+            out["clip_l"] = jnp.where(use, jr["clip_l"], res["clip_l"])
+            out["clip_r"] = jnp.where(use, jr["clip_r"], res["clip_r"])
+        else:
+            out["clip_l"] = jnp.where(use, jr["clip_l"], 0)
+            out["clip_r"] = jnp.where(use, jr["clip_r"], 0)
+        return out
 
     def _device_align_pe(
         self, c1, a1, l1, c2, a2, l2, bucket_start, comb, genome_u32,
@@ -964,7 +1023,15 @@ class Aligner:
         )
         # softclip folded into _score_candidates/_select_pe's pick (the
         # "proper" flag there already uses the post-clip mapped states)
-        return self._select_pe(l1, l2, sc1, sc2)
+        r1, r2 = self._select_pe(l1, l2, sc1, sc2)
+        if self.cfg.detect_junctions:
+            r1 = self._pe_junction_update(c1, l1, genome_u32, v1, sc1, r1,
+                                          uniform_len=ul1)
+            r2 = self._pe_junction_update(c2, l2, genome_u32, v2, sc2, r2,
+                                          uniform_len=ul2)
+        r1.pop("best_k", None)
+        r2.pop("best_k", None)
+        return r1, r2
 
     # --- host orchestration -------------------------------------------------
 
@@ -1434,10 +1501,6 @@ class Aligner:
             return False
         if res1.get("cigar_override") or res2.get("cigar_override"):
             return False
-        if (res1.get("junc") is not None and np.any(res1["junc"])) or (
-            res2.get("junc") is not None and np.any(res2["junc"])
-        ):
-            return False
         g = self.genome
         R = len(b1.names)
         if R == 0:
@@ -1496,7 +1559,11 @@ class Aligner:
             cr = np.where(ok & (indel == 0), cr, 0)
             nm = np.asarray(res["mism"], np.int32) + np.abs(indel)
             mapq = np.asarray(res["mapq"], np.int32)
-            return flags, rnext, pnext, tlen, indel, split, cl, cr, nm, mapq
+            junc = (
+                np.where(ok, np.asarray(res["junc_gap"], np.int32), 0)
+                if "junc_gap" in res else z
+            )
+            return flags, rnext, pnext, tlen, indel, split, cl, cr, nm, mapq, junc
 
         m1 = mate_arrays(res1, b1, c1, o1, ok1, s1, ok2, c2, o2, s2,
                          L1, L2, True)
@@ -1532,7 +1599,7 @@ class Aligner:
             interleave(m1[9], m2[9]),
             interleave(m1[4], m2[4]),
             interleave(m1[5], m2[5]),
-            None,
+            interleave(m1[10], m2[10]),
             interleave(m1[6], m2[6]), interleave(m1[7], m2[7]),
             okA, interleave(m1[8], m2[8]),
             g.names, suppress=suppress,
@@ -1608,7 +1675,16 @@ class Aligner:
                     summary.unique += 1
                 indel = int(res["indel"][i])
                 split = int(res["split"][i])
-                if indel > 0:
+                if res.get("junc") is not None and res["junc"][i]:
+                    gap = int(res["junc_gap"][i])
+                    jcl = int(res["clip_l"][i]) if "clip_l" in res else 0
+                    jcr = int(res["clip_r"][i]) if "clip_r" in res else 0
+                    cigar = (
+                        (f"{jcl}S" if jcl else "")
+                        + f"{split}M{gap}N{L - jcl - split - jcr}M"
+                        + (f"{jcr}S" if jcr else "")
+                    )
+                elif indel > 0:
                     cigar = f"{split}M{indel}D{L - split}M"
                     summary.indels += 1
                 elif indel < 0:
@@ -1671,6 +1747,8 @@ class Aligner:
             sort_by_coordinates=self.cfg.sort_by_coordinates,
             rg_id=self.cfg.rg_id, rg_extra=list(self.cfg.rg_extra) or None,
         )
+        junctions: dict | None = {} if self.cfg.detect_junctions else None
+
         def read_pair():
             b1 = rd1.next_batch(chunk_reads, pad_to=self.cfg.pad_read_len)
             b2 = rd2.next_batch(chunk_reads, pad_to=self.cfg.pad_read_len)
@@ -1693,6 +1771,9 @@ class Aligner:
                 t1 = time.time()
                 r1, r2 = self.collect_batch_pe(state)
                 t2 = time.time()
+                if junctions is not None:
+                    collect_junctions(r1, pair[0], self.genome, junctions)
+                    collect_junctions(r2, pair[1], self.genome, junctions)
                 self._emit_sam_pe(writer, pair[0], pair[1], r1, r2, summary)
                 t3 = time.time()
                 summary.time_io += t_read + (t3 - t2)
@@ -1702,6 +1783,8 @@ class Aligner:
             rd1.close()
             rd2.close()
             writer.close()
+        if junctions is not None:
+            write_junction_bed(out_sam + ".junction.bed", junctions)
         return summary
 
     def align_file(

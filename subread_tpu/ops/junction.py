@@ -123,15 +123,17 @@ def junction_split_scan(
     )
 
 
-def pick_junction_pair(v, sc, max_indel: int):
+def pick_junction_pair(v, sc, max_indel: int, best=None):
     """From top-K clusters pick (head, tail) = best + best-compatible-minor.
 
     Returns per-read head_pos, gap D, pair_valid, head_k, tail_k.
     Compatibility: same strand, gap in (max_indel, MAX_INTRON], minor votes
     >= 1 (subjunc min-votes), coverage order consistent with genome order.
-    """
+    `best` overrides the major cluster choice (the PE path passes the
+    pair-selected candidate instead of the SE argmax)."""
     R, K = v.votes.shape
-    best = jnp.argmax(sc["score_k"], axis=1)  # major cluster index
+    if best is None:
+        best = jnp.argmax(sc["score_k"], axis=1)  # major cluster index
     take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
     b_pos = take(v.pos).astype(jnp.int64)
     b_strand = take(v.strand)
