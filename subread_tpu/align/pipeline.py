@@ -1491,7 +1491,8 @@ class Aligner:
         return out1, out2
 
     def _emit_sam_pe_native(self, writer, b1, b2, res1, res2,
-                            summary: AlignSummary) -> bool:
+                            summary: AlignSummary,
+                            indel_events: dict | None = None) -> bool:
         """Vectorised PE record emission through the native formatter
         (mate columns added to format_sam_records); mirrors the python
         loop below exactly."""
@@ -1622,10 +1623,29 @@ class Aligner:
         summary.indels += int((ok1 & (m1[4] != 0)).sum()) + int(
             (ok2 & (m2[4] != 0)).sum()
         )
+        if indel_events is not None:
+            for (batch, res, cidx, coff, ok, ind) in (
+                (b1, res1, c1, o1, ok1, m1[4]), (b2, res2, c2, o2, ok2, m2[4]),
+            ):
+                for i in np.flatnonzero(ok & (ind != 0)):
+                    iv = int(ind[i])
+                    sp = int(res["split"][i])
+                    L = int(batch.lengths[i])
+                    codes_i = batch.codes[i, :L]
+                    if int(res["strand"][i]):
+                        seq = dna.decode(dna.revcomp(codes_i))
+                    else:
+                        seq = dna.decode(codes_i)
+                    ins_seq = seq[sp : sp - iv] if iv < 0 else ""
+                    key = (int(cidx[i]), int(coff[i]) + sp - 1, iv)
+                    sup, prev = indel_events.get(key, (0, ins_seq))
+                    indel_events[key] = (sup + 1, prev)
         return True
 
-    def _emit_sam_pe(self, writer, b1, b2, res1, res2, summary: AlignSummary):
-        if self._emit_sam_pe_native(writer, b1, b2, res1, res2, summary):
+    def _emit_sam_pe(self, writer, b1, b2, res1, res2, summary: AlignSummary,
+                     indel_events: dict | None = None):
+        if self._emit_sam_pe_native(writer, b1, b2, res1, res2, summary,
+                                    indel_events):
             return
         g = self.genome
         cidx1, coff1 = g.linear_to_chro(res1["pos"].astype(np.int64))
@@ -1690,6 +1710,11 @@ class Aligner:
                 elif indel < 0:
                     cigar = f"{split}M{-indel}I{L - split + indel}M"
                     summary.indels += 1
+                if indel != 0 and indel_events is not None:
+                    ins_seq = seq[split : split - indel] if indel < 0 else ""
+                    key = (int(cidx[i]), int(coff[i]) + split - 1, indel)
+                    sup, prev = indel_events.get(key, (0, ins_seq))
+                    indel_events[key] = (sup + 1, prev)
                 else:
                     cl = int(res["clip_l"][i]) if "clip_l" in res else 0
                     cr = int(res["clip_r"][i]) if "clip_r" in res else 0
@@ -1748,6 +1773,7 @@ class Aligner:
             rg_id=self.cfg.rg_id, rg_extra=list(self.cfg.rg_extra) or None,
         )
         junctions: dict | None = {} if self.cfg.detect_junctions else None
+        indel_events: dict = {}
 
         def read_pair():
             b1 = rd1.next_batch(chunk_reads, pad_to=self.cfg.pad_read_len)
@@ -1774,7 +1800,8 @@ class Aligner:
                 if junctions is not None:
                     collect_junctions(r1, pair[0], self.genome, junctions)
                     collect_junctions(r2, pair[1], self.genome, junctions)
-                self._emit_sam_pe(writer, pair[0], pair[1], r1, r2, summary)
+                self._emit_sam_pe(writer, pair[0], pair[1], r1, r2, summary,
+                                  indel_events)
                 t3 = time.time()
                 summary.time_io += t_read + (t3 - t2)
                 summary.time_voting += t2 - t1
@@ -1785,6 +1812,7 @@ class Aligner:
             writer.close()
         if junctions is not None:
             write_junction_bed(out_sam + ".junction.bed", junctions)
+        write_indel_vcf(out_sam + ".indel.vcf", self.genome, indel_events)
         return summary
 
     def align_file(
