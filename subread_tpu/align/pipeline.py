@@ -1500,6 +1500,10 @@ class Aligner:
 
         if native.get_lib() is None:
             return False
+        # raw-bytes output needs a SAM text sink (BAM writers re-pack
+        # records; same gate as the SE fast path) and no RG tagging
+        if not isinstance(writer, samio.SamWriter) or self.cfg.rg_id:
+            return False
         if res1.get("cigar_override") or res2.get("cigar_override"):
             return False
         g = self.genome
