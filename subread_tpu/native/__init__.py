@@ -60,6 +60,7 @@ def get_lib():
     lib.snp_pileup_bam.restype = ctypes.c_long
     lib.fc_count_sam_pe.restype = ctypes.c_long
     lib.fc_count_bam_pe.restype = ctypes.c_long
+    lib.fc_bam_split_offsets.restype = ctypes.c_long
     _LIB = lib
     return _LIB
 
@@ -203,12 +204,13 @@ def fc_count_bam_simple(
     n_targets: int,
     min_mapq: int, primary_only: bool, ignore_dup: bool,
     count_multi: bool, strandness: int, max_mop: int,
-    start: int = 0,
+    start: int = 0, length: int | None = None,
 ):
     """Native single-end featureCounts pass over BAM records.
 
-    `start` offsets into bam_records without slicing (a [208MB stream]
-    slice copy measured ~0.2s per call)."""
+    `start`/`length` window into bam_records without slicing (a [208MB
+    stream] slice copy measured ~0.2s per call); record-aligned windows
+    from fc_bam_split_offsets let ranges count in parallel threads."""
     lib = get_lib()
     if lib is None:
         return None
@@ -223,9 +225,11 @@ def fc_count_bam_simple(
     )
     ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
     base = ctypes.cast(ctypes.c_char_p(bam_records), ctypes.c_void_p).value
+    if length is None:
+        length = len(bam_records) - start
     rv = lib.fc_count_bam_simple(
         ctypes.c_void_p(base + start),
-        ctypes.c_long(len(bam_records) - start),
+        ctypes.c_long(length),
         ptr(arrs["r2c"]), ctypes.c_int32(len(ref2chrom)),
         ptr(arrs["fs"]), ptr(arrs["fe"]), ptr(arrs["pm"]), ptr(arrs["tg"]),
         ptr(arrs["st"]), ptr(arrs["co"]), ctypes.c_int64(n_targets),
@@ -237,6 +241,25 @@ def fc_count_bam_simple(
     if rv < 0:
         return None
     return counts, dict(zip(FC_SUMMARY_SLOTS, summary.tolist())), int(rv)
+
+
+def fc_bam_split_offsets(bam_records: bytes, start: int, n_parts: int):
+    """Record-aligned byte offsets splitting [start:] into ~n_parts ranges
+    (relative to `start`); None when unavailable/malformed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cuts = np.zeros(max(n_parts, 2), np.int64)
+    base = ctypes.cast(ctypes.c_char_p(bam_records), ctypes.c_void_p).value
+    n = lib.fc_bam_split_offsets(
+        ctypes.c_void_p(base + start),
+        ctypes.c_long(len(bam_records) - start),
+        ctypes.c_int32(n_parts),
+        cuts.ctypes.data_as(ctypes.c_void_p),
+    )
+    if n < 0:
+        return None
+    return cuts[:n].tolist()
 
 
 def fc_count_sam_pe(

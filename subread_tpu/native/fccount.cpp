@@ -827,3 +827,30 @@ extern "C" long fc_count_bam_pe(
     if (abort_run) return -1;
     return n_rec;
 }
+
+// Record-boundary split offsets for threading BAM counting: walks the
+// record stream once (just block-size skips) and emits the first record
+// offset at-or-after each target byte position.  Returns the number of
+// cuts written (n_parts - 1) or -1 on malformed input.
+extern "C" long fc_bam_split_offsets(
+    const uint8_t *buf, long buflen, int32_t n_parts, int64_t *cuts)
+{
+    long written = 0;
+    const uint8_t *p = buf;
+    const uint8_t *end = buf + buflen;
+    int32_t next_part = 1;
+    while (p + 4 <= end && next_part < n_parts) {
+        long target = (buflen * next_part) / n_parts;
+        if (p - buf >= target) {
+            cuts[written++] = p - buf;
+            next_part++;
+            continue;
+        }
+        int32_t block;
+        memcpy(&block, p, 4);
+        if (block < 32) return -1;
+        p += 4 + block;
+        if (p > end) return -1;
+    }
+    return written;
+}

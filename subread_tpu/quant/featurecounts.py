@@ -593,21 +593,56 @@ class FeatureCounter:
         ref2chrom = np.asarray(
             [name_to_ci.get(n, -1) for n in rd.ref_names], np.int32
         )
-        fn = native.fc_count_bam_pe if o.paired else native.fc_count_bam_simple
-        res = fn(
-            rd._data, ref2chrom,
-            *nt[1:], n_targets=self.n_targets,
+        kw = dict(
+            n_targets=self.n_targets,
             min_mapq=o.min_mapq, primary_only=o.primary_only,
             ignore_dup=o.ignore_dup, count_multi=o.count_multi,
             strandness=o.strand, max_mop=o.max_mop,
-            start=rd._off,
         )
-        if res is None:
+        if o.paired:
+            res = native.fc_count_bam_pe(
+                rd._data, ref2chrom, *nt[1:], start=rd._off, **kw
+            )
+            if res is None:
+                return False
+            results = [res]
+        else:
+            # SE records are independent: record-aligned ranges count in
+            # parallel threads (the ctypes call releases the GIL)
+            import os as _os
+            from concurrent.futures import ThreadPoolExecutor
+
+            T = min(8, _os.cpu_count() or 1)
+            spans = None
+            if T > 1 and len(rd._data) - rd._off > (1 << 23):
+                cuts = native.fc_bam_split_offsets(rd._data, rd._off, T)
+                if cuts:
+                    edges = [0] + cuts + [len(rd._data) - rd._off]
+                    edges = sorted(set(edges))
+                    spans = [
+                        (rd._off + edges[i], edges[i + 1] - edges[i])
+                        for i in range(len(edges) - 1)
+                        if edges[i + 1] > edges[i]
+                    ]
+            if spans and len(spans) > 1:
+                with ThreadPoolExecutor(len(spans)) as ex:
+                    results = list(ex.map(
+                        lambda sp: native.fc_count_bam_simple(
+                            rd._data, ref2chrom, *nt[1:],
+                            start=sp[0], length=sp[1], **kw
+                        ),
+                        spans,
+                    ))
+            else:
+                results = [native.fc_count_bam_simple(
+                    rd._data, ref2chrom, *nt[1:], start=rd._off, **kw
+                )]
+        if any(r is None for r in results):
             return False
-        counts, summ, _n = res
-        self.counts += counts
-        for k, v in summ.items():
-            self.summary[k] += v
+        for counts, summ, _n in results:
+            self.counts += counts
+            for k, v in summ.items():
+                self.summary[k] += v
         return True
 
     def count_bam(self, path: str) -> None:
