@@ -35,7 +35,12 @@ def main():
         genome, n_reads, read_len=100, rng=rng, error_rate=0.005
     )
 
-    for bs in (8192, 16384, 32768, 65536):
+    import itertools
+
+    # max_hits sweep: 64 lifts SE conformance 99.26% -> 99.42% (repeat
+    # probes beyond the 32-hit gather window); take it if the vote-gather
+    # cost stays under ~5%
+    for bs, mh in itertools.product((8192, 16384, 32768, 65536), (32, 64)):
         cfg = aligner_config(batch_reads=bs)
         b = batch
         if b.max_len < cfg.pad_read_len:
@@ -47,6 +52,7 @@ def main():
             b.quals = np.pad(batch.quals, ((0, 0), (0, pad)))
             b.ambig = np.pad(batch.ambig, ((0, 0), (0, pad)))
         aligner = Aligner(genome, index, cfg)
+        aligner.vote_params = aligner.vote_params._replace(max_hits=mh)
         t0 = time.time()
         aligner.align_batch(b)  # warmup/compile
         t_compile = time.time() - t0
@@ -61,7 +67,7 @@ def main():
         dt = time.time() - t0
         rps = reps * n_reads / dt
         print(json.dumps({
-            "batch_reads": bs, "reads_per_sec": round(rps),
+            "batch_reads": bs, "max_hits": mh, "reads_per_sec": round(rps),
             "compile_s": round(t_compile, 1), "steady_s": round(dt, 2),
         }))
 
