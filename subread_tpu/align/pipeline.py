@@ -532,7 +532,7 @@ class Aligner:
 
         cfg = self.cfg
         base = self._select_se(lens, sc)
-        pair = pick_junction_pair(v, sc, cfg.max_indel)
+        pair = pick_junction_pair(v, sc, cfg.max_indel, read_len=lens)
         oriented = oriented_read(codes, lens, base["strand"], uniform_len)
         jr = junction_split_scan(
             genome_u32, oriented, lens, pair["head_pos"], pair["gap"], pair["valid"]
@@ -561,28 +561,11 @@ class Aligner:
         # within 1 vote of the best, beyond the junction pair itself)
         # contributes no junction — repeat regions otherwise spray
         # consistent false junctions
-        # big-margin junction filter (subjunc default,
-        # do_big_margin_filtering_for_junctions core-interface-subjunc.c:278):
-        # a read whose major location is vote-ambiguous (another DISTINCT
-        # location within 1 vote of the best, beyond the junction pair
-        # itself) contributes no junction — repeat regions otherwise spray
-        # consistent false junctions.  The vote table repeats the best
-        # cluster into unused slots, so compare positions, not slots.
-        best_pos = pair["best_pos"]
-        minor_pos = jnp.where(
-            pair["head_pos"].astype(jnp.int64) == best_pos,
-            pair["head_pos"].astype(jnp.int64) + pair["gap"],
-            pair["head_pos"].astype(jnp.int64),
-        )
-        other = (
-            (sc["pos_k"].astype(jnp.int64) != best_pos[:, None])
-            & (sc["pos_k"].astype(jnp.int64) != minor_pos[:, None])
-        )
-        n_amb = jnp.sum(
-            (sc["votes_k"] >= pair["best_votes"][:, None] - 1)
-            & sc["valid_k"] & other, axis=1,
-        )
-        not_ambiguous = n_amb == 0
+        # big-margin junction filter (is_ambiguous_voting,
+        # core-junction.c:3522 via find_new_junctions :3856): another
+        # similarly-voted DISTINCT location covering the SAME read span
+        # (computed in pick_junction_pair) suppresses the read's junction
+        not_ambiguous = ~pair["ambiguous"]
         use = pair["valid"] & jr["ok"] & (junc_cost < plain_cost) & (
             jr["mism"] <= cfg.max_mismatches
         ) & not_ambiguous
@@ -959,7 +942,8 @@ class Aligner:
         from ..ops.junction import junction_split_scan, pick_junction_pair
 
         cfg = self.cfg
-        pair = pick_junction_pair(v, sc, cfg.max_indel, best=res["best_k"])
+        pair = pick_junction_pair(v, sc, cfg.max_indel, best=res["best_k"],
+                                  read_len=lens)
         oriented = oriented_read(codes, lens, res["strand"], uniform_len)
         jr = junction_split_scan(
             genome_u32, oriented, lens, pair["head_pos"], pair["gap"],
@@ -970,23 +954,9 @@ class Aligner:
         cr_w = res.get("clip_r", jnp.zeros_like(res["mism"]))
         plain_cost = jnp.where(no_ind, cl_w + cr_w + res["mism"], res["mism"])
         junc_cost = jr["mism"] + jr["clip_l"] + jr["clip_r"]
-        best_pos = pair["best_pos"]
-        minor_pos = jnp.where(
-            pair["head_pos"].astype(jnp.int64) == best_pos,
-            pair["head_pos"].astype(jnp.int64) + pair["gap"],
-            pair["head_pos"].astype(jnp.int64),
-        )
-        other = (
-            (sc["pos_k"].astype(jnp.int64) != best_pos[:, None])
-            & (sc["pos_k"].astype(jnp.int64) != minor_pos[:, None])
-        )
-        n_amb = jnp.sum(
-            (sc["votes_k"] >= pair["best_votes"][:, None] - 1)
-            & sc["valid_k"] & other, axis=1,
-        )
         use = pair["valid"] & jr["ok"] & (junc_cost < plain_cost) & (
             jr["mism"] <= cfg.max_mismatches
-        ) & (n_amb == 0)
+        ) & ~pair["ambiguous"]
         out = dict(res)
         out["pos"] = jnp.where(
             use, pair["head_pos"] + jr["clip_l"].astype(jnp.uint32),

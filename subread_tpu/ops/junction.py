@@ -123,7 +123,7 @@ def junction_split_scan(
     )
 
 
-def pick_junction_pair(v, sc, max_indel: int, best=None):
+def pick_junction_pair(v, sc, max_indel: int, best=None, read_len=None):
     """From top-K clusters pick (head, tail) = best + best-compatible-minor.
 
     Returns per-read head_pos, gap D, pair_valid, head_k, tail_k.
@@ -149,8 +149,18 @@ def pick_junction_pair(v, sc, max_indel: int, best=None):
     minor_is_tail = v.cov_start > b_cov_start[:, None]
     expected_sign = jnp.where(minor_is_tail, 1, -1)
     gap_abs = jnp.abs(diff)
+    # a junction minor explains the OTHER part of the read: its coverage
+    # must not overlap the major's span (core_select_best_matching_halves
+    # pairs complementary halves; without this, repeat copies covering
+    # the SAME span hijack the minor slot and the true minor is never
+    # tried)
+    b_cov_end = take(v.cov_end)
+    non_overlap = (
+        (v.cov_start >= b_cov_end[:, None] - 8)
+        | (v.cov_end <= b_cov_start[:, None] + 8)
+    )
     ok = (
-        same_strand & not_self & (v.votes >= 1)
+        same_strand & not_self & (v.votes >= 1) & non_overlap
         & (gap_abs > max_indel) & (gap_abs <= MAX_INTRON)
         & (jnp.sign(diff) == expected_sign)
         & (v.pos != jnp.asarray(np.uint32(0xFFFFFFFF)))
@@ -168,6 +178,34 @@ def pick_junction_pair(v, sc, max_indel: int, best=None):
     tail_pos = jnp.where(m_is_tail, m_pos, b_pos)
     gap = (tail_pos - head_pos).astype(jnp.int32)
     pair_valid = minor_ok & b_valid & (gap > 0)
+
+    # big-margin ambiguity (is_ambiguous_voting core-junction.c:3522):
+    # another DISTINCT location within 1 vote of the best whose coverage
+    # span matches the best cluster's span (containment either way, +-4,
+    # spans flipped to forward-read coordinates for reverse clusters).
+    # Junction minors cover a DIFFERENT part of the read, so they never
+    # trip this; repeat copies of the SAME span do.
+    ambiguous = jnp.zeros_like(pair_valid)
+    if read_len is not None:
+        b_votes_all = take(v.votes)
+        b_cov_end = take(v.cov_end)
+        L = read_len[:, None]
+        cs_f = jnp.where(v.strand == 1, L - v.cov_end, v.cov_start)
+        ce_f = jnp.where(v.strand == 1, L - v.cov_start, v.cov_end)
+        b_cs = jnp.where(b_strand == 1, read_len - b_cov_end, b_cov_start)
+        b_ce = jnp.where(b_strand == 1, read_len - b_cov_start, b_cov_end)
+        ge = v.votes >= b_votes_all[:, None]
+        within = (cs_f >= b_cs[:, None] - 4) & (ce_f <= b_ce[:, None] + 4)
+        contains = (cs_f <= b_cs[:, None] + 4) & (ce_f >= b_ce[:, None] - 4)
+        same_span = jnp.where(ge, within, contains)
+        distinct = pos_k != b_pos[:, None]
+        n_amb = jnp.sum(
+            (v.votes >= b_votes_all[:, None] - 1) & same_span & distinct
+            & (v.pos != jnp.asarray(np.uint32(0xFFFFFFFF))),
+            axis=1,
+        )
+        ambiguous = n_amb >= 1
+
     return dict(
         head_pos=head_pos.astype(jnp.uint32),
         gap=gap,
@@ -175,6 +213,7 @@ def pick_junction_pair(v, sc, max_indel: int, best=None):
         strand=b_strand,
         best_pos=b_pos,
         best_votes=take(v.votes),
+        ambiguous=ambiguous,
     )
 
 
