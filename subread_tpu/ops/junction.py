@@ -165,10 +165,21 @@ def pick_junction_pair(v, sc, max_indel: int, best=None, read_len=None):
         & (jnp.sign(diff) == expected_sign)
         & (v.pos != jnp.asarray(np.uint32(0xFFFFFFFF)))
     )
-    minor_votes = jnp.where(ok, v.votes, -1)
-    minor_k = jnp.argmax(minor_votes, axis=1)
+    # minor choice: most votes, ties broken by PROXIMITY — repeat copies
+    # of the true flanking exon otherwise win long spurious introns
+    # (the reference scores halves by support then distance,
+    # core_select_best_matching_halves :4900)
+    # int32-safe fused score (jax x64 is disabled): gap <= MAX_INTRON
+    # (500k) < 2^20, votes < 2^10, so votes*2^20 - gap fits comfortably
+    minor_score = jnp.where(
+        ok,
+        v.votes.astype(jnp.int32) * jnp.int32(1 << 20)
+        - gap_abs.astype(jnp.int32),
+        jnp.int32(-1),
+    )
+    minor_k = jnp.argmax(minor_score, axis=1)
     best_minor_votes = jnp.take_along_axis(
-        minor_votes, minor_k[:, None], axis=1
+        jnp.where(ok, v.votes, -1), minor_k[:, None], axis=1
     )[:, 0]
     minor_ok = best_minor_votes > 0
     m_pos = jnp.take_along_axis(pos_k, minor_k[:, None], axis=1)[:, 0]
