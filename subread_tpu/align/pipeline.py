@@ -674,17 +674,16 @@ class Aligner:
         out["mism"] = np.where(accept, rj["mism"], res["mism"])
         out["indel"] = np.where(accept, 0, res["indel"])
         out["mapped"] = res["mapped"] | accept
+        # a junction explanation covers the whole read: pos comes from the
+        # rescue (the mirrored right-anchor arm moves it to the LEFT exon
+        # start) and the clips vanish
+        out["pos"] = np.where(accept, rj["pos"], res["pos"])
         if "clip_l" in res:
-            # a junction explanation covers the whole read: pos reverts to
-            # the unclipped start and the clips vanish
-            out["pos"] = np.where(
-                accept, res["pos"] - clip_l.astype(np.uint32), res["pos"]
-            )
             out["clip_l"] = np.where(accept, 0, res["clip_l"])
             out["clip_r"] = np.where(accept, 0, res["clip_r"])
         # donor strand of a rescued read comes from the event table
         if "junc_donor_strand" in res and hasattr(self, "_ev_donor"):
-            le = res["pos"].astype(np.int64) + out["split"].astype(np.int64) - 1
+            le = out["pos"].astype(np.int64) + out["split"].astype(np.int64) - 1
             re_ = le + out["junc_gap"].astype(np.int64) + 1
             ds = out["junc_donor_strand"].copy()
             for i in np.flatnonzero(accept):
@@ -693,7 +692,8 @@ class Aligner:
         return out
 
     def chain_clipped_junctions(self, batch: ReadBatch, res: dict,
-                                junctions: dict, events: dict | None = None) -> dict:
+                                junctions: dict, events: dict | None = None,
+                                count_primary: bool = True) -> dict:
         """Multi-junction CIGARs (e.g. the reference's 8M98N74M168N19M):
         a junction read whose clipped end is explained by ANOTHER table
         junction genome-adjacent to its aligned span gets a second N op
@@ -784,14 +784,17 @@ class Aligner:
                         junctions[key] = (sup + 1, max(ml, tail_m), max(mr, cri))
             if head_cig is None and tail_cig is None:
                 continue
-            # the emitter skips override reads, so count the read's PRIMARY
-            # junction here (it would otherwise lose this support)
-            cidx0, coff0 = g.linear_to_chro(np.asarray([p0]))
-            key0 = (g.names[int(cidx0[0])], int(coff0[0]) + ci0 - 1,
-                    int(coff0[0]) + ci0 + gap,
-                    int(res["junc_donor_strand"][i]))
-            sup, ml, mr = junctions.get(key0, (0, 0, 0))
-            junctions[key0] = (sup + 1, max(ml, ci), max(mr, tail_m))
+            if count_primary:
+                # the SE emitter skips override reads, so count the read's
+                # PRIMARY junction here (it would otherwise lose this
+                # support); the PE path counts primaries via
+                # collect_junctions instead
+                cidx0, coff0 = g.linear_to_chro(np.asarray([p0]))
+                key0 = (g.names[int(cidx0[0])], int(coff0[0]) + ci0 - 1,
+                        int(coff0[0]) + ci0 + gap,
+                        int(res["junc_donor_strand"][i]))
+                sup, ml, mr = junctions.get(key0, (0, 0, 0))
+                junctions[key0] = (sup + 1, max(ml, ci), max(mr, tail_m))
             cig = ""
             if head_cig is not None:
                 cig += f"{head_cig[0]}M{head_cig[1]}N"
@@ -1669,7 +1672,10 @@ class Aligner:
                     summary.unique += 1
                 indel = int(res["indel"][i])
                 split = int(res["split"][i])
-                if res.get("junc") is not None and res["junc"][i]:
+                override = (res.get("cigar_override") or {}).get(i)
+                if override is not None:
+                    cigar = override[0]
+                elif res.get("junc") is not None and res["junc"][i]:
                     gap = int(res["junc_gap"][i])
                     jcl = int(res["clip_l"][i]) if "clip_l" in res else 0
                     jcr = int(res["clip_r"][i]) if "clip_r" in res else 0
@@ -1772,6 +1778,27 @@ class Aligner:
                 r1, r2 = self.collect_batch_pe(state)
                 t2 = time.time()
                 if junctions is not None:
+                    # scan-2 event sharing + chaining, mirroring the SE
+                    # path: table junctions (this chunk + earlier chunks +
+                    # -a annotations) rescue clipped/unmapped mates
+                    prelim = dict(getattr(self, "annot_junctions", None) or {})
+                    prelim.update(junctions)
+                    collect_junctions(r1, pair[0], self.genome, prelim)
+                    collect_junctions(r2, pair[1], self.genome, prelim)
+                    ev_l, ev_r, donor = junction_event_arrays(
+                        self.genome, prelim
+                    )
+                    self._ev_donor = donor
+                    r1 = self.rescue_with_events(pair[0], r1, ev_l, ev_r)
+                    r2 = self.rescue_with_events(pair[1], r2, ev_l, ev_r)
+                    r1 = self.chain_clipped_junctions(
+                        pair[0], r1, junctions, events=prelim,
+                        count_primary=False,
+                    )
+                    r2 = self.chain_clipped_junctions(
+                        pair[1], r2, junctions, events=prelim,
+                        count_primary=False,
+                    )
                     collect_junctions(r1, pair[0], self.genome, junctions)
                     collect_junctions(r2, pair[1], self.genome, junctions)
                 self._emit_sam_pe(writer, pair[0], pair[1], r1, r2, summary,

@@ -275,9 +275,15 @@ def junction_rescue(
         & (cidx < E)
     )
 
+    # fused ranking: mismatches first, PROXIMITY as tie-break (identical
+    # repeat copies of a flanking exon otherwise win longer introns);
+    # mism*2^20 + gap fits int32 (gap <= MAX_INTRON < 2^20)
+    BIG = jnp.int32(1 << 30)
+    best_score = jnp.full((R,), 1 << 30, jnp.int32)
     best_mism = jnp.full((R,), 1 << 20, jnp.int32)
     best_split = jnp.zeros((R,), jnp.int32)
     best_gap = jnp.zeros((R,), jnp.int32)
+    best_pos = pos
     for c in range(n_cand):
         # tail mismatches under genome offset gap_c: read i vs pos+i+gap
         g_tail = genome_window(
@@ -292,13 +298,61 @@ def junction_rescue(
         s_c = jnp.clip(split[:, c], 0, L)
         m = jnp.take_along_axis(prefix, s_c[:, None], axis=1)[:, 0] + \
             jnp.take_along_axis(suffix, s_c[:, None], axis=1)[:, 0]
-        m = jnp.where(valid[:, c], m, 1 << 20)
-        better = m < best_mism
-        best_mism = jnp.where(better, m, best_mism)
+        score = jnp.where(valid[:, c], m * (1 << 20) + gap[:, c], BIG)
+        better = score < best_score
+        best_score = jnp.where(better, score, best_score)
+        best_mism = jnp.where(better & valid[:, c], m, best_mism)
         best_split = jnp.where(better, split[:, c], best_split)
         best_gap = jnp.where(better, gap[:, c], best_gap)
 
+    # mirrored arm (search_events_to_front): the read anchors the RIGHT
+    # exon; a table junction whose right edge falls inside the read span
+    # explains the prefix as the LEFT exon's tail.  The anchor moves to
+    # le - split + 1.
+    r_order = jnp.argsort(ev_right)
+    evr_sorted = ev_right[r_order]
+    evl_sorted = ev_left[r_order]
+    first_r = jnp.searchsorted(evr_sorted, pos + np.uint32(8))
+    cidx_r = jnp.minimum(
+        first_r[:, None] + np.arange(n_cand, dtype=np.int32), E - 1
+    )
+    cr_right = evr_sorted[cidx_r]   # [R, C]
+    cr_left = evl_sorted[cidx_r]
+    split_r = (cr_right - pos[:, None]).astype(jnp.int32)
+    gap_r = (cr_right - cr_left - np.uint32(1)).astype(jnp.int32)
+    valid_r = (
+        (split_r >= 8)
+        & (split_r <= read_len[:, None] - 8)
+        & (gap_r > 0)
+        & (cidx_r < E)
+    )
+    # suffix mismatches of the CURRENT (right-exon) alignment
+    rev_h = jnp.flip(mm_h.astype(jnp.int32), axis=1)
+    suffix_h = jnp.flip(jnp.cumsum(rev_h, axis=1), axis=1)
+    suffix_h = jnp.concatenate(
+        [suffix_h, jnp.zeros((R, 1), jnp.int32)], axis=1
+    )
+    for c in range(n_cand):
+        new_start = (
+            cr_left[:, c] - split_r[:, c].astype(jnp.uint32) + np.uint32(1)
+        )
+        g_head = genome_window(genome_u32, new_start, L)
+        mm_p = (g_head != oriented.astype(jnp.uint32)) & inside
+        pre2 = jnp.cumsum(
+            jnp.pad(mm_p.astype(jnp.int32), ((0, 0), (1, 0))), axis=1
+        )
+        s_c = jnp.clip(split_r[:, c], 0, L)
+        m = jnp.take_along_axis(pre2, s_c[:, None], axis=1)[:, 0] + \
+            jnp.take_along_axis(suffix_h, s_c[:, None], axis=1)[:, 0]
+        score = jnp.where(valid_r[:, c], m * (1 << 20) + gap_r[:, c], BIG)
+        better = score < best_score
+        best_score = jnp.where(better, score, best_score)
+        best_mism = jnp.where(better & valid_r[:, c], m, best_mism)
+        best_split = jnp.where(better, split_r[:, c], best_split)
+        best_gap = jnp.where(better, gap_r[:, c], best_gap)
+        best_pos = jnp.where(better, new_start, best_pos)
+
     return dict(
-        mism=best_mism, split=best_split, gap=best_gap,
-        ok=best_mism < (1 << 20),
+        mism=best_mism, split=best_split, gap=best_gap, pos=best_pos,
+        ok=best_score < BIG,
     )
