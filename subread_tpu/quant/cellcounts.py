@@ -360,3 +360,186 @@ def call_cells(
             if len(rescued) < MAX_CANDIDATE_CELLS:
                 rescued.append(c)
     return called, rescued, last_umi
+
+
+# --- vectorised batch paths (production-scale scRNA) -----------------------
+
+def pack_codes_2bit(codes: np.ndarray) -> np.ndarray:
+    """[n, L<=16] 2-bit codes -> uint32 keys (big-endian-first)."""
+    n, L = codes.shape
+    out = np.zeros(n, np.uint32)
+    for j in range(L):
+        out = (out << np.uint32(2)) | codes[:, j].astype(np.uint32)
+    return out
+
+
+class BatchBarcodeMatcher(BarcodeMatcher):
+    """BarcodeMatcher with a vectorised exact pass: packed barcode keys
+    against a sorted whitelist; only the (rare) inexact reads fall back to
+    the hamming<=1 python rescue."""
+
+    def __init__(self, whitelist: list[str]):
+        super().__init__(whitelist)
+        m = np.full(256, 0, np.uint8)
+        for i, b in enumerate(b"AGCT"):
+            m[b] = i
+        wl = np.frombuffer(
+            "".join(self.barcodes).encode(), np.uint8
+        ).reshape(len(self.barcodes), self.barcode_len)
+        self._wl_keys = pack_codes_2bit(m[wl])
+        self._wl_order = np.argsort(self._wl_keys)
+        self._wl_sorted = self._wl_keys[self._wl_order]
+
+    def match_batch(self, bc_codes: np.ndarray) -> np.ndarray:
+        """[n, barcode_len] 2-bit codes -> whitelist index or -1."""
+        keys = pack_codes_2bit(bc_codes)
+        j = np.searchsorted(self._wl_sorted, keys)
+        j = np.clip(j, 0, len(self._wl_sorted) - 1)
+        hit = self._wl_sorted[j] == keys
+        out = np.where(hit, self._wl_order[j], -1).astype(np.int32)
+        miss = np.flatnonzero(~hit)
+        if len(miss):
+            dec = "AGCT"
+            for i in miss:
+                bc = "".join(dec[c] for c in bc_codes[i])
+                out[i] = self.match(bc)
+        return out
+
+
+def assign_genes_batch(fcview, chro_names, cidx: np.ndarray,
+                       start: np.ndarray, end: np.ndarray,
+                       mapped: np.ndarray, max_cand: int = 4) -> np.ndarray:
+    """Vectorised single-interval gene assignment (the cellCounts read ->
+    gene rule: exactly one overlapped gene, else -1).  cidx indexes
+    chro_names; start/end are 1-based inclusive."""
+    n = len(cidx)
+    gene = np.full(n, -1, np.int32)
+    for ci_name in set(chro_names[c] for c in np.unique(cidx[mapped])):
+        ci = fcview.by_chrom.get(ci_name)
+        if ci is None:
+            continue
+        rows = np.flatnonzero(
+            mapped & (np.asarray([chro_names[c] for c in cidx]) == ci_name)
+        ) if len(chro_names) > 1 else np.flatnonzero(mapped)
+        if not len(rows):
+            continue
+        s, e = start[rows], end[rows]
+        hi = np.searchsorted(ci.starts, e, side="right")
+        n_hit = np.zeros(len(rows), np.int32)
+        tgt = np.full(len(rows), -1, np.int64)
+        overflow = np.zeros(len(rows), bool)
+        for j in range(max_cand):
+            cand = hi - 1 - j
+            valid = cand >= 0
+            cc = np.clip(cand, 0, len(ci.starts) - 1)
+            alive = valid & (ci.prefix_max_end[cc] >= s)
+            hitj = alive & (ci.ends[cc] >= s)
+            t = fcview.feat_target[ci.feat_idx[cc]]
+            new = hitj & (n_hit == 0)
+            more = hitj & (n_hit > 0) & (t != tgt)
+            tgt = np.where(new, t, tgt)
+            n_hit = n_hit + new.astype(np.int32) + more.astype(np.int32)
+            if j == max_cand - 1:
+                overflow = alive & (ci.prefix_max_end[np.clip(cand - 1, 0, len(ci.starts) - 1)] >= s) & (cand - 1 >= 0)
+        ok = (n_hit == 1) & ~overflow
+        gene[rows[ok]] = tgt[ok].astype(np.int32)
+        # overflow rows: fall back to the exact per-read query
+        for r in np.flatnonzero(overflow):
+            hits = {
+                int(fcview.feat_target[int(ci.feat_idx[jj])])
+                for jj in ci.query(int(s[r]), int(e[r]))
+            }
+            gene[rows[r]] = hits.pop() if len(hits) == 1 else -1
+    return gene
+
+
+class BatchCellCounter(CellCounter):
+    """CellCounter with packed-array accumulation: (cell, gene, umi)
+    triples packed into uint64, deduped at finalise time."""
+
+    def __init__(self, matcher, gene_names, umi_len: int = 10):
+        super().__init__(matcher, gene_names, umi_len=umi_len)
+        self._packed: list[np.ndarray] = []
+
+    def add_batch(self, r1_codes: np.ndarray, gene_idx: np.ndarray):
+        """r1_codes [n, >= barcode_len+umi_len] 2-bit codes."""
+        n = len(gene_idx)
+        self.stats["reads"] += n
+        bl = self.matcher.barcode_len
+        cells = self.matcher.match_batch(r1_codes[:, :bl])
+        okc = cells >= 0
+        self.stats["barcode_matched"] += int(okc.sum())
+        ok = okc & (gene_idx >= 0)
+        self.stats["assigned"] += int(ok.sum())
+        if not ok.any():
+            return
+        umi = pack_codes_2bit(
+            r1_codes[ok, bl : bl + self.umi_len]
+        ).astype(np.uint64)
+        packed = (
+            (cells[ok].astype(np.uint64) << np.uint64(44))
+            | (gene_idx[ok].astype(np.uint64) << np.uint64(24))
+            | umi
+        )
+        self._packed.append(packed)
+
+    def finalise(self):
+        """Array-native finalise: unique (cell,gene,umi) triples, per-group
+        hamming<=1 UMI merging only where a group holds >1 unique UMI."""
+        if self.table:
+            # mixed scalar+batch use: push packed triples into the dict
+            dec = "AGCT"
+            for arr in self._packed:
+                uniq, counts = np.unique(arr, return_counts=True)
+                for u64, n in zip(uniq, counts):
+                    c = int(u64 >> np.uint64(44))
+                    g = int((u64 >> np.uint64(24)) & np.uint64((1 << 20) - 1))
+                    u = int(u64 & np.uint64((1 << 24) - 1))
+                    us = "".join(
+                        dec[(u >> (2 * (self.umi_len - 1 - j))) & 3]
+                        for j in range(self.umi_len)
+                    )
+                    d = self.table.setdefault((c, g), {})
+                    d[us] = d.get(us, 0) + int(n)
+            self._packed = []
+            return super().finalise()
+        if not self._packed:
+            return np.zeros((0, 3), np.int64).reshape(-1, 3), []
+        allp = np.concatenate(self._packed)
+        uniq, counts = np.unique(allp, return_counts=True)
+        cg = (uniq >> np.uint64(24)).astype(np.int64)   # cell<<20 | gene
+        starts = np.flatnonzero(np.concatenate(([True], cg[1:] != cg[:-1])))
+        ends = np.concatenate((starts[1:], [len(cg)]))
+        sizes = ends - starts
+        n_umis = sizes.copy()
+        # hamming<=1 merge only in multi-UMI groups (the rare case)
+        for gi in np.flatnonzero(sizes > 1):
+            lo, hi = int(starts[gi]), int(ends[gi])
+            us = uniq[lo:hi] & np.uint64((1 << 24) - 1)
+            cs = counts[lo:hi]
+            order = np.lexsort((us, -cs))
+            kept = []
+            for i in order:
+                u = int(us[i])
+                merged = False
+                for k in kept:
+                    x = u ^ k
+                    # hamming<=1 in base space: the XOR's set bits fit in
+                    # ONE 2-bit group
+                    grp = (x.bit_length() - 1) // 2 if x else 0
+                    if x & ~(0b11 << (2 * grp)) == 0:
+                        merged = True
+                        break
+                if not merged:
+                    kept.append(u)
+            n_umis[gi] = len(kept)
+        cells_all = (cg[starts] >> 20).astype(np.int64)
+        genes_all = (cg[starts] & ((1 << 20) - 1)).astype(np.int64)
+        cells = sorted(set(cells_all.tolist()))
+        rank = {c: i for i, c in enumerate(cells)}
+        entries = np.stack([
+            genes_all,
+            np.asarray([rank[c] for c in cells_all], np.int64),
+            n_umis.astype(np.int64),
+        ], axis=1)
+        return entries, cells

@@ -25,12 +25,26 @@ def _count_batches(aligner, genome, fcview, counter, batch_pairs,
     from .. import dna
     from ..io import sam as samio
 
+    from ..quant.cellcounts import assign_genes_batch
+
     for b1, b2 in batch_pairs:
         if b1 is None or b2 is None or len(b2) == 0:
             continue
         res = aligner.align_batch(b2)
         lin = res["pos"].astype(np.int64)
         cidx, coff = genome.linear_to_chro(lin)
+        if writer is None and hasattr(counter, "add_batch"):
+            # vectorised path (no per-sample BAM requested)
+            mapped = np.asarray(res["mapped"], bool) & (coff >= 0) & (
+                coff < genome.lengths[cidx]
+            )
+            start = (coff + 1).astype(np.int64)
+            end = start + b2.lengths.astype(np.int64) - 1
+            gene = assign_genes_batch(
+                fcview, genome.names, cidx, start, end, mapped
+            )
+            counter.add_batch(b1.codes, gene)
+            continue
         for i in range(len(b1)):
             gene_idx = -1
             if res["mapped"][i]:
@@ -136,7 +150,10 @@ def main(argv=None) -> int:
     from ..io.bcl import parse_cell_barcodes
     from ..io.fastq import FastqReader
     from ..io.gtf import load_annotation
-    from ..quant.cellcounts import BarcodeMatcher, CellCounter
+    from ..quant.cellcounts import (
+        BatchBarcodeMatcher as BarcodeMatcher,
+        BatchCellCounter as CellCounter,
+    )
     from ..quant.featurecounts import FCOptions, FeatureCounter
 
     from .align import load_index_any

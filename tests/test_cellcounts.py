@@ -181,3 +181,42 @@ def test_cell_calling_knee_and_rescue():
     # fixed cutoff override (--umiCutoff)
     called2, _r, cut2 = call_cells(umis, umi_cutoff=500)
     assert set(called2) == set(range(50)) | {950, 951}
+
+
+def test_batch_counter_matches_scalar():
+    """BatchCellCounter/BatchBarcodeMatcher (vectorised packed-triple
+    accumulation + array finalise) produce the same matrix, cells and
+    stats as the scalar per-read path, including hamming<=1 barcode
+    rescue and UMI merging."""
+    import numpy as np
+
+    from subread_tpu.quant.cellcounts import (
+        BarcodeMatcher, BatchBarcodeMatcher, BatchCellCounter, CellCounter,
+    )
+
+    rng = np.random.default_rng(17)
+    barcodes = ["".join(rng.choice(list("ACGT"), 16)) for _ in range(200)]
+    m = {"A": 0, "G": 1, "C": 2, "T": 3}
+    wl = np.array([[m[c] for c in b] for b in barcodes], np.uint8)
+    n = 5000
+    r1 = np.zeros((n, 26), np.uint8)
+    r1[:, :16] = wl[rng.integers(0, 200, n)]
+    r1[:, 16:] = rng.integers(0, 4, (n, 10))
+    mut = rng.random(n) < 0.1
+    pp = rng.integers(0, 16, n)
+    r1[mut, pp[mut]] = rng.integers(0, 4, n)[mut]
+    gene = rng.integers(-1, 30, n).astype(np.int32)
+    genes = [f"g{i}" for i in range(30)]
+
+    dec = "AGCT"
+    a = CellCounter(BarcodeMatcher(barcodes), genes, umi_len=10)
+    for i in range(n):
+        a.add("".join(dec[x] for x in r1[i]), int(gene[i]))
+    b = BatchCellCounter(BatchBarcodeMatcher(barcodes), genes, umi_len=10)
+    b.add_batch(r1, gene)
+    e1, c1 = a.finalise()
+    e2, c2 = b.finalise()
+    assert a.stats == b.stats
+    assert c1 == c2
+    assert np.array_equal(np.asarray(e1).reshape(-1, 3),
+                          np.asarray(e2).reshape(-1, 3))
