@@ -170,3 +170,45 @@ def test_sublong_truth_agreement_and_completeness(
         rl += len(f[9]) if f[9] != "*" else 0
     assert ok >= 0.94 * tot, f"{ok}/{tot}"
     assert ab >= 0.95 * rl, f"aligned fraction {ab/max(rl,1):.2f}"
+
+
+def test_sublong_ont_like_reads(tmp_path, chr901_genome, chr901_index):
+    """ONT-like reads (3% del, 3% ins, 3% sub; 3-12kb): all mapped at the
+    encoded truth with >=80% of bases aligned (the reference binary maps
+    them but aligns only one ~2kb window per read)."""
+    import gzip as _gz
+    import pathlib
+    import re
+
+    here = pathlib.Path(__file__).parent
+    fq = tmp_path / "ont.fq"
+    fq.write_bytes(_gz.decompress(
+        (here / "data" / "ont20-chr901.fq.gz").read_bytes()
+    ))
+    from subread_tpu.align.longread import sublong_file
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+
+    al = Aligner(chr901_genome, chr901_index,
+                 aligner_config(batch_reads=2048, min_votes=2))
+    out = tmp_path / "out.sam"
+    mapped, total = sublong_file(al, str(fq), str(out))
+    assert total == 20 and mapped == 20
+
+    def lead(c):
+        m = re.match(r"(\d+)S", c)
+        return int(m.group(1)) if m else 0
+
+    ok = ab = rl = 0
+    for line in open(out):
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        truth = int(f[0].split("_")[1]) - 1210
+        if not (int(f[1]) & 4) and abs(int(f[3]) - 1 - lead(f[5]) - truth) <= 100:
+            ok += 1
+        ab += sum(int(n) for n, op in re.findall(r"(\d+)([A-Z])", f[5])
+                  if op == "M")
+        rl += len(f[9]) if f[9] != "*" else 0
+    assert ok == 20
+    assert ab >= 0.8 * rl
