@@ -462,6 +462,21 @@ class Aligner:
             n_distinct = (nvalid > 0).astype(jnp.int32) + trans.sum(axis=1)
             out["multi_indel"] = (n_distinct >= 3) & anchored
             out["probe_kv"] = b_pkv
+        if cfg.multi_best > 1:
+            # -B N: export the equal-best candidate set so the emitter can
+            # report secondary alignments (HI/NH tags, reference
+            # write_realignments_for_fragment multi_mapping loop)
+            N = min(cfg.multi_best, score_k.shape[1])
+            eq = (score_k == b_score[:, None]) & valid_k
+            # order candidates by score so the first N are the ties
+            ordk = jnp.argsort(-score_k, axis=1)[:, :N]
+            takek = lambda a: jnp.take_along_axis(a, ordk, axis=1)
+            out["alt_pos"] = takek(sc["pos_k"])
+            out["alt_strand"] = takek(sc["strand_k"]).astype(jnp.int8)
+            out["alt_mism"] = jnp.minimum(takek(sc["mism_k"]), 255).astype(jnp.uint8)
+            out["alt_indel"] = takek(sc["indel_k"]).astype(jnp.int8)
+            out["alt_split"] = takek(sc["split_k"]).astype(jnp.int16)
+            out["alt_eq"] = takek(eq)
         return out
 
     def _scan2(self, codes, ambig, lens, genome_u32, v: VoteResult,
@@ -1196,6 +1211,57 @@ class Aligner:
             return
         self._emit_sam_python(writer, batch, res, summary, junctions, indel_events)
 
+    def _emit_multi_read(self, writer, batch, res, i, cidx, coff):
+        """-B N multi-best reporting: primary + secondary records with
+        HI/NH tags (write_realignments_for_fragment's multi_mapping loop,
+        core.c:2383; MAPQ 0, secondaries flagged 0x100)."""
+        g = self.genome
+        L = int(batch.lengths[i])
+        cands = []
+        seen = set()
+        N = res["alt_pos"].shape[1]
+        for j in range(N):
+            if not bool(res["alt_eq"][i, j]):
+                continue
+            lin = int(res["alt_pos"][i, j])
+            st = int(res["alt_strand"][i, j])
+            if (lin, st) in seen:
+                continue
+            seen.add((lin, st))
+            cands.append((lin, st, int(res["alt_indel"][i, j]),
+                          int(res["alt_split"][i, j]),
+                          int(res["alt_mism"][i, j])))
+        nh = len(cands)
+        recs = []
+        for hi, (lin, st, indel, split, mism) in enumerate(cands):
+            ci2, off2 = g.linear_to_chro(np.asarray([lin], dtype=np.int64))
+            off_i = int(off2[0])
+            if off_i < 0 or off_i >= int(g.lengths[int(ci2[0])]):
+                continue
+            seq_codes = batch.codes[i, :L]
+            qual = batch.quals[i, :L].tobytes().decode()
+            if st == 1:
+                seq = dna.decode(dna.revcomp(seq_codes))
+                qual = qual[::-1]
+            else:
+                seq = dna.decode(seq_codes)
+            if indel > 0:
+                cigar = f"{split}M{indel}D{L - split}M"
+            elif indel < 0:
+                cigar = f"{split}M{-indel}I{L - split + indel}M"
+            else:
+                cigar = f"{L}M"
+            flag = (samio.FLAG_REVERSE if st else 0) | (0x100 if hi else 0)
+            recs.append(samio.SamRecord(
+                batch.names[i], flag, g.names[int(ci2[0])], off_i + 1,
+                0, cigar, seq=seq, qual=qual,
+                tags=[f"HI:i:{hi + 1}", f"NH:i:{nh}",
+                      f"NM:i:{mism + abs(indel)}"],
+            ))
+        for r in recs:
+            writer.write(r)
+        return len(recs) > 0
+
     def _emit_sam_native(self, writer, batch, res, summary, indel_events) -> bool:
         from .. import native
 
@@ -1215,11 +1281,16 @@ class Aligner:
         clip_l = np.asarray(res["clip_l"], np.int32) if "clip_l" in res else None
         clip_r = np.asarray(res["clip_r"], np.int32) if "clip_r" in res else None
         overrides = res.get("cigar_override") or {}
+        multi_out = None
+        if self.cfg.multi_best > 1 and "alt_pos" in res:
+            multi_out = np.asarray(res["multi"], bool) & mapped
         suppress = None
-        if overrides:
+        if overrides or (multi_out is not None and multi_out.any()):
             suppress = np.zeros(n, np.uint8)
             for i in overrides:
                 suppress[i] = 1
+            if multi_out is not None:
+                suppress[multi_out] = 1
         blob = native.format_sam_records(
             batch.names,
             batch.codes, batch.quals, batch.lengths.astype(np.int32),
@@ -1233,7 +1304,12 @@ class Aligner:
         if blob is None:
             return False
         writer.write_bytes(blob)
+        if multi_out is not None:
+            for i in np.flatnonzero(multi_out):
+                self._emit_multi_read(writer, batch, res, int(i), cidx, coff)
         for i, (cigar, mism_i, nm_i) in sorted(overrides.items()):
+            if multi_out is not None and multi_out[i]:
+                continue
             L = int(batch.lengths[i])
             seq_codes = batch.codes[i, :L]
             qual = batch.quals[i, :L].tobytes().decode()
@@ -1317,6 +1393,11 @@ class Aligner:
             summary.mapped += 1
             if res["multi"][i]:
                 summary.multi += 1
+                if self.cfg.multi_best > 1 and "alt_pos" in res:
+                    # -B N: full multi-best record set (HI/NH tags)
+                    if self._emit_multi_read(writer, batch, res, i, cidx,
+                                             coff):
+                        continue
             else:
                 summary.unique += 1
             indel = int(res["indel"][i])

@@ -270,3 +270,38 @@ def test_pe_native_emit_matches_python(tmp_path, chr901_genome, chr901_index):
     for k in d1:
         if not k.startswith("time_"):
             assert d1[k] == d2[k], k
+
+
+def test_multi_best_reporting(tmp_path, chr901_genome):
+    """-B N: a read matching two genome copies is reported at both, the
+    secondary flagged 0x100, both carrying HI/NH tags (MAPQ 0)."""
+    import dataclasses
+
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+    from subread_tpu.index.build import build_hash_index
+
+    g = chr901_genome
+    codes = np.asarray(g.codes).copy()
+    src = codes[200000 + g.padding : 200100 + g.padding]
+    codes[700000 + g.padding : 700100 + g.padding] = src
+    g2 = dataclasses.replace(g, codes=codes)
+    idx = build_hash_index(g2, index_gap=1)
+    fq = tmp_path / "m.fq"
+    s = "".join("AGCT"[c] for c in src)
+    fq.write_text(f"@m0\n{s}\n+\n{'I' * 100}\n")
+    al = Aligner(g2, idx,
+                 aligner_config(batch_reads=256, pad_read_len=128,
+                                multi_best=4))
+    out = tmp_path / "m.sam"
+    al.align_file(str(fq), str(out))
+    recs = [l.split("\t") for l in open(out) if not l.startswith("@")]
+    assert len(recs) == 2
+    poss = sorted(int(r[3]) for r in recs)
+    assert poss == [200001, 700001]
+    flags = sorted(int(r[1]) & 0x100 for r in recs)
+    assert flags == [0, 0x100]
+    for r in recs:
+        tags = {t.split(":")[0] for t in r[11:]}
+        assert {"HI", "NH"} <= tags
+        assert int(r[4]) == 0  # MAPQ 0 for multi-mapping
