@@ -86,8 +86,14 @@ def build_parser(prog="subread_tpu-align", subjunc=False):
     ap.add_argument("--longDel", action="store_true",
                     help="detect long deletions (breakpoints output)")
     ap.add_argument("--forcedPE", action="store_true")
-    ap.add_argument("--noTLENpreference", action="store_true")
-    ap.add_argument("--reportPairedMultiBest", action="store_true")
+    # --noTLENpreference disables the reference's TLEN-closeness tiebreak
+    # (core.c:2816); our PE scoring never applies one, so accepting the
+    # flag IS the implemented behavior.  --reportPairedMultiBest: PE
+    # multi-best record sets (the SE analog is -B).
+    ap.add_argument("--noTLENpreference", action="store_true",
+                    help="no TLEN preference in pair scoring (default here)")
+    ap.add_argument("--reportPairedMultiBest", action="store_true",
+                    help="accepted for compatibility")
     ap.add_argument("--memoryMultiplex", type=float, default=1.0)
     ap.add_argument("-X", "--DPMismatch", type=int, default=0)
     ap.add_argument("-Y", "--DPMatch", type=int, default=2)
