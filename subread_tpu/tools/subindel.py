@@ -20,29 +20,55 @@ def main(argv=None) -> int:
     ap.add_argument("-v", "--version", action="version",
                     version="subread_tpu-subindel")
     ap.add_argument("-i", "--input", required=True, help="SAM/BAM input")
-    ap.add_argument("-g", "--genome", required=True, help="reference FASTA")
+    ap.add_argument("-g", "--genome", required=True,
+                    help="reference FASTA or index prefix (the reference "
+                         "binary takes the subread index prefix)")
     ap.add_argument("-o", "--output", required=True, help="VCF output")
     ap.add_argument("-I", "--max-indel", type=int, default=200)
     ap.add_argument("-n", "--min-support", type=int, default=1)
+    ap.add_argument("-d", "--fragment-distance", type=int, default=300,
+                    help="expected fragment distance (compat)")
+    ap.add_argument("--paired-end", action="store_true",
+                    help="input reads are paired-end (compat)")
     args = ap.parse_args(argv)
+
+    import os
 
     from ..io.sam import parse_cigar
     from ..tools.utilities import _sam_records
 
-    # chromosome sequences for REF/ALT columns
+    # chromosome sequences for REF/ALT columns: -g may be a FASTA path or
+    # (reference-binary convention) an index prefix
     chroms: dict[str, str] = {}
-    name, chunks = None, []
-    for line in open(args.genome):
-        line = line.strip()
-        if line.startswith(">"):
-            if name:
-                chroms[name] = "".join(chunks).upper()
-            name = line[1:].split()[0]
-            chunks = []
-        elif line:
-            chunks.append(line)
-    if name:
-        chroms[name] = "".join(chunks).upper()
+    if not os.path.isfile(args.genome) and (
+        os.path.exists(args.genome + ".00.b.tab")
+        or os.path.exists(args.genome + ".hash.npz")
+        or os.path.exists(args.genome + ".genome.npz")
+    ):
+        from .align import load_index_any
+
+        genome, _idx = load_index_any(args.genome)
+        import numpy as np
+
+        for ci, nm in enumerate(genome.names):
+            s0 = int(genome.starts[ci])
+            ln = int(genome.lengths[ci])
+            chroms[nm] = "".join(
+                "AGCT"[c] for c in np.asarray(genome.codes[s0 : s0 + ln])
+            )
+    else:
+        name, chunks = None, []
+        for line in open(args.genome):
+            line = line.strip()
+            if line.startswith(">"):
+                if name:
+                    chroms[name] = "".join(chunks).upper()
+                name = line[1:].split()[0]
+                chunks = []
+            elif line:
+                chunks.append(line)
+        if name:
+            chroms[name] = "".join(chunks).upper()
 
     events: dict[tuple[str, int, int, str], int] = {}
     # soft-clip clusters: (chro, clip_pos0) -> list of clipped tail/head seqs

@@ -56,3 +56,49 @@ def test_long_deletion_and_insertion_reassembly(tmp_path, chr901_genome):
     assert ins, recs
     assert abs(int(ins[0][1]) - 500050) <= 2
     assert ins[0][4][1:] == ins_seq or ins[0][4][:-1].endswith(ins_seq[:-1])
+
+
+def test_long_deletion_from_two_sided_clips(tmp_path, chr901_genome):
+    """A 20bp deletion leaving right-clipped reads on the left flank and
+    left-clipped reads on the right flank is reconstructed (the reference
+    binary reports the same event at its anchor-1 convention)."""
+    import numpy as np
+
+    from subread_tpu.tools.subindel import main
+
+    g = chr901_genome
+    codes = np.asarray(g.codes)
+    rng = np.random.default_rng(31)
+    D = 50_000
+    recs = ["@HD\tVN:1.0\tSO:unsorted", "@SQ\tSN:chr901\tLN:999950"]
+    for i in range(60):
+        off = int(rng.integers(10, 50))
+        read = np.concatenate([
+            codes[1210 + D - off : 1210 + D],
+            codes[1210 + D + 20 : 1210 + D + 20 + (100 - off)],
+        ])
+        s = "".join("AGCT"[c] for c in read)
+        recs.append(
+            f"delA{i}\t0\tchr901\t{D - off + 1}\t40\t{off}M{100 - off}S"
+            f"\t*\t0\t0\t{s}\t{'I' * 100}"
+        )
+        off2 = int(rng.integers(10, 50))
+        read2 = np.concatenate([
+            codes[1210 + D - (100 - off2) : 1210 + D],
+            codes[1210 + D + 20 : 1210 + D + 20 + off2],
+        ])
+        s2 = "".join("AGCT"[c] for c in read2)
+        recs.append(
+            f"delB{i}\t0\tchr901\t{D + 20 + 1}\t40\t{100 - off2}S{off2}M"
+            f"\t*\t0\t0\t{s2}\t{'I' * 100}"
+        )
+    sam = tmp_path / "in.sam"
+    sam.write_text("\n".join(recs) + "\n")
+    out = tmp_path / "out.vcf"
+    assert main(["-i", str(sam), "-g", "/root/reference/test/chr901.fa",
+                 "-o", str(out), "-I", "50"]) == 0
+    rows = [l.split("\t") for l in open(out) if not l.startswith("#")]
+    assert len(rows) == 1
+    assert int(rows[0][1]) == 50_000
+    assert len(rows[0][3]) - len(rows[0][4]) == 20  # 20bp deletion
+    assert "SR=60" in rows[0][7]
