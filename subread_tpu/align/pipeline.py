@@ -43,6 +43,7 @@ from ..ops.extend import (
     softclip_from_prefix,
     oriented_read,
     place_single_indel,
+    ref_clip_stats,
     softclip_bounds,
 )
 from ..ops.vote import VoteParams, VoteResult, merge_vote_results, vote_batch
@@ -256,6 +257,12 @@ class Aligner:
             # row-gather fast path (free reshape to [Gr, 8] rows)
             gwords = np.pad(gwords, (0, -len(gwords) % 8))
         self.d_genome = jnp.asarray(gwords)
+        # contig start offsets (linear positions) for device-side
+        # same-chromosome tests (test_PE_and_same_chro, core.c:4819):
+        # contig_of(pos) = searchsorted(starts, pos, 'right')
+        starts = np.asarray(genome.starts, dtype=np.uint32) if hasattr(
+            genome, "starts") else np.zeros(1, np.uint32)
+        self.d_contig_starts = jnp.asarray(starts.astype(np.int64))
 
     # --- device step -------------------------------------------------------
     # Index arrays are jit *arguments* (not closed-over constants): constants
@@ -332,7 +339,6 @@ class Aligner:
         flat = lambda a: a.reshape(R * K, *a.shape[2:])
         lens_k = jnp.broadcast_to(lens[:, None], (R, K))
         lens_f = flat(lens_k[:, :, None])[:, 0]
-        want_clip = cfg.show_soft_clipping
         psi = place_single_indel(
             genome_u32,
             flat(oriented_k),
@@ -340,112 +346,146 @@ class Aligner:
             flat(pos_k[:, :, None])[:, 0],
             flat(indel_k[:, :, None])[:, 0],
             max_indel_static=si,
-            return_head_prefix=want_clip,
+            return_head_prefix="mm",
         )
-        split_f, mism_f = psi[0], psi[1]
+        split_f, _mism0_f, mm_head_f, mm_tail_f = psi
+        # reference final-alignment stats: windowed soft clip from the vote
+        # coverage bounds + mismatch/match over the non-clipped M region
+        # (find_soft_clipping core-junction.c:2820, final_CIGAR_quality :2899)
+        cs_f = flat(v.cov_start[:, :, None])[:, 0]
+        ce_f = flat(v.cov_end[:, :, None])[:, 0]
+        indel_f = flat(indel_k[:, :, None])[:, 0]
+        head_f, tail_f, mism_f, match_f = ref_clip_stats(
+            mm_head_f, mm_tail_f, lens_f, split_f, indel_f, cs_f, ce_f,
+            show_clip=cfg.show_soft_clipping,
+        )
         split_k = split_f.reshape(R, K)
         mism_k = mism_f.reshape(R, K)
-        clip_kk = {}
-        if want_clip:
-            # per-candidate softclip from the head prefix (free gather-wise);
-            # _select_se folds the winner's values with _apply_softclip's
-            # exact gating (only indel-free alignments are clipped)
-            cl_f, cr_f, mab_f = softclip_from_prefix(psi[2], lens_f)
-            skip = cl_f + cr_f >= lens_f - 16
-            total_f = psi[2][:, -1]
-            cl_f = jnp.where(skip, 0, cl_f)
-            cr_f = jnp.where(skip, 0, cr_f)
-            mab_f = jnp.where(skip, total_f, mab_f)
-            clip_kk = dict(
-                clip_l_k=cl_f.reshape(R, K),
-                clip_r_k=cr_f.reshape(R, K),
-                mismc_k=mab_f.reshape(R, K),
-            )
+        match_k = match_f.reshape(R, K)
+        clip_kk = dict(
+            clip_l_k=head_f.reshape(R, K),
+            clip_r_k=tail_f.reshape(R, K),
+        )
 
         votes_k = v.votes
         mv = cfg.min_votes if min_votes is None else min_votes
         valid_k = (votes_k >= mv) & (pos_k != np.uint32(0xFFFFFFFF))
 
-        # realignment score: DNA = match*100000 + (10000 - mismatch);
-        # ranking is identical for RNA since match = L - mismatch - inserted.
-        ins_k = jnp.maximum(-indel_k, 0)
-        match_k = jnp.maximum(lens[:, None] - ins_k - mism_k, 0)
+        # realignment score: DNA = match*100000 + (10000 - mismatch)
+        # (core.c:2731-2739); match/mismatch are the reference's
+        # final_matched/final_mismatched_bases (clip-adjusted)
         score_k = match_k * 100000 + (10000 - mism_k)
         score_k = jnp.where(valid_k, score_k, -1)
 
         return dict(
             pos_k=pos_k, strand_k=strand_k, indel_k=indel_k, split_k=split_k,
-            mism_k=mism_k, votes_k=votes_k, valid_k=valid_k, score_k=score_k,
-            probe_kv_k=v.probe_kv, **clip_kk,
+            mism_k=mism_k, match_k=match_k, votes_k=votes_k, valid_k=valid_k,
+            score_k=score_k, probe_kv_k=v.probe_kv, **clip_kk,
         )
+
+    def _anchor_set(self, sc, min_first: int, max_simples: int = 3,
+                    multi_best: int = 3):
+        """The reference's scan-2 anchor set from the vote table.
+
+        process_voting_junction_PE_topK (core-junction.c:2199): candidates
+        whose vote count is among the top `top_scores`=3 DISTINCT values,
+        within max_vote_number_cutoff=2 of the max, capped at
+        `max_simples` entries; anchors additionally need >= min_first
+        votes (SE branch :2470) and are deduped by position, capped at
+        multi_best_reads=3.  Candidates arrive votes-descending from the
+        top-K greedy selection, so value tiers are prefix groups.
+
+        Returns (anchor_k bool [R,K], n_anchors int32 [R]).
+        """
+        votes_k, pos_k = sc["votes_k"], sc["pos_k"]
+        has = (votes_k >= 1) & (pos_k != np.uint32(0xFFFFFFFF))
+        vmax = votes_k[:, :1]
+        newval = jnp.concatenate(
+            [jnp.zeros_like(votes_k[:, :1]),
+             (votes_k[:, 1:] != votes_k[:, :-1]).astype(votes_k.dtype)],
+            axis=1,
+        )
+        tier = jnp.cumsum(newval, axis=1)
+        allowed = has & (tier <= 2) & (votes_k >= vmax - 2)
+        slot = jnp.cumsum(allowed.astype(jnp.int32), axis=1)
+        simple = allowed & (slot <= max_simples)
+        anchor = simple & (votes_k >= min_first)
+        # dedup by position (reference dedups selected_position, :2416)
+        K = votes_k.shape[1]
+        dup = jnp.zeros_like(anchor)
+        eqpos = pos_k[:, :, None] == pos_k[:, None, :]   # [R, K, K]
+        earlier = (np.arange(K)[None, :, None] > np.arange(K)[None, None, :])
+        dup = jnp.any(eqpos & earlier & anchor[:, None, :], axis=2) & anchor
+        anchor = anchor & ~dup
+        rank = jnp.cumsum(anchor.astype(jnp.int32), axis=1)
+        anchor = anchor & (rank <= multi_best)
+        return anchor, jnp.sum(anchor.astype(jnp.int32), axis=1)
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _select_se(self, lens, sc):
-        """Single-end best-candidate selection + MAPQ."""
+        """Single-end best-candidate selection + MAPQ (reference scan-2
+        semantics: anchors from the vote table, realignment score ranking,
+        add_repeated_buffer break-even detection, MAPQ =
+        40 / (step2_locations + mismatches), core.c:1448-1452,2731-2775)."""
         cfg = self.cfg
         score_k, valid_k = sc["score_k"], sc["valid_k"]
-        best = jnp.argmax(score_k, axis=1)
+        anchor_k, n_anchors = self._anchor_set(sc, cfg.min_votes)
+        # CORE_TOO_MANY_MISMATCHES + final_MATCH>0 gate (core.c:2689,2749)
+        cand_ok = anchor_k & (sc["mism_k"] <= cfg.max_mismatches) & (
+            sc["match_k"] >= 1
+        )
+        score_m = jnp.where(cand_ok, score_k, -1)
+        best = jnp.argmax(score_m, axis=1)
         take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
         b_pos, b_strand = take(sc["pos_k"]), take(sc["strand_k"])
         b_indel, b_split = take(sc["indel_k"]), take(sc["split_k"])
-        b_mism, b_votes, b_score = take(sc["mism_k"]), take(sc["votes_k"]), take(score_k)
-        b_valid = take(valid_k)
+        b_mism, b_votes, b_score = take(sc["mism_k"]), take(sc["votes_k"]), take(score_m)
+        b_valid = take(cand_ok)
         b_pkv = jnp.take_along_axis(
             sc["probe_kv_k"], best[:, None, None], axis=1
         )[:, 0] if "probe_kv_k" in sc else None
 
-        # mismatch gate (CORE_TOO_MANY_MISMATCHES analog)
-        mapped = b_valid & (b_mism <= cfg.max_mismatches)
-        # multi-mapping = another DISTINCT location ties the best score;
-        # the vote table repeats the best cluster into unused slots, so
-        # equal-best slots only count when (pos, strand) differs (the
-        # reference dedups repeated candidates, add_repeated_buffer
-        # core.c:2751)
-        n_best = 1 + jnp.sum(
-            (score_k == b_score[:, None]) & valid_k
-            & ((sc["pos_k"] != b_pos[:, None])
-               | (sc["strand_k"] != b_strand[:, None])),
-            axis=1,
+        mapped = b_valid
+        # break-even: a DISTINCT (pos, cigar) alignment ties the best score
+        # (add_repeated_buffer core.c:2751 dedups identical pos+cigar)
+        cl_k, cr_k = sc["clip_l_k"], sc["clip_r_k"]
+        b_cl, b_cr = take(cl_k), take(cr_k)
+        same_aln = (
+            (sc["pos_k"] == b_pos[:, None])
+            & (sc["strand_k"] == b_strand[:, None])
+            & (sc["indel_k"] == b_indel[:, None])
+            & (sc["split_k"] == b_split[:, None])
+            & (cl_k == b_cl[:, None])
+            & (cr_k == b_cr[:, None])
         )
+        n_best = 1 + jnp.sum(
+            (score_m == b_score[:, None]) & cand_ok & ~same_aln, axis=1
+        )
+        breakeven = mapped & (n_best > 1)
+        # MAPQ: 40 / (step2_locations + final_mismatched_bases); 0 on ties
         mapq = jnp.where(
-            n_best > 1, 0, cfg.mapq_unique // (1 + jnp.maximum(b_mism, 0))
+            breakeven, 0,
+            cfg.mapq_unique // jnp.maximum(n_anchors + b_mism, 1),
         ).astype(jnp.int32)
-        clip_out = {}
+        if not cfg.report_multi_mapping:
+            # reference default: break-even reads are not reported
+            # (do_iteration_two core.c:2760 highest_score_occurence>=2)
+            mapped = mapped & ~breakeven
         b_pos0 = b_pos  # unclipped: probe_kv deltas below live in this space
-        # (the SE junction path never softclips — _select_se_junc builds on
-        # the unclipped base; PE subjunc does, via _select_pe's pick)
-        if "clip_l_k" in sc and not cfg.detect_junctions:
-            # fold the winner's per-candidate softclip (same gating as the
-            # former _apply_softclip stage: only indel-free alignments clip,
-            # the mismatch limit applies to the unclipped region)
-            cl_w = take(sc["clip_l_k"])
-            cr_w = take(sc["clip_r_k"])
-            mc_w = take(sc["mismc_k"])
-            no_ind = b_indel == 0
-            valid_pos = b_pos != np.uint32(0xFFFFFFFF)
-            mapped = jnp.where(
-                no_ind,
-                (mc_w <= cfg.max_mismatches)
-                & valid_pos
-                & (b_votes >= cfg.min_votes),
-                mapped,
-            )
-            b_mism = jnp.where(no_ind, mc_w, b_mism)
-            cl_w = jnp.where(no_ind, cl_w, 0)
-            cr_w = jnp.where(no_ind, cr_w, 0)
-            b_pos = jnp.where(
-                mapped & no_ind, b_pos + cl_w.astype(jnp.uint32), b_pos
-            )
-            clip_out = dict(clip_l=cl_w, clip_r=cr_w)
+        cl_w = jnp.where(mapped, b_cl, 0)
+        cr_w = jnp.where(mapped, b_cr, 0)
+        b_pos = jnp.where(mapped, b_pos + cl_w.astype(jnp.uint32), b_pos)
+        n_best = jnp.where(breakeven, n_best, 1)
         # Output dtypes are shrunk to the value ranges (tunnel fetch is
         # ~60MB/s; fetched bytes are wall-clock).
         out = dict(
-            **clip_out,
+            clip_l=cl_w, clip_r=cr_w,
             pos=b_pos, strand=b_strand.astype(jnp.int8),
             indel=b_indel.astype(jnp.int8), split=b_split.astype(jnp.int16),
             mism=jnp.minimum(b_mism, 999).astype(jnp.int16),
             votes=b_votes.astype(jnp.int8), mapped=mapped, multi=n_best > 1,
             mapq=mapq.astype(jnp.int8),
+            n_anchors=n_anchors.astype(jnp.int8), best_k=best.astype(jnp.int8),
         )
         if b_pkv is not None:
             # multi-indel flag (>=3 distinct probe deltas) computed here so
@@ -467,9 +507,9 @@ class Aligner:
             # report secondary alignments (HI/NH tags, reference
             # write_realignments_for_fragment multi_mapping loop)
             N = min(cfg.multi_best, score_k.shape[1])
-            eq = (score_k == b_score[:, None]) & valid_k
+            eq = (score_m == b_score[:, None]) & cand_ok
             # order candidates by score so the first N are the ties
-            ordk = jnp.argsort(-score_k, axis=1)[:, :N]
+            ordk = jnp.argsort(-score_m, axis=1)[:, :N]
             takek = lambda a: jnp.take_along_axis(a, ordk, axis=1)
             out["alt_pos"] = takek(sc["pos_k"])
             out["alt_strand"] = takek(sc["strand_k"]).astype(jnp.int8)
@@ -559,15 +599,11 @@ class Aligner:
         # (finalise_explain_CIGAR picks max matched bases): clipped bases
         # do not count as matched, so plain "cost" = clips + clipped-mism.
         no_ind = base["indel"] == 0
-        if "clip_l_k" in sc:
-            best = jnp.argmax(sc["score_k"], axis=1)
-            take = lambda a: jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
-            cl_w = jnp.where(no_ind, take(sc["clip_l_k"]), 0)
-            cr_w = jnp.where(no_ind, take(sc["clip_r_k"]), 0)
-            mc_w = jnp.where(no_ind, take(sc["mismc_k"]), base["mism"])
-        else:
-            cl_w = cr_w = jnp.zeros_like(base["mism"])
-            mc_w = base["mism"]
+        # base is already clip-folded (pos advanced, mism over the unclipped
+        # region) by the new _select_se; cost in lost-matched-bases space
+        cl_w = base["clip_l"]
+        cr_w = base["clip_r"]
+        mc_w = base["mism"].astype(jnp.int32)
         plain_cost = cl_w + cr_w + mc_w
         junc_cost = jr["mism"] + jr["clip_l"] + jr["clip_r"]
         # big-margin junction filter (subjunc default,
@@ -584,37 +620,25 @@ class Aligner:
         use = pair["valid"] & jr["ok"] & (junc_cost < plain_cost) & (
             jr["mism"] <= cfg.max_mismatches
         ) & not_ambiguous
-        # clipped plain rescue: reads failing the unclipped gate map when
-        # the unclipped region is clean enough
-        valid_pos = base["pos"] != np.uint32(0xFFFFFFFF)
-        clip_ok = (
-            no_ind & valid_pos & (mc_w <= cfg.max_mismatches)
-            & (base["votes"] >= cfg.min_votes)
-        )
         out = dict(base)
-        plain_mapped = no_ind & (base["mapped"] | clip_ok)
         # junction reads store pos at the first ALIGNED base (head_pos +
         # clip) and split relative to the clipped region, so the CIGAR is
         # clS (split)M (gap)N (L-cl-split-cr)M crS and the emitters'
         # left_edge = pos0 + split - 1 formula stays exact
         out["pos"] = jnp.where(
             use, pair["head_pos"] + jr["clip_l"].astype(jnp.uint32),
-            jnp.where(plain_mapped, base["pos"] + cl_w.astype(jnp.uint32),
-                      base["pos"]),
+            base["pos"],
         )
-        out["mism"] = jnp.where(use, jr["mism"],
-                                jnp.where(no_ind, mc_w, base["mism"]))
-        out["mapped"] = base["mapped"] | use | clip_ok
+        out["mism"] = jnp.where(use, jr["mism"], base["mism"])
+        out["mapped"] = base["mapped"] | use
         out["indel"] = jnp.where(use, 0, base["indel"])
         out["split"] = jnp.where(use, jr["split"] - jr["clip_l"],
                                  base["split"])
         out["junc"] = use
         out["junc_gap"] = jnp.where(use, pair["gap"], 0)
         out["junc_donor_strand"] = jr["donor_strand"]
-        out["clip_l"] = jnp.where(use, jr["clip_l"],
-                                  jnp.where(no_ind, cl_w, 0))
-        out["clip_r"] = jnp.where(use, jr["clip_r"],
-                                  jnp.where(no_ind, cr_w, 0))
+        out["clip_l"] = jnp.where(use, jr["clip_l"], base["clip_l"])
+        out["clip_r"] = jnp.where(use, jr["clip_r"], base["clip_r"])
         if self.cfg.all_junctions:
             # export the vote clusters for host-side fusion detection
             # (align/fusion.py; write_fusion_final_results analog)
@@ -623,7 +647,6 @@ class Aligner:
             out["vk_votes"] = v.votes
             out["vk_cov_s"] = v.cov_start
             out["vk_cov_e"] = v.cov_end
-            out["best_k"] = jnp.argmax(sc["score_k"], axis=1).astype(jnp.int32)
         return out
 
     @functools.partial(jax.jit, static_argnames=("self",))
@@ -833,120 +856,217 @@ class Aligner:
         return out
 
     @functools.partial(jax.jit, static_argnames=("self",))
-    def _select_pe(self, lens1, lens2, sc1, sc2):
-        """Paired-end combination selection.
+    def _select_pe(self, lens1, lens2, sc1, sc2, expected_tlen):
+        """Paired-end selection with the reference's exact semantics.
 
-        Reference: process_voting_junction_PE_topK weights (V1+V2)*w with
-        w = 1300 PE-distance-ok / 1000 same chromosome / 800 otherwise
-        (core-junction.c:2336-2349; 1800 needs exon annotation, later).
-        Proper orientation is 'fr' with fragment length within
-        [min_fragment, max_fragment].
+        Scan-1 combos: every candidate pair weighted (V1+V2)*w, w = 1300
+        PE-distance / 1000 same chromosome / 800 otherwise (distance only,
+        NO orientation test — test_PE_and_same_chro core.c:4819,
+        process_voting_junction_PE_topK core-junction.c:2325-2372); top-3
+        combos kept, their positions become the per-end anchor sets.
+
+        Scan-2 scoring over all anchor pairs (do_iteration_two
+        core.c:2799-2906, DNA): weight 120 PE-distance / 100 same-chro /
+        80; SCORE = lexicographic((w*(M1+M2))*1000 - MM1 - MM2,
+        999-|tlen-expected|); repeated (pos,cigar) pairs deduped; a
+        distinct tie = break-even (dropped unless --multiMapping); MAPQ =
+        40/(n_anchors_end + MM_end).  One end without any successful
+        realignment → the other scored single-end style (core.c:2707-2788).
         """
         cfg = self.cfg
-        v1, v2 = sc1["votes_k"], sc2["votes_k"]           # [R, K]
+        R, K = sc1["votes_k"].shape
+        v1, v2 = sc1["votes_k"], sc2["votes_k"]
         p1, p2 = sc1["pos_k"], sc2["pos_k"]
-        s1, s2 = sc1["strand_k"], sc2["strand_k"]
-        val1, val2 = sc1["valid_k"], sc2["valid_k"]
+        val1 = (v1 >= 1) & (p1 != np.uint32(0xFFFFFFFF))
+        val2 = (v2 >= 1) & (p2 != np.uint32(0xFFFFFFFF))
+        cid1 = jnp.searchsorted(self.d_contig_starts,
+                                p1.astype(jnp.int64), side="right")
+        cid2 = jnp.searchsorted(self.d_contig_starts,
+                                p2.astype(jnp.int64), side="right")
 
-        # pairwise combos [R, K, K]  (k1 indexes mate1, k2 mate2)
-        P1 = p1[:, :, None].astype(jnp.int32)
-        P2 = p2[:, None, :].astype(jnp.int32)
-        S1 = s1[:, :, None]
-        S2 = s2[:, None, :]
-        L1 = lens1[:, None, None]
-        L2 = lens2[:, None, None]
-        V = v1[:, :, None] + v2[:, None, :]
-        VV = jnp.where(val1[:, :, None] & val2[:, None, :], V, -1)
+        P1 = p1[:, :, None].astype(jnp.int64)
+        P2 = p2[:, None, :].astype(jnp.int64)
+        V1 = v1[:, :, None].astype(jnp.int32)
+        V2 = v2[:, None, :].astype(jnp.int32)
+        L1 = lens1[:, None, None].astype(jnp.int64)
+        L2 = lens2[:, None, None].astype(jnp.int64)
+        same = cid1[:, :, None] == cid2[:, None, :]
+        bothv = val1[:, :, None] & val2[:, None, :]
 
-        tlen_fwd = P2 + L2 - P1   # mate1 leftmost
-        tlen_rev = P1 + L1 - P2   # mate2 leftmost
-        in_range = lambda t: (t >= cfg.min_fragment) & (t <= cfg.max_fragment)
-        # -S fr|ff|rf mate orientation (core-interface-aligner.c "order")
-        if cfg.mate_orientation == "ff":
-            proper = (S1 == S2) & (in_range(tlen_fwd) | in_range(tlen_rev))
-        elif cfg.mate_orientation == "rf":
-            proper = ((S1 == 1) & (S2 == 0) & in_range(tlen_fwd)) | (
-                (S1 == 0) & (S2 == 1) & in_range(tlen_rev)
-            )
-        else:  # fr (default)
-            proper = ((S1 == 0) & (S2 == 1) & in_range(tlen_fwd)) | (
-                (S1 == 1) & (S2 == 0) & in_range(tlen_rev)
-            )
-        near = jnp.abs(P1 - P2) < 500000  # same-chromosome proxy
-        w = jnp.where(proper, 1300, jnp.where(near, 1000, 800))
-        combo = VV * w + sc1["score_k"][:, :, None] // 100000 \
-            + sc2["score_k"][:, None, :] // 100000
-        combo = jnp.where(VV >= 0, combo, -1)
+        # scan-1 PE distance: |p1-p2| + rlen of the larger-position read
+        tl_vote = jnp.abs(P1 - P2) + jnp.where(P1 > P2, L1, L2)
+        pe_vote = same & (tl_vote >= cfg.min_fragment) & (
+            tl_vote <= cfg.max_fragment
+        )
+        mv1 = jnp.maximum(V1, V2)
+        mn1 = jnp.minimum(V1, V2)
+        eligible = bothv & (mv1 >= cfg.min_votes) & (
+            pe_vote | (mn1 >= cfg.min_votes)
+        )
+        w_vote = jnp.where(pe_vote, 1300, jnp.where(same, 1000, 800))
+        adjusted = jnp.where(eligible, (V1 + V2) * w_vote, -1)
+        # top max_vote_combinations=3 combos (ties keep the earlier
+        # k1-major entry, matching the reference's insertion sort)
+        KK = K * K
+        flat_adj = adjusted.reshape(R, KK)
+        fidx = jnp.arange(KK, dtype=jnp.int32)[None, :]
+        key = flat_adj * KK + (KK - 1 - fidx)
+        key = jnp.where(flat_adj >= 0, key, -1)
+        top_key, top_i = jax.lax.top_k(key, 3)            # [R, 3]
+        top_ok = top_key >= 0
+        tk1 = top_i // K
+        tk2 = top_i % K
+        any_combo = jnp.any(top_ok, axis=1)
 
-        R, K = v1.shape
-        flatc = combo.reshape(R, K * K)
-        bi = jnp.argmax(flatc, axis=1)
-        k1 = (bi // K).astype(jnp.int32)
-        k2 = (bi % K).astype(jnp.int32)
-        b_proper = jnp.take_along_axis(
-            proper.reshape(R, K * K), bi[:, None], axis=1
-        )[:, 0]
-        any_combo = jnp.take_along_axis(flatc, bi[:, None], axis=1)[:, 0] >= 0
+        # per-end anchor sets: positions of the top combos; when no combo
+        # exists, the SE-style anchor rule per end (the else branch,
+        # core-junction.c:2441-2500)
+        def combo_anchor(sc, tk, top_ok):
+            onehot = (
+                jnp.arange(K, dtype=jnp.int32)[None, None, :] == tk[:, :, None]
+            ) & top_ok[:, :, None]
+            return jnp.any(onehot, axis=1)                # [R, K]
 
-        def pick(sc, lens, kk):
+        a1_combo = combo_anchor(sc1, tk1, top_ok)
+        a2_combo = combo_anchor(sc2, tk2, top_ok)
+        a1_se, _ = self._anchor_set(sc1, cfg.min_votes)
+        a2_se, _ = self._anchor_set(sc2, cfg.min_votes)
+        anchor1 = jnp.where(any_combo[:, None], a1_combo, a1_se)
+        anchor2 = jnp.where(any_combo[:, None], a2_combo, a2_se)
+
+        def distinct_pos_count(anchor, pos):
+            eq = pos[:, :, None] == pos[:, None, :]
+            earlier = np.arange(K)[None, :, None] > np.arange(K)[None, None, :]
+            dup = jnp.any(eq & earlier & anchor[:, None, :], axis=2) & anchor
+            return jnp.sum((anchor & ~dup).astype(jnp.int32), axis=1)
+
+        n_anch1 = jnp.minimum(distinct_pos_count(anchor1, p1), 3)
+        n_anch2 = jnp.minimum(distinct_pos_count(anchor2, p2), 3)
+
+        # realignment success per candidate (CORE_TOO_MANY_MISMATCHES +
+        # final_MATCH > 0)
+        ok1 = anchor1 & (sc1["mism_k"] <= cfg.max_mismatches) & (
+            sc1["match_k"] >= 1
+        )
+        ok2 = anchor2 & (sc2["mism_k"] <= cfg.max_mismatches) & (
+            sc2["match_k"] >= 1
+        )
+        has1 = jnp.any(ok1, axis=1)
+        has2 = jnp.any(ok2, axis=1)
+
+        # ---- scan-2 pair scoring over anchor pairs -----------------------
+        M1 = sc1["match_k"][:, :, None].astype(jnp.int32)
+        M2 = sc2["match_k"][:, None, :].astype(jnp.int32)
+        MM1 = sc1["mism_k"][:, :, None].astype(jnp.int32)
+        MM2 = sc2["mism_k"][:, None, :].astype(jnp.int32)
+        # chromosomal span ends (calc_end_pos counts leading S + M + D):
+        # end = pos0 + L - ins - tail_clip + del; skip = del
+        def spans(sc, lens):
+            ind = sc["indel_k"].astype(jnp.int64)
+            dele = jnp.maximum(ind, 0)
+            ins = jnp.maximum(-ind, 0)
+            end = sc["pos_k"].astype(jnp.int64) + lens[:, None].astype(
+                jnp.int64) - ins - sc["clip_r_k"].astype(jnp.int64) + dele
+            return end, dele
+        end1, skip1 = spans(sc1, lens1)
+        end2, skip2 = spans(sc2, lens2)
+        E1 = end1[:, :, None]
+        E2 = end2[:, None, :]
+        tl2 = jnp.maximum(E1, E2) - jnp.minimum(P1, P2)
+        sk = skip1[:, :, None] + skip2[:, None, :]
+        # (reference guards each subtraction; combined guard is equivalent
+        # for our single-indel cigars where tlen > skips always holds)
+        tl2 = jnp.where(tl2 > sk, tl2 - sk, tl2)
+        pe2 = same & (tl2 >= cfg.min_fragment) & (tl2 <= cfg.max_fragment)
+        w2 = jnp.where(pe2, 120, jnp.where(same, 100, 80))
+        primary = (w2 * (M1 + M2)) * 1000 - MM1 - MM2     # < 2^31
+        d_tl = jnp.abs(tl2 - expected_tlen.astype(jnp.int64)).astype(jnp.int32)
+        tl_sc = jnp.where(pe2 & (d_tl <= 999), 999 - d_tl, 0)
+        if cfg.multi_best > 1:
+            tl_sc = jnp.zeros_like(tl_sc)  # no TLEN preference with -B
+        pair_ok = ok1[:, :, None] & ok2[:, None, :]
+        primary = jnp.where(pair_ok, primary, -1)
+        # lexicographic max (primary, tl_sc), tie → first in k1-major order
+        best_p = jnp.max(primary.reshape(R, KK), axis=1)
+        at_p = primary == best_p[:, None, None]
+        tl_m = jnp.where(at_p, tl_sc, -1)
+        best_t = jnp.max(tl_m.reshape(R, KK), axis=1)
+        at_best = at_p & (tl_m == best_t[:, None, None])
+        bi = jnp.argmax(at_best.reshape(R, KK), axis=1)
+        bk1 = (bi // K).astype(jnp.int32)
+        bk2 = (bi % K).astype(jnp.int32)
+        paired = has1 & has2 & (best_p >= 0)
+
+        # break-even: a DISTINCT (pos1,cigar1,pos2,cigar2) pair ties the
+        # best (add_repeated_buffer core.c:2887).  Alignment identity =
+        # (pos, strand, indel, split, clips); compared field-wise.
+        def same_as_best(sc, kbest):
+            eqs = None
+            for f in ("pos_k", "strand_k", "indel_k", "split_k",
+                      "clip_l_k", "clip_r_k"):
+                b = jnp.take_along_axis(sc[f], kbest[:, None], axis=1)
+                e = sc[f] == b
+                eqs = e if eqs is None else (eqs & e)
+            return eqs                                     # [R, K]
+        same1 = same_as_best(sc1, bk1)[:, :, None]
+        same2 = same_as_best(sc2, bk2)[:, None, :]
+        distinct = ~(same1 & same2)
+        n_eq = 1 + jnp.sum(
+            (at_best & distinct).reshape(R, KK), axis=1
+        )
+        breakeven = paired & (n_eq > 1)
+
+        # ---- single-end fallbacks (one or both ends unexplained) ---------
+        se_score1 = jnp.where(ok1, sc1["score_k"], -1)
+        se_score2 = jnp.where(ok2, sc2["score_k"], -1)
+        se_k1 = jnp.argmax(se_score1, axis=1).astype(jnp.int32)
+        se_k2 = jnp.argmax(se_score2, axis=1).astype(jnp.int32)
+
+        def se_breakeven(sc, score_m, kbest, ok):
+            b_s = jnp.take_along_axis(score_m, kbest[:, None], axis=1)
+            return jnp.sum(
+                (score_m == b_s) & ok & ~same_as_best(sc, kbest), axis=1
+            ) > 0
+
+        se_be1 = se_breakeven(sc1, se_score1, se_k1, ok1)
+        se_be2 = se_breakeven(sc2, se_score2, se_k2, ok2)
+
+        k1 = jnp.where(paired, bk1, se_k1)
+        k2 = jnp.where(paired, bk2, se_k2)
+        be1 = jnp.where(paired, breakeven, se_be1)
+        be2 = jnp.where(paired, breakeven, se_be2)
+
+        def pick(sc, lens, kk, ok, has, n_anch, be):
             take = lambda a: jnp.take_along_axis(a, kk[:, None], axis=1)[:, 0]
             b_mism = take(sc["mism_k"])
-            b_score = take(sc["score_k"])
             b_pos = take(sc["pos_k"])
             b_indel = take(sc["indel_k"])
-            b_votes = take(sc["votes_k"])
-            mapped = take(sc["valid_k"]) & (b_mism <= cfg.max_mismatches)
-            b_strand_ = take(sc["strand_k"])
-            # distinct-location tie count (see _select_se: the vote table
-            # repeats the best cluster into unused slots)
-            n_best = 1 + jnp.sum(
-                (sc["score_k"] == b_score[:, None]) & sc["valid_k"]
-                & ((sc["pos_k"] != b_pos[:, None])
-                   | (sc["strand_k"] != b_strand_[:, None])),
-                axis=1,
-            )
+            b_cl = take(sc["clip_l_k"])
+            b_cr = take(sc["clip_r_k"])
+            mapped = take(ok) & has
             mapq = jnp.where(
-                n_best > 1, 0, cfg.mapq_unique // (1 + jnp.maximum(b_mism, 0))
+                be, 0,
+                cfg.mapq_unique // jnp.maximum(
+                    n_anch + b_mism.astype(jnp.int32), 1),
             ).astype(jnp.int32)
-            clip_out = {}
-            if "clip_l_k" in sc:
-                # fold per-candidate softclip (see _select_se)
-                cl_w = take(sc["clip_l_k"])
-                cr_w = take(sc["clip_r_k"])
-                mc_w = take(sc["mismc_k"])
-                no_ind = b_indel == 0
-                valid_pos = b_pos != np.uint32(0xFFFFFFFF)
-                mapped = jnp.where(
-                    no_ind,
-                    (mc_w <= cfg.max_mismatches)
-                    & valid_pos
-                    & (b_votes >= cfg.min_votes),
-                    mapped,
-                )
-                b_mism = jnp.where(no_ind, mc_w, b_mism)
-                cl_w = jnp.where(no_ind, cl_w, 0)
-                cr_w = jnp.where(no_ind, cr_w, 0)
-                b_pos = jnp.where(
-                    mapped & no_ind, b_pos + cl_w.astype(jnp.uint32), b_pos
-                )
-                clip_out = dict(clip_l=cl_w, clip_r=cr_w)
+            if not cfg.report_multi_mapping:
+                mapped = mapped & ~be
+            cl_w = jnp.where(mapped, b_cl, 0)
+            cr_w = jnp.where(mapped, b_cr, 0)
             return dict(
-                **clip_out,
-                pos=b_pos, strand=take(sc["strand_k"]),
+                clip_l=cl_w, clip_r=cr_w,
+                pos=jnp.where(mapped, b_pos + cl_w.astype(jnp.uint32), b_pos),
+                strand=take(sc["strand_k"]),
                 indel=b_indel, split=take(sc["split_k"]),
-                mism=b_mism, votes=b_votes, mapped=mapped,
-                multi=n_best > 1, mapq=mapq,
+                mism=b_mism, votes=take(sc["votes_k"]), mapped=mapped,
+                multi=be, mapq=mapq,
+                n_anchors=n_anch.astype(jnp.int8),
             )
 
-        # fall back to independent SE selection when no valid combo exists
-        se_k1 = jnp.argmax(sc1["score_k"], axis=1).astype(jnp.int32)
-        se_k2 = jnp.argmax(sc2["score_k"], axis=1).astype(jnp.int32)
-        k1 = jnp.where(any_combo, k1, se_k1)
-        k2 = jnp.where(any_combo, k2, se_k2)
-        r1 = pick(sc1, lens1, k1)
-        r2 = pick(sc2, lens2, k2)
-        r1["proper"] = b_proper & r1["mapped"] & r2["mapped"]
-        r2["proper"] = r1["proper"]
+        r1 = pick(sc1, lens1, k1, ok1, has1, n_anch1, be1)
+        r2 = pick(sc2, lens2, k2, ok2, has2, n_anch2, be2)
+        # emission-time proper-pair/TLEN fields are derived on the host
+        # (calc_flags/calc_tlen, core.c:1635/1718) from pos+cigar
         r1["best_k"] = k1
         r2["best_k"] = k2
         return r1, r2
@@ -997,21 +1117,29 @@ class Aligner:
 
     def _device_align_pe(
         self, c1, a1, l1, c2, a2, l2, bucket_start, comb, genome_u32,
-        ul1=None, ul2=None,
+        ul1=None, ul2=None, expected_tlen=None,
     ):
         B = self.index.bucket_bits
         v1 = vote_batch(c1, a1, l1, bucket_start, comb, B, self.vote_params,
                         static_len=ul1)
         v2 = vote_batch(c2, a2, l2, bucket_start, comb, B, self.vote_params,
                         static_len=ul2)
-        sc1 = self._score_candidates(c1, a1, l1, genome_u32, v1, uniform_len=ul1)
+        # candidate lists for BOTH ends use min_second (the reference's
+        # simple-list gate, core-junction.c:2287); min_first gates combos
+        # and anchors inside _select_pe
+        sc1 = self._score_candidates(
+            c1, a1, l1, genome_u32, v1, min_votes=self.cfg.min_votes_second,
+            uniform_len=ul1,
+        )
         sc2 = self._score_candidates(
             c2, a2, l2, genome_u32, v2, min_votes=self.cfg.min_votes_second,
             uniform_len=ul2,
         )
-        # softclip folded into _score_candidates/_select_pe's pick (the
-        # "proper" flag there already uses the post-clip mapped states)
-        r1, r2 = self._select_pe(l1, l2, sc1, sc2)
+        if expected_tlen is None:
+            expected_tlen = jnp.int32(
+                (self.cfg.min_fragment + self.cfg.max_fragment) // 2
+            )
+        r1, r2 = self._select_pe(l1, l2, sc1, sc2, expected_tlen)
         if self.cfg.detect_junctions:
             r1 = self._pe_junction_update(c1, l1, genome_u32, v1, sc1, r1,
                                           uniform_len=ul1)
@@ -1202,7 +1330,6 @@ class Aligner:
         if (
             junctions is None
             and self.cfg.rg_id is None
-            and self.cfg.report_multi_mapping
             and not self.cfg.ignore_unmapped
             and self.cfg.min_mapped_length <= 0
             and isinstance(writer, samio.SamWriter)
@@ -1291,6 +1418,8 @@ class Aligner:
                 suppress[i] = 1
             if multi_out is not None:
                 suppress[multi_out] = 1
+        hi = np.ones(n, np.int32)
+        nh = np.where(mapped, 1, 0).astype(np.int32)  # SE: tags iff mapped
         blob = native.format_sam_records(
             batch.names,
             batch.codes, batch.quals, batch.lengths.astype(np.int32),
@@ -1299,7 +1428,7 @@ class Aligner:
             np.asarray(res["split"], np.int32), None,
             clip_l, clip_r,
             mapped.astype(np.uint8), nm, g.names,
-            suppress=suppress,
+            suppress=suppress, hi=hi, nh=nh,
         )
         if blob is None:
             return False
@@ -1321,7 +1450,8 @@ class Aligner:
             writer.write(samio.SamRecord(
                 batch.names[i], int(flags[i]), g.names[int(cidx[i])],
                 int(coff[i]) + 1, int(res["mapq"][i]), cigar,
-                seq=seq, qual=qual, tags=[f"NM:i:{nm_i}"],
+                seq=seq, qual=qual,
+                tags=["HI:i:1", "NH:i:1", f"NM:i:{nm_i}"],
             ))
         # summary + indel-event bookkeeping (vectorised / sparse loop)
         summary.total += n
@@ -1439,11 +1569,23 @@ class Aligner:
                         sup + 1, max(ml, split), max(mr, tail_m)
                     )
             elif indel > 0:
-                cigar = f"{split}M{indel}D{L - split}M"
+                cl = int(res["clip_l"][i]) if "clip_l" in res else 0
+                cr = int(res["clip_r"][i]) if "clip_r" in res else 0
+                cigar = (
+                    (f"{cl}S" if cl else "")
+                    + f"{split - cl}M{indel}D{L - split - cr}M"
+                    + (f"{cr}S" if cr else "")
+                )
                 summary.indels += 1
             elif indel < 0:
                 ins = -indel
-                cigar = f"{split}M{ins}I{L - split - ins}M"
+                cl = int(res["clip_l"][i]) if "clip_l" in res else 0
+                cr = int(res["clip_r"][i]) if "clip_r" in res else 0
+                cigar = (
+                    (f"{cl}S" if cl else "")
+                    + f"{split - cl}M{ins}I{L - split - ins - cr}M"
+                    + (f"{cr}S" if cr else "")
+                )
                 summary.indels += 1
             else:
                 cl = int(res.get("clip_l", np.zeros(1, np.int32))[i]) if "clip_l" in res else 0
@@ -1475,11 +1617,15 @@ class Aligner:
                 indel_events[key] = (sup + 1, prev)
             flag = samio.FLAG_REVERSE if strand else 0
             nm = int(res["mism"][i]) + abs(indel)
+            tags = ["HI:i:1", "NH:i:1"]
+            if self.cfg.rg_id:
+                tags.append(f"RG:Z:{self.cfg.rg_id}")
+            tags.append(f"NM:i:{nm}")
             writer.write(
                 samio.SamRecord(
                     name, flag, g.names[int(cidx[i])], int(coff[i]) + 1,
                     int(res["mapq"][i]), cigar, seq=seq, qual=qual,
-                    tags=[f"NM:i:{nm}"],
+                    tags=tags,
                 )
             )
 
@@ -1585,37 +1731,106 @@ class Aligner:
         s2 = np.asarray(res2["strand"], np.int32)
         z = np.zeros(R, np.int32)
 
+        # ---- calc_tlen (core.c:1718): signed fragment length from the
+        # smaller-POS record's CIGAR walk.  Closed form for our cigar
+        # shapes: TLEN = Pbig - Psmall + L_larger, adjusted by the smaller
+        # record's indel/junction gap when the larger record starts beyond
+        # the smaller's first M section (S consumes chro in the walk).
+        def tlen_walk():
+            P1p = o1 + 1
+            P2p = o2 + 1
+            r1_small = P1p <= P2p
+            Ps = np.where(r1_small, P1p, P2p)
+            Pb = np.where(r1_small, P2p, P1p)
+            Lsm = np.where(r1_small, L1, L2)
+            Lbig = np.where(r1_small, L2, L1)
+            ind_s = np.where(
+                r1_small, np.asarray(res1["indel"], np.int32),
+                np.asarray(res2["indel"], np.int32),
+            )
+            spl_s = np.where(
+                r1_small, np.asarray(res1["split"], np.int32),
+                np.asarray(res2["split"], np.int32),
+            )
+            cl_s = np.where(
+                r1_small,
+                np.asarray(res1.get("clip_l", z), np.int32),
+                np.asarray(res2.get("clip_l", z), np.int32),
+            )
+            gap_s = np.zeros(R, np.int64)
+            if "junc_gap" in res1:
+                g1j = np.asarray(res1["junc_gap"], np.int64)
+                g2j = np.asarray(res2["junc_gap"], np.int64)
+                gap_s = np.where(r1_small, g1j, g2j)
+            # chro consumed by the smaller's first M section (pos is the
+            # CLIPPED start; leading S consumes chro in calc_tlen's walk,
+            # so the boundary sits at unclipped_pos + split = pos-cl+split)
+            first_sec_end = Ps + (spl_s - cl_s).astype(np.int64)
+            boundary_hit = first_sec_end >= Pb
+            adj = np.where(
+                ind_s > 0, -ind_s,
+                np.where(ind_s < 0, -ind_s, 0),
+            ).astype(np.int64)  # del: -d; ins: +i
+            adj = adj - gap_s
+            has_event = (ind_s != 0) | (gap_s > 0)
+            t = (Pb - Ps) + Lbig + np.where(
+                has_event & ~boundary_hit, adj, 0
+            )
+            t = np.where(P1p == P2p, np.maximum(L1, L2), t)
+            # sign: smaller-POS record positive; tie → R1's strand decides
+            tie = P1p == P2p
+            neg1 = np.where(tie, s1 == 1, P1p > P2p)
+            t1 = np.where(neg1, -t, t)
+            t2 = np.where(
+                tie, np.where(s1 == 1, t, -t), np.where(P2p > P1p, -t, t)
+            )
+            return t1.astype(np.int64), t2.astype(np.int64)
+
+        both = ok1 & ok2
+        samec = both & (c1 == c2)
+        t1_all, t2_all = tlen_walk()
+        t1 = np.where(samec, t1_all, 0)
+        t2 = np.where(samec, t2_all, 0)
+        # proper pair (calc_flags core.c:1659-1683): same chro, |TLEN| in
+        # [min,max], SAM strands opposite, forward read leftmost (fr)
+        tl_in = (np.abs(t1) >= self.cfg.min_fragment) & (
+            np.abs(t1) <= self.cfg.max_fragment
+        )
+        opp = s1 != s2
+        fwd_pos = np.where(s1 == 0, o1, o2)
+        rev_pos = np.where(s1 == 0, o2, o1)
+        arranged = fwd_pos <= rev_pos
+        proper = samec & tl_in & opp & arranged
+
         def mate_arrays(res, batch, cidx, coff, ok, strand,
-                        mok, mcidx, mcoff, mstrand, L_self, L_mate, first):
+                        mok, mcidx, mcoff, mstrand, L_self, L_mate, first,
+                        tlen_signed):
             flags = np.full(R, samio.FLAG_PAIRED
                             | (samio.FLAG_FIRST if first else samio.FLAG_SECOND),
                             np.int32)
             flags = np.where(ok, flags, flags | samio.FLAG_UNMAPPED)
             flags = np.where(ok & (strand == 1),
                              flags | samio.FLAG_REVERSE, flags)
-            proper = np.asarray(res.get("proper", np.zeros(R)), bool)
             flags = np.where(ok & proper, flags | samio.FLAG_PROPER_PAIR, flags)
             flags = np.where(~mok, flags | samio.FLAG_MATE_UNMAPPED, flags)
-            flags = np.where(ok & mok & (mstrand == 1),
+            # mate-reverse reflects the mate's strand even when this end is
+            # unmapped (reference flag 101/133 records)
+            flags = np.where(mok & (mstrand == 1),
                              flags | samio.FLAG_MATE_REVERSE, flags)
-            same = ok & mok & (cidx == mcidx)
-            rnext = np.where(~ok | ~mok, -1,
-                             np.where(same, -2, mcidx)).astype(np.int32)
-            pnext = np.where(ok & mok, mcoff + 1, 0).astype(np.int32)
-            p_self = coff + 1
-            p_mate = mcoff + 1
-            tl = np.where(
-                p_self <= p_mate,
-                p_mate + L_mate - p_self,
-                -(p_self + L_self - p_mate),
-            )
-            tlen = np.where(same, tl, 0).astype(np.int32)
+            # RNEXT/PNEXT (write_single_fragment core.c:2125-2136):
+            # mate unmapped → "*" / 0; both mapped same chro → "=";
+            # this end unmapped, mate mapped → mate chro NAME (the "*"
+            # pointer differs from the mate's)
+            rnext = np.where(
+                ~mok, -1,
+                np.where(ok & (cidx == mcidx), -2, mcidx),
+            ).astype(np.int32)
+            pnext = np.where(mok, mcoff + 1, 0).astype(np.int32)
+            tlen = np.where(both, tlen_signed, 0).astype(np.int64)
             indel = np.where(ok, np.asarray(res["indel"], np.int32), 0)
             split = np.asarray(res["split"], np.int32)
-            cl = np.asarray(res.get("clip_l", z), np.int32)
-            cr = np.asarray(res.get("clip_r", z), np.int32)
-            cl = np.where(ok & (indel == 0), cl, 0)
-            cr = np.where(ok & (indel == 0), cr, 0)
+            cl = np.where(ok, np.asarray(res.get("clip_l", z), np.int32), 0)
+            cr = np.where(ok, np.asarray(res.get("clip_r", z), np.int32), 0)
             nm = np.asarray(res["mism"], np.int32) + np.abs(indel)
             mapq = np.asarray(res["mapq"], np.int32)
             junc = (
@@ -1625,9 +1840,9 @@ class Aligner:
             return flags, rnext, pnext, tlen, indel, split, cl, cr, nm, mapq, junc
 
         m1 = mate_arrays(res1, b1, c1, o1, ok1, s1, ok2, c2, o2, s2,
-                         L1, L2, True)
+                         L1, L2, True, t1)
         m2 = mate_arrays(res2, b2, c2, o2, ok2, s2, ok1, c1, o1, s1,
-                         L2, L1, False)
+                         L2, L1, False, t2)
 
         def interleave(a, b, dtype=None):
             out = np.empty(2 * R, dtype or a.dtype)

@@ -34,7 +34,10 @@ class AlignConfig:
 
     # reporting
     multi_best: int = 1               # -B multi-mapping reports
-    report_multi_mapping: bool = True # --multiMapping; -u reports unique only
+    report_multi_mapping: bool = False  # --multiMapping; default = break-even
+    #                                     reads reported unmapped (reference
+    #                                     report_multi_mapping_reads=0,
+    #                                     core-indel.c:4412)
     ignore_unmapped: bool = False     # --ignoreUnmapped: omit unmapped records
     min_mapped_length: int = 0        # --minMappedLength
     min_mapped_fraction: int = 0      # --minMappedFraction (subjunc, %)

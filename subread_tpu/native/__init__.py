@@ -78,6 +78,8 @@ def format_sam_records(
     rnext_cidx: np.ndarray | None = None,   # -1 = "*", -2 = "="
     pnext: np.ndarray | None = None,
     tlen: np.ndarray | None = None,
+    hi: np.ndarray | None = None,           # HI:i tag values
+    nh: np.ndarray | None = None,           # NH:i values; 0 = no HI/NH tags
 ) -> bytes | None:
     """Format a batch of SAM records natively; None → caller falls back."""
     lib = get_lib()
@@ -118,6 +120,10 @@ def format_sam_records(
         arrs["rnext"] = c(rnext_cidx, np.int32)
         arrs["pnext"] = c(pnext, np.int32)
         arrs["tlen"] = c(tlen, np.int32)
+    tags = hi is not None and nh is not None
+    if tags:
+        arrs["hi"] = c(hi, np.int32)
+        arrs["nh"] = c(nh, np.int32)
     written = lib.format_sam_records(
         ctypes.c_int32(n),
         ctypes.c_char_p(name_blob), ptr(name_off),
@@ -131,6 +137,8 @@ def format_sam_records(
         ptr(arrs["rnext"]) if pe else None,
         ptr(arrs["pnext"]) if pe else None,
         ptr(arrs["tlen"]) if pe else None,
+        ptr(arrs["hi"]) if tags else None,
+        ptr(arrs["nh"]) if tags else None,
         out, ctypes.c_int64(cap),
     )
     if written < 0:

@@ -47,6 +47,10 @@ extern "C" long format_sam_records(
     // PE mate columns (all null for single-end): rnext_cidx -1 = "*",
     // -2 = "="; pnext 1-based; tlen signed
     const int32_t *rnext_cidx, const int32_t *pnext, const int32_t *tlen,
+    // HI/NH tags (reference write_single_fragment core.c:2047 emits
+    // "HI:i:x\tNH:i:y" whenever either end of the fragment mapped);
+    // null = never emit, nh[i]==0 = suppress for this record
+    const int32_t *hi, const int32_t *nh,
     char *out, int64_t outcap)
 {
     char *p = out;
@@ -66,7 +70,24 @@ extern "C" long format_sam_records(
         p = put_i32(p, flag);
         *p++ = '\t';
         if (!is_mapped) {
-            p = put_str(p, "*\t0\t0\t*\t*\t0\t0\t", 14);
+            // PE: an unmapped end still prints its mate's RNEXT/PNEXT
+            // (reference emits out_chro2/out_offset2 regardless of this
+            // end's state, core.c:2140-2164)
+            p = put_str(p, "*\t0\t0\t*\t", 8);
+            if (rnext_cidx) {
+                int32_t rn = rnext_cidx[i];
+                if (rn == -1) *p++ = '*';
+                else if (rn == -2) *p++ = '=';
+                else p = put_str(p, contigs + contig_off[rn],
+                                 contig_off[rn + 1] - contig_off[rn]);
+                *p++ = '\t';
+                p = put_i32(p, pnext[i]);
+                *p++ = '\t';
+                p = put_i32(p, tlen[i]);
+                *p++ = '\t';
+            } else {
+                p = put_str(p, "*\t0\t0\t", 6);
+            }
         } else {
             int32_t c = cidx[i];
             p = put_str(p, contigs + contig_off[c], contig_off[c + 1] - contig_off[c]);
@@ -87,13 +108,22 @@ extern "C" long format_sam_records(
                 p = put_i32(p, L - cl - sp - cr); *p++ = 'M';
                 if (cr > 0) { p = put_i32(p, cr); *p++ = 'S'; }
             } else if (ind > 0) {
-                p = put_i32(p, sp); *p++ = 'M';
+                // clS (sp-cl)M dD (L-sp-cr)M crS  (sp = unclipped split)
+                int32_t cl = clip_l ? clip_l[i] : 0;
+                int32_t cr = clip_r ? clip_r[i] : 0;
+                if (cl > 0) { p = put_i32(p, cl); *p++ = 'S'; }
+                p = put_i32(p, sp - cl); *p++ = 'M';
                 p = put_i32(p, ind); *p++ = 'D';
-                p = put_i32(p, L - sp); *p++ = 'M';
+                p = put_i32(p, L - sp - cr); *p++ = 'M';
+                if (cr > 0) { p = put_i32(p, cr); *p++ = 'S'; }
             } else if (ind < 0) {
-                p = put_i32(p, sp); *p++ = 'M';
+                int32_t cl = clip_l ? clip_l[i] : 0;
+                int32_t cr = clip_r ? clip_r[i] : 0;
+                if (cl > 0) { p = put_i32(p, cl); *p++ = 'S'; }
+                p = put_i32(p, sp - cl); *p++ = 'M';
                 p = put_i32(p, -ind); *p++ = 'I';
-                p = put_i32(p, L - sp + ind); *p++ = 'M';
+                p = put_i32(p, L - sp + ind - cr); *p++ = 'M';
+                if (cr > 0) { p = put_i32(p, cr); *p++ = 'S'; }
             } else {
                 int32_t cl = clip_l ? clip_l[i] : 0;
                 int32_t cr = clip_r ? clip_r[i] : 0;
@@ -128,6 +158,12 @@ extern "C" long format_sam_records(
             for (int32_t j = 0; j < L; j++) *p++ = CODE2BASE[cd[j] & 3];
             *p++ = '\t';
             for (int32_t j = 0; j < L; j++) *p++ = (char)qu[j];
+        }
+        if (hi && nh && nh[i] > 0) {
+            p = put_str(p, "\tHI:i:", 6);
+            p = put_i32(p, hi[i]);
+            p = put_str(p, "\tNH:i:", 6);
+            p = put_i32(p, nh[i]);
         }
         if (is_mapped) {
             p = put_str(p, "\tNM:i:", 6);

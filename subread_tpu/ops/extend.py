@@ -170,12 +170,123 @@ def place_single_indel(
     total = jnp.where(valid, total, 1 << 20)
     split = jnp.argmin(total, axis=1).astype(jnp.int32)
     best = jnp.take_along_axis(total, split[:, None], axis=1)[:, 0]
+    if return_head_prefix == "mm":
+        # full per-base mismatch matrices for the reference clip/mismatch
+        # semantics (ref_clip_stats below) — no extra genome gathers
+        return split, best, mm_head, mm_tail
     if return_head_prefix:
         # the head-alignment mismatch prefix table doubles as the final
         # alignment's profile for indel-free candidates — softclip bounds
         # can then be derived without a second genome gather
         return split, best, prefix
     return split, best
+
+
+# reference soft-clip scan constants (core-junction.c:2816-2817)
+_SC_WINDOW = 5
+_SC_MAX_ERROR = 1
+
+
+def ref_clip_stats(
+    mm_head: jnp.ndarray,    # bool [R, L] mismatch vs genome at pos+i
+    mm_tail: jnp.ndarray,    # bool [R, L] mismatch vs genome at pos+i+indel
+    read_len: jnp.ndarray,   # [R]
+    split: jnp.ndarray,      # [R] single-indel split (read coord); ignored
+    #                          when indel == 0
+    indel: jnp.ndarray,      # [R] int32 (>0 del, <0 ins, 0 none)
+    cov_start: jnp.ndarray,  # [R] confident coverage start (read coord)
+    cov_end: jnp.ndarray,    # [R] confident coverage end (read coord)
+    show_clip: bool = True,
+):
+    """The reference's final-alignment statistics, exactly.
+
+    Implements find_soft_clipping (core-junction.c:2820, window=5 max_err=1,
+    scanning outward from the confident vote coverage bounds) and the
+    mismatch/match accounting of final_CIGAR_quality (:2899): mismatches
+    counted over M-section bases outside the clipped ends; matched bases =
+    non_clipped_len - mismatches - inserted bases.
+
+    Returns (head_clip, tail_clip, mism, match) int32 [R].
+    """
+    R, L = mm_head.shape
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    rl = read_len[:, None].astype(jnp.int32)
+    ins = jnp.maximum(-indel, 0)[:, None]
+    single = (indel == 0)[:, None]
+    splitc = jnp.where(single, rl, split[:, None])
+    # first read base of the LAST M section (single-section reads: the one
+    # section is both first and last — both scans run over [0, rl))
+    sec2_start = jnp.where(single, 0, splitc + ins)
+    # final-alignment mismatch bitmap over M-section bases
+    in_sec1 = j < splitc
+    in_sec2 = (j >= sec2_start) & (j < rl)
+    mm = jnp.where(in_sec1, mm_head, mm_tail) & (in_sec1 | in_sec2)
+    mt = (~mm) & (in_sec1 | in_sec2)                 # matched M bases
+
+    # ---- head scan (first M section, test_len = splitc) -----------------
+    test1 = splitc
+    c0 = cov_start[:, None].astype(jnp.int32)
+    s0h = jnp.where(c0 < 0, 0, jnp.where(c0 >= test1, test1 - 1, c0 + 1))
+    # windowed mismatch count over examined bases [i, min(i+W-1, s0h)]
+    mmh = (mm & (j <= s0h)).astype(jnp.int32)
+    ch = jnp.cumsum(mmh, axis=1)                     # ch[i] = sum mmh[0..i]
+    hi_idx = jnp.minimum(j + (_SC_WINDOW - 1), s0h)
+    win_h = jnp.take_along_axis(ch, hi_idx, axis=1) - ch + mmh
+    trip_h = (win_h > _SC_MAX_ERROR) & (j <= s0h)
+    tripped_h = jnp.any(trip_h, axis=1, keepdims=True)
+    jt_h = jnp.max(jnp.where(trip_h, j, -1), axis=1, keepdims=True)
+    lo_h = jnp.where(tripped_h, jt_h, 0)
+    m_h = mt & (j >= lo_h) & (j <= s0h)
+    has_m_h = jnp.any(m_h, axis=1, keepdims=True)
+    lm_h = jnp.min(jnp.where(m_h, j, 1 << 20), axis=1, keepdims=True)
+    head = jnp.where(
+        has_m_h, lm_h, jnp.where(tripped_h, s0h - 1, test1)
+    )
+    head = jnp.where(head >= test1, 0, head)         # full-section clip → 0
+    head = jnp.maximum(head, 0)
+
+    # ---- tail scan (last M section) --------------------------------------
+    test2 = rl - sec2_start
+    c1 = cov_end[:, None].astype(jnp.int32) - sec2_start
+    s0t_rel = jnp.where(c1 < 0, 0, jnp.where(c1 >= test2, test2 - 1, c1 - 1))
+    s0t = sec2_start + s0t_rel                       # absolute read coord
+    mmt = (mm & (j >= s0t)).astype(jnp.int32)
+    ct = jnp.cumsum(mmt, axis=1)
+    lo_idx = jnp.maximum(j - (_SC_WINDOW - 1), s0t)
+    # sum over [lo_idx, j] = ct[j] - ct[lo_idx] + mmt[lo_idx]
+    ct_lo = jnp.take_along_axis(ct, lo_idx, axis=1)
+    mm_lo = jnp.take_along_axis(mmt, lo_idx, axis=1)
+    win_t = ct - ct_lo + mm_lo
+    trip_t = (win_t > _SC_MAX_ERROR) & (j >= s0t) & (j < rl)
+    tripped_t = jnp.any(trip_t, axis=1, keepdims=True)
+    jt_t = jnp.min(jnp.where(trip_t, j, 1 << 20), axis=1, keepdims=True)
+    hi_t = jnp.where(tripped_t, jt_t, rl - 1)
+    m_t = mt & (j <= hi_t) & (j >= s0t)
+    has_m_t = jnp.any(m_t, axis=1, keepdims=True)
+    lm_t = jnp.max(jnp.where(m_t, j, -1), axis=1, keepdims=True)
+    tail = jnp.where(
+        has_m_t, rl - 1 - lm_t,
+        jnp.where(tripped_t, test2 - s0t_rel, test2),
+    )
+    tail = jnp.where(tail >= test2, 0, tail)
+    tail = jnp.maximum(tail, 0)
+
+    if not show_clip:
+        head = jnp.zeros_like(head)
+        tail = jnp.zeros_like(tail)
+    else:
+        # single-M rule: clipping (almost) everything → clip nothing
+        both_gone = single & (head + tail >= rl - 1)
+        head = jnp.where(both_gone, 0, head)
+        tail = jnp.where(both_gone, 0, tail)
+
+    # ---- mismatch / match over the non-clipped M region -------------------
+    keep = (j >= head) & (j < rl - tail)
+    mism = jnp.sum(mm & keep, axis=1).astype(jnp.int32)
+    ins_f = jnp.maximum(-indel, 0)
+    non_clipped = read_len.astype(jnp.int32) - head[:, 0] - tail[:, 0]
+    match = non_clipped - mism - ins_f
+    return head[:, 0], tail[:, 0], mism, match
 
 
 def softclip_from_prefix(

@@ -185,7 +185,10 @@ def run_align(args, subjunc: bool) -> int:
         all_junctions=getattr(args, "allJunctions", False),
     )
     overrides.update(
-        report_multi_mapping=not args.unique,
+        # reference default: break-even reads unreported unless
+        # --multiMapping (or -B N); -u forces unique-only
+        report_multi_mapping=(args.multiMapping or args.multi_best > 1)
+        and not args.unique,
         ignore_unmapped=args.ignoreUnmapped,
         min_mapped_length=args.minMappedLength,
         min_mapped_fraction=getattr(args, "minMappedFraction", 0),
