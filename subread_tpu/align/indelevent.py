@@ -1,0 +1,445 @@
+"""Reference-exact indel event discovery + event-driven CIGAR placement.
+
+The reference places every indel via a SHARED event table, not per read:
+scan 1 proposes events from a banded dynamic-programming alignment of the
+window between the vote cluster's sections (find_new_indels
+core-indel.c:1831-1990, core_dynamic_align :4573-4787), events are
+deduplicated globally, and scan 2 re-explains each read against the table
+so all reads crossing one indel share the same boundary.  Per-read
+minimum-mismatch splits (our device scan) tie frequently inside
+homopolymers and diverge from the reference; this module reproduces the
+reference's placement:
+
+  1. reconstruct the indel_recorder sections from the device's per-probe
+     cluster kv table (probe_kv),
+  2. run the exact reference DP (match +2, mismatch 0, gap open -1,
+     extend 0, band +-max_indel, the reference's tie rules and backtrack)
+     over the window [find_subread_end(last)-9, find_subread_end(next)-7+10],
+  3. collect events (small_side = last chromosome base before the indel),
+     deduplicate with support counts,
+  4. rewrite each read's CIGAR from its best-supported matching event and
+     recompute mismatches/clips with the reference rules.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SENTINEL = np.uint32(0xFFFFFFFF)
+
+# movement codes (core-indel.c:4575)
+MV_MATCH, MV_DEL, MV_INS, MV_MISM = 0, 1, 2, 3
+# mask codes (symbolic)
+_M_MATCH, _M_DEL, _M_INS, _M_MISM = 0, 1, 2, 3
+
+
+def find_subread_end(read_len: int, total_subreads: int, subread0: int) -> int:
+    """input-files.c:1371 (subread0 is the reference's 0-based `subread`)."""
+    if read_len <= 160:  # EXON_LONG_READ_LENGTH
+        step = ((read_len << 16) - (19 << 16)) // (total_subreads - 1)
+        return ((step * subread0) >> 16) + 15
+    step = 6 << 16
+    if ((read_len - 18) << 16) // step > 62:
+        step = ((read_len - 18) << 16) // 62
+    return ((step * subread0) >> 16) + 15
+
+
+def core_dynamic_align(read: np.ndarray, genome: np.ndarray,
+                       expected_offset: int, max_indel: int = 16):
+    """Exact core_dynamic_align (core-indel.c:4573): returns the movement
+    list (0 match, 1 del, 2 ins, 3 mismatch) or None.
+
+    read: window codes [m]; genome: codes [m + expected_offset] starting
+    at the window's chromosome position.
+    """
+    m = len(read)
+    if m < 3 or abs(expected_offset) > max_indel:
+        return None
+    if expected_offset < 0 and m < (3 - expected_offset):
+        return None
+    rows = m + expected_offset
+    if rows <= 0 or rows > len(genome):
+        return None
+    NEG = -9999
+    table = np.full((rows, m), NEG, np.int32)
+    mask = np.zeros((rows, m), np.int8)
+    for i in range(rows):
+        gch = genome[i]
+        lo = max(0, i - max_indel)
+        hi = min(m - 1, i + max_indel)
+        for j in range(lo, hi + 1):
+            from_upper = table[i - 1][j] + (
+                0 if (i > 0 and mask[i - 1][j] == _M_DEL) else -1
+            ) if i > 0 else NEG
+            from_left = table[i][j - 1] + (
+                0 if (j > 0 and mask[i][j - 1] == _M_INS) else -1
+            ) if j > 0 else NEG
+            sc = 2 if gch == read[j] else 0
+            if i > 0 and j > 0:
+                from_ul = table[i - 1][j - 1] + sc
+            elif i == 0 and j == 0:
+                from_ul = sc
+            else:
+                from_ul = NEG
+            if from_ul == from_upper and from_ul > from_left:
+                mask[i][j] = _M_DEL
+                table[i][j] = from_upper
+            elif from_ul == from_left and from_ul > from_upper:
+                mask[i][j] = _M_INS
+                table[i][j] = from_left
+            elif from_ul > from_left and from_ul > from_upper:
+                mask[i][j] = _M_MATCH if gch == read[j] else _M_MISM
+                table[i][j] = from_ul
+            elif from_ul == from_left and from_ul == from_upper:
+                mask[i][j] = _M_MATCH if gch == read[j] else _M_MISM
+                table[i][j] = from_ul
+            elif from_left > from_upper:
+                mask[i][j] = _M_INS
+                table[i][j] = from_left
+            else:
+                mask[i][j] = _M_DEL
+                table[i][j] = from_upper
+    # backtrack (core-indel.c:4707-4735)
+    pi, j = rows - 1, m - 1
+    moves = []
+    delta = 0
+    while True:
+        mk = mask[pi][j]
+        if mk == _M_INS:
+            j -= 1
+            delta -= 1
+            moves.append(MV_INS)
+        elif mk == _M_DEL:
+            pi -= 1
+            delta += 1
+            moves.append(MV_DEL)
+        else:
+            moves.append(MV_MATCH if mk == _M_MATCH else MV_MISM)
+            pi -= 1
+            j -= 1
+        if pi == -1 and j == -1:
+            break
+        if j < 0 or pi < 0:
+            return None
+    if delta != expected_offset:
+        return None
+    moves.reverse()
+    return moves
+
+
+def _events_from_moves(moves, chromo_start: int, read_start: int):
+    """Walk a movement buffer → [(small_side, indel_len, read_cursor_at)]
+    exactly as find_new_indels (core-indel.c:1936-2086); returns None when
+    the window has >2 mismatches."""
+    total_mm = sum(1 for mv in moves if mv == MV_MISM)
+    if total_mm > 2:
+        return None
+    events = []
+    cursor_chro = chromo_start
+    cursor_read = read_start
+    last_mv = 0
+    in_indel = False
+    cur_len = 0
+    left_boundary = 0
+    for mv in moves:
+        if last_mv != mv:
+            if mv in (MV_DEL, MV_INS) and not in_indel:
+                left_boundary = cursor_chro
+                in_indel = True
+                cur_len = 0
+            elif in_indel and mv in (MV_MATCH, MV_MISM):
+                events.append((left_boundary - 1, cur_len,
+                               cursor_read + min(0, cur_len)))
+                in_indel = False
+            if mv in (MV_MATCH, MV_MISM):
+                in_indel = False
+        if in_indel and mv == MV_DEL:
+            cur_len += 1
+        if in_indel and mv == MV_INS:
+            cur_len -= 1
+        if mv in (MV_DEL, MV_MISM, MV_MATCH):
+            cursor_chro += 1
+        if mv in (MV_INS, MV_MISM, MV_MATCH):
+            cursor_read += 1
+        last_mv = mv
+    return events
+
+
+def _sections_from_probe_kv(pkv_row: np.ndarray, pos: int):
+    """Reconstruct indel_recorder sections [(first_probe0, last_probe0,
+    cum_offset)] from per-probe cluster kv (delta vs the anchor)."""
+    sections = []
+    cur = None
+    for p, kv in enumerate(pkv_row):
+        if kv == 0xFFFFFFFF:
+            continue
+        d = int(kv) - int(pos)
+        if cur is not None and d == cur[2]:
+            cur[1] = p
+        else:
+            if cur is not None:
+                sections.append(tuple(cur))
+            cur = [p, p, d]
+    if cur is not None:
+        sections.append(tuple(cur))
+    return sections
+
+
+def _oriented_codes(batch, i, strand):
+    L = int(batch.lengths[i])
+    c = batch.codes[i, :L].astype(np.int64)
+    if strand:
+        c = (3 - c)[::-1]
+    return c
+
+
+def ref_stats_host(mm_head, mm_tail, L, splits, indels, cs, ce,
+                   show_clip=True):
+    """Host single-read version of ops.extend.ref_clip_stats for an
+    arbitrary multi-indel section list: splits/indels are parallel lists
+    (section boundaries in read coords and per-boundary indel lengths).
+    mm_head/mm_tail unused here — kept in the device variant; this
+    recomputes from explicit per-base mismatch vector `mm_head` which the
+    caller builds for the final alignment (M-section bases only) —
+    mm_tail ignored."""
+    mm = mm_head
+    W, ME = 5, 1
+    first_len = splits[0] if splits else L
+    last_start = (splits[-1] + max(0, -indels[-1])) if splits else 0
+    # head scan
+    c0 = cs
+    test1 = first_len
+    s0 = 0 if c0 < 0 else (test1 - 1 if c0 >= test1 else c0 + 1)
+    head = 0
+    if show_clip and s0 >= 0:
+        matched_last = -1
+        win = []
+        mmw = 0
+        tripped = False
+        for j in range(s0, -1, -1):
+            is_mm = bool(mm[j])
+            win.append(is_mm)
+            mmw += is_mm
+            if len(win) > W:
+                mmw -= win.pop(0)
+            if not is_mm:
+                matched_last = j
+            if mmw > ME:
+                head = matched_last if matched_last >= 0 else s0 - 1
+                tripped = True
+                break
+        else:
+            head = matched_last if matched_last >= 0 else test1
+        if head >= test1:
+            head = 0
+        head = max(0, head)
+    # tail scan
+    test2 = L - last_start
+    c1 = ce - last_start
+    s0t_rel = 0 if c1 < 0 else (test2 - 1 if c1 >= test2 else c1 - 1)
+    s0t = last_start + s0t_rel
+    tail = 0
+    if show_clip and test2 > 0:
+        matched_last = -1
+        win = []
+        mmw = 0
+        for j in range(s0t, L):
+            is_mm = bool(mm[j])
+            win.append(is_mm)
+            mmw += is_mm
+            if len(win) > W:
+                mmw -= win.pop(0)
+            if not is_mm:
+                matched_last = j
+            if mmw > ME:
+                tail = (L - 1 - matched_last) if matched_last >= 0 \
+                    else test2 - s0t_rel
+                break
+        else:
+            tail = (L - 1 - matched_last) if matched_last >= 0 else test2
+        if tail >= test2:
+            tail = 0
+        tail = max(0, tail)
+    if show_clip and not splits and head + tail >= L - 1:
+        head = tail = 0
+    ins_total = sum(max(0, -d) for d in indels)
+    keep = np.zeros(L, bool)
+    keep[head:L - tail] = True
+    mism = int(np.sum(mm & keep))
+    match = (L - head - tail) - mism - ins_total
+    return head, tail, mism, match
+
+
+def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3):
+    """Event-table indel placement for one batch.
+
+    Returns (overrides {i: (cigar, mism, nm)}, events {(cidx, coff0, len):
+    (support, inserted_seq)}) and updates res arrays in place for
+    pos/clip/mapq coherence.
+    """
+    if "probe_kv" not in res:
+        return {}, {}
+    pos_arr = np.asarray(res["pos"], np.uint32)
+    indel_arr = np.asarray(res["indel"], np.int32)
+    strand_arr = np.asarray(res["strand"], np.int32)
+    cl_arr = np.asarray(res["clip_l"], np.int32) if "clip_l" in res else None
+    mapped_arr = np.asarray(res["mapped"], bool)
+    pkv = np.asarray(res["probe_kv"], np.uint32)
+    gcodes = genome.codes
+    glen = len(gcodes)
+    total_subreads = cfg.total_subreads
+    max_indel = min(cfg.max_indel, 16)
+
+    # candidates: mapped indel reads, plus indel-cluster reads the device
+    # split left over the mismatch limit (a better event boundary can
+    # rescue them, as the reference's scan-2 explain does)
+    votes_arr = np.asarray(res["votes"], np.int32)
+    multi_arr = np.asarray(res["multi"], bool)
+    rescueable = (
+        ~mapped_arr & (votes_arr >= cfg.min_votes) & ~multi_arr
+        & (pos_arr != SENTINEL)
+    )
+    cand_mask = (mapped_arr | rescueable) & (indel_arr != 0)
+    if "multi_indel" in res:
+        # >=3-section reads go to refine_multi_indels (banded multi-indel
+        # CIGAR reconstruction) instead
+        cand_mask = cand_mask & ~np.asarray(res["multi_indel"], bool)
+    cand = np.flatnonzero(cand_mask)
+    if len(cand) == 0:
+        return {}, {}
+
+    # ---- pass 1: propose events via the reference DP ---------------------
+    proposals = {}   # i -> [(small_side_abs, len, ins_seq)]
+    events = {}      # (small_side_abs, len) -> [support, ins_seq]
+    for i in cand:
+        L = int(batch.lengths[i])
+        cl = int(cl_arr[i]) if cl_arr is not None else 0
+        vpos = int(pos_arr[i]) - cl          # unclipped voting position
+        read = _oriented_codes(batch, i, int(strand_arr[i]))
+        secs = _sections_from_probe_kv(pkv[i], vpos)
+        if len(secs) < 2:
+            continue
+        last_correct_subread = secs[0][1]
+        last_indel = 0
+        evs_i = []
+        for (first_p, last_p, off) in secs[1:]:
+            indels = off - last_indel
+            if indels != 0 and abs(indels) <= max_indel:
+                lcb = find_subread_end(L, total_subreads,
+                                       last_correct_subread) - 9
+                fcb = find_subread_end(L, total_subreads, first_p) - 16 + 9
+                lcb = min(max(lcb, 0), L - 1)
+                fcb = max(min(fcb, L - 1), 0)
+                fcb = max(fcb, lcb)
+                fcb = min(fcb + 10, L)
+                gstart = vpos + lcb + last_indel
+                gwin = gcodes[gstart:gstart + (fcb - lcb) + max(0, indels) + 1]
+                moves = core_dynamic_align(
+                    read[lcb:fcb], gwin, indels, max_indel
+                )
+                if moves is not None:
+                    evs = _events_from_moves(moves, gstart, lcb)
+                    if evs:
+                        for (ss, elen, rcur) in evs:
+                            ins_seq = "".join(
+                                "AGCT"[b] for b in read[rcur:rcur - elen]
+                            ) if elen < 0 else ""
+                            evs_i.append((ss, elen, ins_seq))
+                            key = (ss, elen)
+                            e = events.get(key)
+                            if e is None:
+                                events[key] = [1, ins_seq]
+                            else:
+                                e[0] += 1
+            last_correct_subread = last_p
+            last_indel = off
+        if evs_i:
+            proposals[i] = evs_i
+
+    if not events:
+        return {}, {}
+
+    # ---- pass 2: apply the best-supported matching event per read --------
+    overrides = {}
+    out_events = {}
+    by_len = {}
+    for (ss, elen), (sup, iseq) in events.items():
+        by_len.setdefault(elen, []).append((ss, sup, iseq))
+    mapq_arr = np.asarray(res["mapq"], np.int32)
+    n_anch = np.asarray(res.get("n_anchors", np.ones(len(pos_arr))), np.int32)
+    cs_res = np.asarray(res["cov_start"], np.int32) if "cov_start" in res \
+        else None
+    for i in cand:
+        L = int(batch.lengths[i])
+        cl0 = int(cl_arr[i]) if cl_arr is not None else 0
+        vpos = int(pos_arr[i]) - cl0
+        ind = int(indel_arr[i])
+        lst = by_len.get(ind)
+        if not lst:
+            continue
+        # events whose boundary lies inside the read's span
+        ok = [(ss, sup, iseq) for (ss, sup, iseq) in lst
+              if vpos <= ss < vpos + L + max(0, ind) - 1]
+        if not ok:
+            continue
+        own = {(ss, elen) for (ss, elen, _s) in proposals.get(i, ())}
+        # max support; tie → the read's own proposal, then smaller position
+        ok.sort(key=lambda t: (-t[1], (t[0], ind) not in own, t[0]))
+        ss, sup, iseq = ok[0]
+        split = ss - vpos + 1
+        if split < 1 or split + max(0, -ind) > L - 1:
+            continue
+        read = _oriented_codes(batch, i, int(strand_arr[i]))
+        # final-alignment mismatch vector at the event's split
+        mm = np.zeros(L, bool)
+        g_head = gcodes[vpos:vpos + split]
+        mm[:split] = read[:split] != g_head
+        tail_start = split + max(0, -ind)
+        g_tail_pos = vpos + split + max(0, ind)
+        ntail = L - tail_start
+        g_tail = gcodes[g_tail_pos:g_tail_pos + ntail]
+        mm[tail_start:] = read[tail_start:] != g_tail[:ntail]
+        # coverage bounds for the clip scans (vote cluster coverage)
+        if cs_res is not None:
+            cs = int(cs_res[i])
+            ce = int(np.asarray(res["cov_end"], np.int32)[i])
+        else:
+            cs, ce = 0, L
+        head, tail, mism, match = ref_stats_host(
+            mm, None, L, [split], [ind], cs, ce,
+            show_clip=cfg.show_soft_clipping,
+        )
+        if mism > anchor_mism_limit or match < 1:
+            continue
+        nm = mism + abs(ind)
+        c = []
+        if head:
+            c.append(f"{head}S")
+        c.append(f"{split - head}M")
+        c.append(f"{abs(ind)}{'D' if ind > 0 else 'I'}")
+        tail_m = L - split - max(0, -ind) - tail
+        c.append(f"{tail_m}M")
+        if tail:
+            c.append(f"{tail}S")
+        cigar = "".join(c)
+        overrides[i] = (cigar, mism, nm)
+        # position shifts with the head clip
+        pos_arr[i] = np.uint32(vpos + head)
+        if cl_arr is not None:
+            cl_arr[i] = head
+        mapq_arr[i] = 0 if bool(np.asarray(res["multi"], bool)[i]) else (
+            cfg.mapq_unique // max(1, int(n_anch[i]) + mism)
+        )
+        ck = (ss, ind)
+        sup0, iseq0 = out_events.get(ck, (0, iseq))
+        out_events[ck] = (sup0 + 1, iseq0)
+        mapped_arr[i] = True
+    if overrides:
+        res["pos"] = pos_arr
+        res["mapq"] = mapq_arr
+        res["mapped"] = mapped_arr
+        if cl_arr is not None:
+            res["clip_l"] = cl_arr
+    return overrides, out_events
+
+

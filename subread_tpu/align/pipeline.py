@@ -365,6 +365,8 @@ class Aligner:
         clip_kk = dict(
             clip_l_k=head_f.reshape(R, K),
             clip_r_k=tail_f.reshape(R, K),
+            cov_s_k=v.cov_start,
+            cov_e_k=v.cov_end,
         )
 
         votes_k = v.votes
@@ -486,6 +488,8 @@ class Aligner:
             votes=b_votes.astype(jnp.int8), mapped=mapped, multi=n_best > 1,
             mapq=mapq.astype(jnp.int8),
             n_anchors=n_anchors.astype(jnp.int8), best_k=best.astype(jnp.int8),
+            cov_start=take(sc["cov_s_k"]).astype(jnp.int16),
+            cov_end=take(sc["cov_e_k"]).astype(jnp.int16),
         )
         if b_pkv is not None:
             # multi-indel flag (>=3 distinct probe deltas) computed here so
@@ -1295,12 +1299,16 @@ class Aligner:
             for k, dt, off, nb, was_bool, shape in items:
                 a = seg[off : off + nb].view(dt).reshape(shape)
                 d[k] = a.astype(bool) if was_bool else a
-            if (
-                "probe_kv" in pending[j]
-                and d.get("multi_indel") is not None
-                and d["multi_indel"].any()
-            ):
-                # rare: the [bs, P] table fetched only for flagged batches
+            need_pkv = (
+                d.get("multi_indel") is not None and d["multi_indel"].any()
+            ) or (
+                # event-table indel placement (align/indelevent.py) needs
+                # the per-probe section table for every indel read
+                d.get("indel") is not None
+                and bool((d["indel"] != 0).any())
+            )
+            if "probe_kv" in pending[j] and need_pkv:
+                # the [bs, P] table fetched only for batches that need it
                 d["probe_kv"] = np.asarray(jax.device_get(pending[j]["probe_kv"]))
             parts.append(d)
         out = {}
@@ -1468,9 +1476,11 @@ class Aligner:
         summary.indels += int(has_indel.sum())
         if indel_events is not None:
             for i in np.flatnonzero(has_indel):
+                if i in overrides:
+                    continue  # events recorded by the override producer
                 iv = int(indel[i])
                 if iv == 0:
-                    continue  # override reads: events come from the rescue pass
+                    continue
                 sp = int(res["split"][i])
                 L = int(batch.lengths[i])
                 seq_codes = batch.codes[i, :L]
@@ -2147,13 +2157,38 @@ class Aligner:
                 t1 = time.time()
                 res = self.collect_batch(state)
                 if junctions is None and "probe_kv" in res:
+                    # event-table indel placement: the reference derives
+                    # every indel CIGAR from a SHARED event found by its
+                    # banded DP (find_new_indels core-indel.c:1831); our
+                    # per-read min-mismatch split ties differently inside
+                    # homopolymers
+                    from .indelevent import propose_and_apply
+
+                    ov_ev, ev_new = propose_and_apply(
+                        self.genome, batch, res, self.cfg,
+                        anchor_mism_limit=self.cfg.max_mismatches,
+                    )
+                    if ov_ev:
+                        cur = res.get("cigar_override") or {}
+                        cur.update(ov_ev)
+                        res["cigar_override"] = cur
+                    for (ss, elen), (sup, iseq) in ev_new.items():
+                        ci_e, co_e = self.genome.linear_to_chro(
+                            np.asarray([ss], np.int64)
+                        )
+                        k_e = (int(ci_e[0]), int(co_e[0]), elen)
+                        s0, p0 = indel_events.get(k_e, (0, iseq))
+                        indel_events[k_e] = (s0 + sup, p0)
+                if junctions is None and "probe_kv" in res:
                     ov = refine_multi_indels(
                         self.genome, batch, res, self.cfg.max_indel,
                         self.vote_params, self.cfg.max_mismatches,
                         self.cfg.min_votes,
                     )
                     if ov:
-                        res["cigar_override"] = ov
+                        cur = res.get("cigar_override") or {}
+                        cur.update(ov)
+                        res["cigar_override"] = cur
                         res["mapped"] = np.asarray(res["mapped"], bool).copy()
                         res["mapq"] = np.asarray(res["mapq"], np.int32).copy()
                         res["mism"] = np.asarray(res["mism"], np.int32).copy()
