@@ -241,7 +241,12 @@ def map_long_reads_sharded(
     lens_p[:n] = batch.lengths
     step = sharded_align_step(mesh, aligner)
     res_dev = step(codes_p, ambig_p, lens_p)
-    res = {k: np.asarray(jax.device_get(v))[:n] for k, v in res_dev.items()}
+    # np.array: rescue below writes records in place (device_get arrays
+    # are read-only views)
+    res = {k: np.array(jax.device_get(v))[:n] for k, v in res_dev.items()}
+    # same wide-gather re-vote the single-chip align_batch applies to
+    # saturated repeat windows — keeps mesh results bit-identical to it
+    aligner._rescue_saturated(batch, res)
     owner = np.asarray(owner)
     winid = np.asarray(winid)
     return [

@@ -245,6 +245,19 @@ class Aligner:
             top_k=cfg.top_k,
             index_gap=self.index.index_gap,
         )
+        # static binary-search trip count for repeat-dense buckets
+        self.max_bucket = max(b.max_bucket for b in self.blocks)
+        # saturation rescue: reads whose key runs overflow the H-entry
+        # gather window re-vote through the same path at a width covering
+        # the longest run in the index, so every <=repeat_threshold
+        # occurrence is counted exactly like the reference's full bucket
+        # scan (sorted-hashtable.c:515-1060)
+        max_run = max(getattr(b, "max_run", 0) for b in self.blocks)
+        self.rescue_hits = max(64, -(-max_run // 16) * 16)
+        self.rescue_vote_params = self.vote_params._replace(
+            max_hits=self.rescue_hits,
+            window=max(self.vote_params.window, 64),
+        )
         # device-resident index blocks (replicated single-chip)
         self.d_blocks = [
             (jnp.asarray(b.bucket_start), jnp.asarray(b.comb_rows))
@@ -281,24 +294,30 @@ class Aligner:
 
     def _device_align(
         self, codes, ambig, lens, bucket_start, comb, genome_u32,
-        uniform_len=None,
+        uniform_len=None, rescue=False,
     ):
         """Full single-end alignment step: votes + scan-2 selection.
 
         Returns per-read int arrays (best position, strand, cigar pieces,
-        mismatches, mapq, flags related info).
+        mismatches, mapq, flags related info).  rescue=True re-votes with
+        the wide gather (rescue_vote_params) for saturated reads.
         """
+        vp = self.rescue_vote_params if rescue else self.vote_params
         v = vote_batch(
             codes, ambig, lens, bucket_start, comb,
-            self.index.bucket_bits, self.vote_params, static_len=uniform_len,
+            self.index.bucket_bits, vp, static_len=uniform_len,
+            max_bucket=self.max_bucket,
         )
         for blk, (d_bs, d_cb) in zip(self.blocks[1:], self.d_blocks[1:]):
             vb = vote_batch(
                 codes, ambig, lens, d_bs, d_cb,
-                blk.bucket_bits, self.vote_params, static_len=uniform_len,
+                blk.bucket_bits, vp, static_len=uniform_len,
+                max_bucket=self.max_bucket,
             )
             v = self._merge_votes(v, vb)
-        return self._scan2(codes, ambig, lens, genome_u32, v, uniform_len)
+        res = self._scan2(codes, ambig, lens, genome_u32, v, uniform_len)
+        res["saturated"] = v.saturated
+        return res
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _merge_votes(self, a: VoteResult, b: VoteResult) -> VoteResult:
@@ -469,9 +488,10 @@ class Aligner:
             breakeven, 0,
             cfg.mapq_unique // jnp.maximum(n_anchors + b_mism, 1),
         ).astype(jnp.int32)
-        if not cfg.report_multi_mapping:
+        if not cfg.report_multi_mapping and cfg.multi_best <= 1:
             # reference default: break-even reads are not reported
-            # (do_iteration_two core.c:2760 highest_score_occurence>=2)
+            # (do_iteration_two core.c:2760 highest_score_occurence>=2);
+            # -B N implies reporting them with secondaries
             mapped = mapped & ~breakeven
         b_pos0 = b_pos  # unclipped: probe_kv deltas below live in this space
         cl_w = jnp.where(mapped, b_cl, 0)
@@ -938,14 +958,16 @@ class Aligner:
         anchor1 = jnp.where(any_combo[:, None], a1_combo, a1_se)
         anchor2 = jnp.where(any_combo[:, None], a2_combo, a2_se)
 
-        def distinct_pos_count(anchor, pos):
-            eq = pos[:, :, None] == pos[:, None, :]
-            earlier = np.arange(K)[None, :, None] > np.arange(K)[None, None, :]
-            dup = jnp.any(eq & earlier & anchor[:, None, :], axis=2) & anchor
-            return jnp.sum((anchor & ~dup).astype(jnp.int32), axis=1)
-
-        n_anch1 = jnp.minimum(distinct_pos_count(anchor1, p1), 3)
-        n_anch2 = jnp.minimum(distinct_pos_count(anchor2, p2), 3)
+        # MAPQ divisor: rX_step2_locations counts the END's OWN vote-table
+        # candidates that enter scan-2 (votes >= min_second with the read's
+        # max votes >= min_first, core.c:2642,2671) — independent of which
+        # combos win (core.c:2951-2952 adds the end's mismatches)
+        _, n_anch1 = self._anchor_set(sc1, cfg.min_votes_second)
+        _, n_anch2 = self._anchor_set(sc2, cfg.min_votes_second)
+        vmax1 = jnp.max(jnp.where(val1, v1, 0), axis=1)
+        vmax2 = jnp.max(jnp.where(val2, v2, 0), axis=1)
+        n_anch1 = jnp.where(vmax1 >= cfg.min_votes, n_anch1, 0)
+        n_anch2 = jnp.where(vmax2 >= cfg.min_votes, n_anch2, 0)
 
         # realignment success per candidate (CORE_TOO_MANY_MISMATCHES +
         # final_MATCH > 0)
@@ -1121,13 +1143,14 @@ class Aligner:
 
     def _device_align_pe(
         self, c1, a1, l1, c2, a2, l2, bucket_start, comb, genome_u32,
-        ul1=None, ul2=None, expected_tlen=None,
+        ul1=None, ul2=None, expected_tlen=None, rescue=False,
     ):
         B = self.index.bucket_bits
-        v1 = vote_batch(c1, a1, l1, bucket_start, comb, B, self.vote_params,
-                        static_len=ul1)
-        v2 = vote_batch(c2, a2, l2, bucket_start, comb, B, self.vote_params,
-                        static_len=ul2)
+        vp = self.rescue_vote_params if rescue else self.vote_params
+        v1 = vote_batch(c1, a1, l1, bucket_start, comb, B, vp,
+                        static_len=ul1, max_bucket=self.max_bucket)
+        v2 = vote_batch(c2, a2, l2, bucket_start, comb, B, vp,
+                        static_len=ul2, max_bucket=self.max_bucket)
         # candidate lists for BOTH ends use min_second (the reference's
         # simple-list gate, core-junction.c:2287); min_first gates combos
         # and anchors inside _select_pe
@@ -1151,6 +1174,8 @@ class Aligner:
                                           uniform_len=ul2)
         r1.pop("best_k", None)
         r2.pop("best_k", None)
+        r1["saturated"] = v1.saturated
+        r2["saturated"] = v2.saturated
         return r1, r2
 
     # --- host orchestration -------------------------------------------------
@@ -1284,10 +1309,10 @@ class Aligner:
             )
             pending.append(res)
             bufs.append(self._pack_res(res))
-        return pending, bufs, bs, R, n_sub
+        return pending, bufs, bs, R, n_sub, batch
 
     def collect_batch(self, state) -> dict[str, np.ndarray]:
-        pending, bufs, bs, R, n_sub = state
+        pending, bufs, bs, R, n_sub, batch = state
         # one single-array fetch per sub-batch: the first waits on compute,
         # later transfers ride under the still-running FIFO queue (measured:
         # a device-side concat into one buffer is ~25% SLOWER end-to-end)
@@ -1323,7 +1348,61 @@ class Aligner:
                       np.zeros((len(p["pos"]), P), np.uint32))
                 for p in parts
             ])[:R]
+        self._rescue_saturated(batch, out)
         return out
+
+    def _rescue_saturated(self, batch: ReadBatch, out: dict) -> None:
+        """Re-align reads whose vote gather saturated (a probe's key run
+        overflowed the H-entry window) through the wide rescue pass
+        (rescue_vote_params) and overwrite their records in place.  This
+        keeps the hot path at the narrow gather width while matching the
+        reference's full bucket scan on repeat reads
+        (sorted-hashtable.c:515-1060)."""
+        sat = out.get("saturated")
+        if sat is None or not sat.any():
+            return
+        idx = np.flatnonzero(sat)
+        RB = min(self.cfg.batch_reads, 2048)
+        Lp = max(self.cfg.pad_read_len, batch.max_len)
+        P = self.vote_params.total_subreads * max(self.index.index_gap, 1)
+        for s in range(0, len(idx), RB):
+            ii = idx[s : s + RB]
+            codes = np.zeros((RB, Lp), np.uint8)
+            ambig = np.zeros((RB, Lp), bool)
+            lens = np.zeros(RB, np.int32)
+            codes[: len(ii), : batch.max_len] = batch.codes[ii]
+            ambig[: len(ii), : batch.max_len] = batch.ambig[ii]
+            lens[: len(ii)] = batch.lengths[ii]
+            ul = uniform_length(lens[: len(ii)])
+            words, amask = dna.pack_reads_host(codes, ambig)
+            if ambig.any():
+                dc, da = self._unpack(jnp.asarray(words), jnp.asarray(amask), Lp)
+            else:
+                dc, da = self._unpack_na(jnp.asarray(words), Lp)
+            res = self._device_align(
+                dc, da, jnp.asarray(lens),
+                self.d_bucket_start, self.d_comb, self.d_genome,
+                uniform_len=ul, rescue=True,
+            )
+            items, _ = self._res_layout(res, RB)
+            seg = np.array(jax.device_get(self._pack_res(res)))
+            got_indel = False
+            for k, dt, off, nb, was_bool, shape in items:
+                a = seg[off : off + nb].view(dt).reshape(shape)
+                if was_bool:
+                    a = a.astype(bool)
+                if k in out:
+                    out[k][ii] = a[: len(ii)]
+                if k == "indel" and (a[: len(ii)] != 0).any():
+                    got_indel = True
+            if "probe_kv" in res and (got_indel or "probe_kv" in out):
+                if "probe_kv" not in out:
+                    out["probe_kv"] = np.full(
+                        (len(out["pos"]), P), 0xFFFFFFFF, np.uint32
+                    )
+                out["probe_kv"][ii] = np.asarray(
+                    jax.device_get(res["probe_kv"])
+                )[: len(ii)]
 
     def _emit_sam(
         self,
@@ -1508,8 +1587,8 @@ class Aligner:
         cidx, coff = g.linear_to_chro(lin)
         in_contig = (coff >= 0) & (coff < g.lengths[cidx])
         mapped = res["mapped"] & in_contig
-        if not self.cfg.report_multi_mapping:
-            # -u: multi-mapping reads are reported unmapped
+        if not self.cfg.report_multi_mapping and self.cfg.multi_best <= 1:
+            # -u: multi-mapping reads are reported unmapped (-B N overrides)
             mapped = mapped & ~np.asarray(res["multi"], bool)
         for i, name in enumerate(batch.names):
             L = int(batch.lengths[i])
@@ -1677,10 +1756,10 @@ class Aligner:
                 ul1=ul1, ul2=ul2,
             )
             bufs.append((self._pack_res(r1), self._pack_res(r2), r1, r2))
-        return bufs, bs, R, n_sub
+        return bufs, bs, R, n_sub, b1, b2
 
     def collect_batch_pe(self, state):
-        bufs, bs, R, n_sub = state
+        bufs, bs, R, n_sub, b1, b2 = state
         parts1, parts2 = [], []
         layout = None
         for j in range(n_sub):
@@ -1698,29 +1777,66 @@ class Aligner:
                 parts.append(d)
         out1 = {k: np.concatenate([p[k] for p in parts1])[:R] for k in parts1[0]}
         out2 = {k: np.concatenate([p[k] for p in parts2])[:R] for k in parts2[0]}
+        self._rescue_saturated_pe(b1, b2, out1, out2)
         return out1, out2
 
-    def _emit_sam_pe_native(self, writer, b1, b2, res1, res2,
-                            summary: AlignSummary,
-                            indel_events: dict | None = None) -> bool:
-        """Vectorised PE record emission through the native formatter
-        (mate columns added to format_sam_records); mirrors the python
-        loop below exactly."""
-        from .. import native
+    def _rescue_saturated_pe(self, b1, b2, out1: dict, out2: dict) -> None:
+        """PE twin of _rescue_saturated: re-align pairs where EITHER end's
+        vote gather saturated (pair selection mixes both ends' candidate
+        tables, so both records are overwritten)."""
+        sat1, sat2 = out1.get("saturated"), out2.get("saturated")
+        if sat1 is None or sat2 is None:
+            return
+        sat = sat1 | sat2
+        if not sat.any():
+            return
+        idx = np.flatnonzero(sat)
+        RB = min(self.cfg.batch_reads, 2048)
+        for s in range(0, len(idx), RB):
+            ii = idx[s : s + RB]
+            dcs = []
+            for b in (b1, b2):
+                Lp = max(self.cfg.pad_read_len, b.max_len)
+                codes = np.zeros((RB, Lp), np.uint8)
+                ambig = np.zeros((RB, Lp), bool)
+                lens = np.zeros(RB, np.int32)
+                codes[: len(ii), : b.max_len] = b.codes[ii]
+                ambig[: len(ii), : b.max_len] = b.ambig[ii]
+                lens[: len(ii)] = b.lengths[ii]
+                words, amask = dna.pack_reads_host(codes, ambig)
+                if ambig.any():
+                    dc, da = self._unpack(
+                        jnp.asarray(words), jnp.asarray(amask), Lp
+                    )
+                else:
+                    dc, da = self._unpack_na(jnp.asarray(words), Lp)
+                dcs.append(
+                    (dc, da, jnp.asarray(lens), uniform_length(lens[: len(ii)]))
+                )
+            (dc1, da1, dl1, ul1), (dc2, da2, dl2, ul2) = dcs
+            r1, r2 = self._device_align_pe(
+                dc1, da1, dl1, dc2, da2, dl2,
+                self.d_bucket_start, self.d_comb, self.d_genome,
+                ul1=ul1, ul2=ul2, rescue=True,
+            )
+            for res, out in ((r1, out1), (r2, out2)):
+                items, _ = self._res_layout(res, RB)
+                seg = np.array(jax.device_get(self._pack_res(res)))
+                for k, dt, off, nb, was_bool, shape in items:
+                    a = seg[off : off + nb].view(dt).reshape(shape)
+                    if was_bool:
+                        a = a.astype(bool)
+                    if k in out:
+                        out[k][ii] = a[: len(ii)]
 
-        if native.get_lib() is None:
-            return False
-        # raw-bytes output needs a SAM text sink (BAM writers re-pack
-        # records; same gate as the SE fast path) and no RG tagging
-        if not isinstance(writer, samio.SamWriter) or self.cfg.rg_id:
-            return False
-        if res1.get("cigar_override") or res2.get("cigar_override"):
-            return False
+    def _pe_record_fields(self, b1, b2, res1, res2):
+        """Vectorised per-record PE fields shared by the native formatter
+        and the python fallback emitter: FLAG/RNEXT/PNEXT/TLEN/proper-pair
+        semantics of the reference's calc_flags/calc_tlen
+        (core.c:1659-1683,1718)."""
         g = self.genome
         R = len(b1.names)
-        if R == 0:
-            return True
-        Lmax = max(b1.codes.shape[1], b2.codes.shape[1])
+        z = np.zeros(R, np.int32)
 
         def prep(res, batch):
             lin = res["pos"].astype(np.int64)
@@ -1739,7 +1855,6 @@ class Aligner:
         L2 = b2.lengths.astype(np.int64)
         s1 = np.asarray(res1["strand"], np.int32)
         s2 = np.asarray(res2["strand"], np.int32)
-        z = np.zeros(R, np.int32)
 
         # ---- calc_tlen (core.c:1718): signed fragment length from the
         # smaller-POS record's CIGAR walk.  Closed form for our cigar
@@ -1853,6 +1968,34 @@ class Aligner:
                          L1, L2, True, t1)
         m2 = mate_arrays(res2, b2, c2, o2, ok2, s2, ok1, c1, o1, s1,
                          L2, L1, False, t2)
+        return dict(c1=c1, o1=o1, ok1=ok1, c2=c2, o2=o2, ok2=ok2,
+                    m1=m1, m2=m2)
+
+    def _emit_sam_pe_native(self, writer, b1, b2, res1, res2,
+                            summary: AlignSummary,
+                            indel_events: dict | None = None) -> bool:
+        """Vectorised PE record emission through the native formatter
+        (mate columns added to format_sam_records); the python fallback
+        below formats the same shared fields."""
+        from .. import native
+
+        if native.get_lib() is None:
+            return False
+        # raw-bytes output needs a SAM text sink (BAM writers re-pack
+        # records; same gate as the SE fast path) and no RG tagging
+        if not isinstance(writer, samio.SamWriter) or self.cfg.rg_id:
+            return False
+        if res1.get("cigar_override") or res2.get("cigar_override"):
+            return False
+        g = self.genome
+        R = len(b1.names)
+        if R == 0:
+            return True
+        Lmax = max(b1.codes.shape[1], b2.codes.shape[1])
+        fl = self._pe_record_fields(b1, b2, res1, res2)
+        c1, o1, ok1 = fl["c1"], fl["o1"], fl["ok1"]
+        c2, o2, ok2 = fl["c2"], fl["o2"], fl["ok2"]
+        m1, m2 = fl["m1"], fl["m2"]
 
         def interleave(a, b, dtype=None):
             out = np.empty(2 * R, dtype or a.dtype)
@@ -1875,6 +2018,11 @@ class Aligner:
         suppress = None
         if self.cfg.ignore_unmapped:
             suppress = (okA == 0).astype(np.uint8)
+        # HI/NH whenever EITHER end of the fragment mapped
+        # (write_single_fragment core.c:2047)
+        any_ok = ok1 | ok2
+        hi = np.ones(2 * R, np.int32)
+        nh = interleave(any_ok.astype(np.int32), any_ok.astype(np.int32))
         blob = native.format_sam_records(
             names, codes, quals, lens,
             interleave(m1[0], m2[0]),
@@ -1890,6 +2038,7 @@ class Aligner:
             rnext_cidx=interleave(m1[1], m2[1]),
             pnext=interleave(m1[2], m2[2]),
             tlen=interleave(m1[3], m2[3]),
+            hi=hi, nh=nh,
         )
         if blob is None:
             return False
@@ -1931,44 +2080,40 @@ class Aligner:
                                     indel_events):
             return
         g = self.genome
-        cidx1, coff1 = g.linear_to_chro(res1["pos"].astype(np.int64))
-        cidx2, coff2 = g.linear_to_chro(res2["pos"].astype(np.int64))
-        ok1 = res1["mapped"] & (coff1 >= 0) & (coff1 < g.lengths[cidx1])
-        ok2 = res2["mapped"] & (coff2 >= 0) & (coff2 < g.lengths[cidx2])
-        if not self.cfg.report_multi_mapping:
-            ok1 = ok1 & ~np.asarray(res1["multi"], bool)
-            ok2 = ok2 & ~np.asarray(res2["multi"], bool)
+        fl = self._pe_record_fields(b1, b2, res1, res2)
         for i, name in enumerate(b1.names):
             recs = []
-            for mate, (batch, res, cidx, coff, ok, mok, mcidx, mcoff) in enumerate(
+            for mate, (batch, res, cidx, coff, ok, m) in enumerate(
                 (
-                    (b1, res1, cidx1, coff1, ok1, ok2, cidx2, coff2),
-                    (b2, res2, cidx2, coff2, ok2, ok1, cidx1, coff1),
+                    (b1, res1, fl["c1"], fl["o1"], fl["ok1"], fl["m1"]),
+                    (b2, res2, fl["c2"], fl["o2"], fl["ok2"], fl["m2"]),
                 )
             ):
+                (flags_a, rnext_a, pnext_a, tlen_a, indel_a, split_a,
+                 cl_a, cr_a, nm_a, mapq_a, junc_a) = m
+                flag = int(flags_a[i])
                 L = int(batch.lengths[i])
-                strand = int(res["strand"][i])
                 seq_codes = batch.codes[i, :L]
                 qual = batch.quals[i, :L].tobytes().decode()
-                if strand == 1 and ok[i]:
-                    # unmapped records keep the original orientation
-                    seq = dna.decode(dna.revcomp(seq_codes))
-                    qual = qual[::-1]
-                else:
-                    seq = dna.decode(seq_codes)
-                flag = samio.FLAG_PAIRED | (
-                    samio.FLAG_FIRST if mate == 0 else samio.FLAG_SECOND
-                )
                 summary.total += 1
+                # RNEXT column (codes: -1 "*", -2 "=", else contig index);
+                # printed for unmapped ends too (core.c:2140-2164)
+                rn = int(rnext_a[i])
+                rnext = "*" if rn == -1 else ("=" if rn == -2 else g.names[rn])
+                pnext, tlen = int(pnext_a[i]), int(tlen_a[i])
+                # HI/NH whenever EITHER end of the fragment mapped
+                # (write_single_fragment core.c:2047)
+                any_ok = bool(fl["ok1"][i]) or bool(fl["ok2"][i])
+                hi_nh = ["HI:i:1", "NH:i:1"] if any_ok else []
                 if not ok[i]:
                     summary.unmapped += 1
                     if self.cfg.ignore_unmapped:
                         continue
-                    flag |= samio.FLAG_UNMAPPED
-                    if not mok[i]:
-                        flag |= samio.FLAG_MATE_UNMAPPED
                     recs.append(
-                        samio.SamRecord(name, flag, "*", 0, 0, "*", seq=seq, qual=qual)
+                        samio.SamRecord(name, flag, "*", 0, 0, "*",
+                                        rnext=rnext, pnext=pnext, tlen=tlen,
+                                        seq=dna.decode(seq_codes), qual=qual,
+                                        tags=hi_nh)
                     )
                     continue
                 summary.mapped += 1
@@ -1976,71 +2121,54 @@ class Aligner:
                     summary.multi += 1
                 else:
                     summary.unique += 1
-                indel = int(res["indel"][i])
-                split = int(res["split"][i])
+                if flag & samio.FLAG_REVERSE:
+                    seq = dna.decode(dna.revcomp(seq_codes))
+                    qual = qual[::-1]
+                else:
+                    seq = dna.decode(seq_codes)
+                indel = int(indel_a[i])
+                split = int(split_a[i])
+                cl, cr, gap = int(cl_a[i]), int(cr_a[i]), int(junc_a[i])
                 override = (res.get("cigar_override") or {}).get(i)
                 if override is not None:
                     cigar = override[0]
-                elif res.get("junc") is not None and res["junc"][i]:
-                    gap = int(res["junc_gap"][i])
-                    jcl = int(res["clip_l"][i]) if "clip_l" in res else 0
-                    jcr = int(res["clip_r"][i]) if "clip_r" in res else 0
+                elif gap > 0:
                     cigar = (
-                        (f"{jcl}S" if jcl else "")
-                        + f"{split}M{gap}N{L - jcl - split - jcr}M"
-                        + (f"{jcr}S" if jcr else "")
+                        (f"{cl}S" if cl else "")
+                        + f"{split}M{gap}N{L - cl - split - cr}M"
+                        + (f"{cr}S" if cr else "")
                     )
                 elif indel > 0:
-                    cigar = f"{split}M{indel}D{L - split}M"
-                    summary.indels += 1
+                    cigar = (
+                        (f"{cl}S" if cl else "")
+                        + f"{split - cl}M{indel}D{L - split - cr}M"
+                        + (f"{cr}S" if cr else "")
+                    )
                 elif indel < 0:
-                    cigar = f"{split}M{-indel}I{L - split + indel}M"
-                    summary.indels += 1
-                if indel != 0 and indel_events is not None:
-                    ins_seq = seq[split : split - indel] if indel < 0 else ""
-                    key = (int(cidx[i]), int(coff[i]) + split - 1, indel)
-                    sup, prev = indel_events.get(key, (0, ins_seq))
-                    indel_events[key] = (sup + 1, prev)
+                    cigar = (
+                        (f"{cl}S" if cl else "")
+                        + f"{split - cl}M{-indel}I{L - split + indel - cr}M"
+                        + (f"{cr}S" if cr else "")
+                    )
                 else:
-                    cl = int(res["clip_l"][i]) if "clip_l" in res else 0
-                    cr = int(res["clip_r"][i]) if "clip_r" in res else 0
                     cigar = (
                         (f"{cl}S" if cl else "")
                         + f"{L - cl - cr}M"
                         + (f"{cr}S" if cr else "")
                     )
-                if strand:
-                    flag |= samio.FLAG_REVERSE
-                if bool(res.get("proper", np.zeros(1))[i]):
-                    flag |= samio.FLAG_PROPER_PAIR
-                rnext, pnext, tlen = "*", 0, 0
-                if mok[i]:
-                    if int(res["strand"][i]) == 0 and int(
-                        (res2 if mate == 0 else res1)["strand"][i]
-                    ) == 1:
-                        pass
-                    if int(mcidx[i]) == int(cidx[i]):
-                        rnext = "="
-                        p_self, p_mate = int(coff[i]) + 1, int(mcoff[i]) + 1
-                        Lm = int((b2 if mate == 0 else b1).lengths[i])
-                        if p_self <= p_mate:
-                            tlen = p_mate + Lm - p_self
-                        else:
-                            tlen = -(p_self + L - p_mate)
-                        pnext = p_mate
-                    else:
-                        rnext = g.names[int(mcidx[i])]
-                        pnext = int(mcoff[i]) + 1
-                    if int((res2 if mate == 0 else res1)["strand"][i]) == 1:
-                        flag |= samio.FLAG_MATE_REVERSE
-                else:
-                    flag |= samio.FLAG_MATE_UNMAPPED
+                if indel != 0:
+                    summary.indels += 1
+                    if indel_events is not None:
+                        ins_seq = seq[split : split - indel] if indel < 0 else ""
+                        key = (int(cidx[i]), int(coff[i]) + split - 1, indel)
+                        sup, prev = indel_events.get(key, (0, ins_seq))
+                        indel_events[key] = (sup + 1, prev)
                 recs.append(
                     samio.SamRecord(
                         name, flag, g.names[int(cidx[i])], int(coff[i]) + 1,
-                        int(res["mapq"][i]), cigar, rnext=rnext, pnext=pnext,
+                        int(mapq_a[i]), cigar, rnext=rnext, pnext=pnext,
                         tlen=tlen, seq=seq, qual=qual,
-                        tags=[f"NM:i:{int(res['mism'][i]) + abs(int(res['indel'][i]))}"],
+                        tags=hi_nh + [f"NM:i:{int(nm_a[i])}"],
                     )
                 )
             for r in recs:

@@ -9,24 +9,25 @@ gathered element costs a fixed ~12ns issue slot, so the layout minimises
 gathered elements per probe:
 
     bucket_start : int32 [B+1]      B = 2**bucket_bits, bucket = key >> (32-bits)
-    check_words  : uint32 [N/4+pad] byte i%4 of word i//4 = check(entry i)
+    check_words  : uint32 [N/2+pad] half i%2 of word i//2 = check16(entry i)
     positions    : uint32 [N]       sorted by (canonical key, position)
 
 Keys are stored CANONICAL — min(kmer, revcomp(kmer)) — with the
-orientation (was-the-genome-kmer-flipped) in bit 7 of the check byte, so
+orientation (was-the-genome-kmer-flipped) in bit 15 of the check16, so
 ONE probe per read offset serves both strands: a hit whose stored
 orientation equals the probe's canonicalisation flip is a forward-strand
 match, otherwise reverse.  This halves every per-probe gather (the
 dominant cost: each gathered element is a fixed ~12ns issue slot).
 
 Because the bucket is the *high* bits of the canonical key, entries end
-up globally sorted.  B is sized so the average bucket holds well under
-one entry; a probe then gathers its whole bucket window in one
-fixed-width gather with NO binary search, and verifies key identity from
-the packed 7-bit checksums at 1/4 gather cost.  A checksum can alias two
-distinct keys sharing a bucket (~2^-7 of the ~10% shared-bucket cases);
-aliases only add isolated vote-noise candidates that the clustering
-threshold (>=3 consistent probes) filters out.
+up globally sorted.  bucket_bits >= MIN_BUCKET_BITS keeps the key
+remainder <= 15 bits, so check16 carries the WHOLE remainder: a check
+match verifies full key identity (no aliasing), and checks are monotone
+inside a bucket.  Small buckets are fetched as one fixed-width window
+with no search; for buckets longer than the window the device finds the
+key run's exact start by a fixed-trip binary search over the packed
+checks (ops.vote.gather_hits), whose trip count comes from the static
+max_bucket.
 
 Uninformative 16-mers occurring more than `repeat_threshold` (=100) times
 are excluded, mirroring scan_gene_index/add_repeated_subread
@@ -44,6 +45,10 @@ from .genome import Genome, genome_from_fasta
 
 REPEAT_THRESHOLD = 100  # reference index-builder default (-f 100)
 MAX_BUCKET_BITS = 28    # 1GB bucket_start ceiling (human full index)
+MIN_BUCKET_BITS = 17    # key remainder <= 15 bits -> check16 verifies the
+#                         FULL key (no aliasing) and stays monotone within a
+#                         bucket, which the device in-bucket binary search
+#                         relies on (ops.vote.gather_hits)
 
 
 @dataclass
@@ -56,7 +61,11 @@ class HashIndex:
     positions: np.ndarray     # uint32 [N]
     index_gap: int
     padding: int
-    max_bucket: int           # longest bucket (diagnostics)
+    max_bucket: int           # longest bucket: sets the device binary-search
+    #                           trip count (ops.vote.gather_hits)
+    max_run: int = 0          # longest single-key run: sets the rescue-pass
+    #                           gather width (occurrences of one canonical key,
+    #                           <= 2*REPEAT_THRESHOLD)
 
     @property
     def buckets_number(self) -> int:
@@ -89,6 +98,7 @@ class HashIndex:
             index_gap=np.int64(self.index_gap),
             padding=np.int64(self.padding),
             max_bucket=np.int64(self.max_bucket),
+            max_run=np.int64(self.max_run),
         )
 
     @classmethod
@@ -113,6 +123,12 @@ class HashIndex:
                 int(z["padding"])
             )
         orient = np.unpackbits(z["orient"])[: len(z["keys"])].astype(bool)
+        if int(z["bucket_bits"]) < MIN_BUCKET_BITS:
+            # pre-check16 file: re-derive the layout at the new minimum bits
+            return native_layout(
+                z["keys"], z["positions"], int(z["index_gap"]),
+                int(z["padding"])
+            )
         idx = cls(
             bucket_bits=int(z["bucket_bits"]),
             bucket_start=z["bucket_start"],
@@ -123,6 +139,7 @@ class HashIndex:
             index_gap=int(z["index_gap"]),
             padding=int(z["padding"]),
             max_bucket=int(z["max_bucket"]),
+            max_run=int(z["max_run"]) if "max_run" in z else _max_key_run(z["keys"]),
         )
         idx.check_words = pack_check_bytes(idx.keys, orient, idx.bucket_bits)
         return idx
@@ -139,42 +156,54 @@ def revcomp_keys_np(x: np.ndarray) -> np.ndarray:
     return ((x << np.uint32(16)) | (x >> np.uint32(16))).astype(np.uint32)
 
 
-def check_byte(keys_u32: np.ndarray, orient: np.ndarray, bucket_bits: int):
-    """Check byte: bit 7 = orientation (genome kmer was the revcomp of the
-    canonical key), bits 0-6 = top of the in-bucket key remainder (a 7-bit
-    checksum, monotone within a bucket)."""
-    rem = keys_u32 << np.uint32(bucket_bits)  # remainder in the high bits
+def _max_key_run(ks: np.ndarray) -> int:
+    """Longest run of one canonical key in the sorted key array."""
+    if len(ks) == 0:
+        return 0
+    change = np.flatnonzero(ks[1:] != ks[:-1])
+    bounds = np.concatenate([[-1], change, [len(ks) - 1]])
+    return int(np.diff(bounds).max())
+
+
+def check16(keys_u32: np.ndarray, orient: np.ndarray, bucket_bits: int):
+    """Check half-word: bit 15 = orientation (genome kmer was the revcomp
+    of the canonical key), bits 0-14 = the FULL in-bucket key remainder
+    (bucket_bits >= MIN_BUCKET_BITS makes it <= 15 bits).  Exact: a check
+    match means the entry's key equals the probe's key.  Monotone within a
+    bucket, so the device locates a key's run by binary search over the
+    packed checks alone."""
+    rem = (keys_u32 & np.uint32((1 << (32 - bucket_bits)) - 1)).astype(np.uint32)
     return (
-        ((rem >> np.uint32(25)) & np.uint32(0x7F))
-        | (orient.astype(np.uint32) << np.uint32(7))
-    ).astype(np.uint8)
+        rem | (orient.astype(np.uint32) << np.uint32(15))
+    ).astype(np.uint16)
 
 
 def pack_check_bytes(
     keys_u32: np.ndarray, orient: np.ndarray, bucket_bits: int
 ) -> np.ndarray:
-    """check_byte of every entry packed 4-per-uint32, padded so a
-    fixed-width word window never reads past the end."""
+    """check16 of every entry packed 2-per-uint32 (entry i in word i//2,
+    half i%2), padded so a fixed-width word window never reads past the
+    end."""
     n = len(keys_u32)
-    npad = ((n + 3) // 4 + 16) * 4
-    b = np.zeros(npad, np.uint8)
-    b[:n] = check_byte(keys_u32, orient, bucket_bits)
+    npad = ((n + 1) // 2 + 24) * 2
+    b = np.zeros(npad, np.uint16)
+    b[:n] = check16(keys_u32, orient, bucket_bits)
     return b.view(np.uint32)
 
 
 def build_comb_rows(positions: np.ndarray, check_words: np.ndarray) -> np.ndarray:
-    """Pack positions + check bytes into combined [G, 20] uint32 rows of
+    """Pack positions + check16s into combined [G, 24] uint32 rows of
     GROUP=16 entries (see ops.vote.gather_hits).  Padded with 3 extra rows
     so a window starting at any entry never reads past the end."""
     n = len(positions)
     G = (n + 15) // 16 + 3
     pos_p = np.zeros(G * 16, np.uint32)
     pos_p[:n] = positions
-    chk_p = np.zeros(G * 16, np.uint8)
-    chk_p[:n] = check_words.view(np.uint8)[:n]
-    comb = np.empty((G, 20), np.uint32)
+    chk_p = np.zeros(G * 16, np.uint16)
+    chk_p[:n] = check_words.view(np.uint16)[:n]
+    comb = np.empty((G, 24), np.uint32)
     comb[:, :16] = pos_p.reshape(G, 16)
-    comb[:, 16:] = chk_p.view(np.uint32).reshape(G, 4)
+    comb[:, 16:] = chk_p.view(np.uint32).reshape(G, 8)
     return comb
 
 
@@ -209,7 +238,10 @@ def _layout_from_sorted(
     """Device layout from (canonical key, position)-sorted arrays."""
     n = max(len(ks), 2)
     if bucket_bits is None:
-        bucket_bits = min(MAX_BUCKET_BITS, max(10, int(np.ceil(np.log2(n))) + 2))
+        bucket_bits = min(
+            MAX_BUCKET_BITS,
+            max(MIN_BUCKET_BITS, int(np.ceil(np.log2(n))) + 2),
+        )
     shift = np.uint32(32 - bucket_bits)
     bucket = (ks >> shift).astype(np.int64)
     counts = np.bincount(bucket, minlength=1 << bucket_bits)
@@ -226,6 +258,7 @@ def _layout_from_sorted(
         index_gap=index_gap,
         padding=padding,
         max_bucket=int(counts.max(initial=0)),
+        max_run=_max_key_run(ks),
     )
 
 

@@ -60,6 +60,9 @@ class VoteResult(NamedTuple):
     #                         indel_recorder analog, sorted-hashtable.c:1049:
     #                         kv steps along probes = cumulative indels;
     #                         SENTINEL where the probe didn't vote)
+    saturated: jnp.ndarray  # bool [R] some probe's key run extended past the
+    #                         H-entry gather window: vote counts may be low —
+    #                         re-vote the read with a wider rescue pass
 
 
 def subread_offsets(read_len: jnp.ndarray, params: VoteParams) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -187,42 +190,56 @@ def extract_probe_keys(
 
 
 GROUP = 16                # index entries per combined row
-COMB_W = GROUP + GROUP // 4   # row layout: 16 positions + 4 packed check words
+COMB_W = GROUP + GROUP // 2   # row layout: 16 positions + 8 packed check16 words
 
 
 def gather_hits(
     probe_keys: jnp.ndarray,    # uint32 [R, P]
     probe_valid: jnp.ndarray,   # bool [R, P]
     bucket_start: jnp.ndarray,  # int32 [B+1]
-    comb_rows: jnp.ndarray,     # uint32 [G, 20]: 16 positions + 4 check words
+    comb_rows: jnp.ndarray,     # uint32 [G, 24]: 16 positions + 8 check words
     bucket_bits: int,
     params: VoteParams,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Whole-bucket window fetch via ROW gathers with packed-byte key
+    max_bucket: int = 1 << 20,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Key-run window fetch via ROW gathers with exact check16 key
     verification.
 
     Replaces the reference's in-bucket binary search
-    (sorted-hashtable.c:960-981): with B = 2**bucket_bits high-bit buckets
-    the average bucket holds <1 entry, so the H-wide window [lo, lo+H)
-    almost always covers the probe's whole key run and the binary search
-    disappears.  probe_keys are CANONICAL, so one probe serves both
-    strands (bit 7 of the check byte carries the stored orientation).
+    (sorted-hashtable.c:960-981) for the common case: with
+    B = 2**bucket_bits high-bit buckets the average bucket holds about one
+    entry, so the H-wide window [lo, lo+H) usually covers the probe's
+    whole key run with NO search.  Repeat-dense buckets (tandem repeats
+    concentrate many high-occurrence keys sharing their prefix) can hold
+    hundreds of entries, where a head-of-bucket window would miss runs
+    entirely — for those a branchless fixed-trip binary search over the
+    packed check16s (monotone in-bucket: index.build.check16) finds the
+    run's EXACT start first.  The trip count is static, derived from the
+    index's max_bucket; it is 0 when every bucket fits in the window.
+
+    probe_keys are CANONICAL, so one probe serves both strands (bit 15 of
+    check16 carries the stored orientation).  Bits 0-14 hold the full key
+    remainder, so a check match IS a full key match — no aliasing
+    (reads probing with an error in their last bases used to collect
+    false hits at the true position through the old 7-bit checksum,
+    overcounting votes).
 
     Index entries are stored in COMBINED rows of GROUP=16: row g =
-    [pos_{16g..16g+15}, checkbytes packed into 4 words].  Gathering 2-D
+    [pos_{16g..16g+15}, check16s packed into 8 words].  Gathering 2-D
     ROWS is ~25x cheaper per element than scalar 1-D gathers on this TPU,
-    so a probe fetches its whole 32-entry window — positions AND check
-    bytes — with ceil(H/16)+1 = 3 row gathers (gathers are issue-rate
-    bound, so fewer/wider rows win).  The window is then phase-aligned to
-    lo&15 with a static 4-step shift ladder computed on the FLAT
-    [R, P*NW] layout: last-dim widths below the 128-lane VPU tile waste
-    lanes, and the ladder's shifts never cross a probe's NW-wide block
-    within the slots that are read afterwards (slot j reads original
-    index j+phase <= (H-1)+15 < NW).
+    so a probe fetches its whole window — positions AND checks — with
+    ceil(H/16)+1 row gathers (gathers are issue-rate bound, so
+    fewer/wider rows win).  The window is then phase-aligned to lo&15
+    with a static 4-step shift ladder computed on the FLAT [R, P*NW]
+    layout: last-dim widths below the 128-lane VPU tile waste lanes, and
+    the ladder's shifts never cross a probe's NW-wide block within the
+    slots that are read afterwards (slot j reads original index
+    j+phase <= (H-1)+15 < NW).
 
-    Returns (hit_pos uint32, hit_valid bool, hit_orient bool), each FLAT
+    Returns (hit_pos uint32, hit_valid bool, hit_orient bool) each FLAT
     [R, C] with C = P*H (candidate-major: probe p's hits at columns
-    p*H..p*H+H-1).
+    p*H..p*H+H-1), plus truncated bool [R, P]: the run extends beyond the
+    H-entry window (callers route such reads to a wider rescue pass).
     """
     R, P = probe_keys.shape
     G = comb_rows.shape[0]
@@ -235,6 +252,32 @@ def gather_hits(
     bucket = (probe_keys >> shift).astype(jnp.int32)
     lo = bucket_start[bucket]
     hi = bucket_start[bucket + 1]
+    # full in-bucket key remainder (<= 15 bits: MIN_BUCKET_BITS)
+    qcheck_p = probe_keys & np.uint32((1 << (32 - bucket_bits)) - 1)  # [R, P]
+
+    # branchless lower_bound over the bucket's monotone check16s: exact
+    # run start.  Scalar check fetches address the packed words inside
+    # comb_rows directly (entry i = word 16 + (i&15)//2 of row i>>4).
+    steps = 0 if max_bucket <= H else int(np.ceil(np.log2(max_bucket + 1)))
+    if steps:
+        flat = comb_rows.reshape(-1)
+
+        def bs_body(_, carry):
+            cur, length = carry
+            half = length >> 1
+            mid = cur + half
+            w = flat[(mid >> 4) * COMB_W + GROUP + ((mid & 15) >> 1)]
+            c = (w >> ((mid.astype(jnp.uint32) & 1) << 4)) & np.uint32(0x7FFF)
+            # length <= 0 means cur already IS the lower bound: freeze
+            # (otherwise a stray check at cur — e.g. the next bucket's
+            # first entry — could push cur past the run start)
+            right = (c < qcheck_p) & (length > 0)
+            return (
+                jnp.where(right, mid + 1, cur),
+                jnp.where(right, length - half - 1, jnp.minimum(half, length)),
+            )
+
+        lo, _ = jax.lax.fori_loop(0, steps, bs_body, (lo, hi - lo))
 
     r0 = lo >> np.int32(4)
     ridx = jnp.minimum(
@@ -243,9 +286,9 @@ def gather_hits(
     rows = comb_rows[ridx]                        # [R, P, NR, COMB_W]
 
     pos_w = rows[:, :, :, :GROUP].reshape(R, P * NW)
-    chk_words = rows[:, :, :, GROUP:].reshape(R, P, NR * 4)
-    byte_sh = (np.uint32(8) * np.arange(4, dtype=np.uint32))[None, None, None, :]
-    chk_b = ((chk_words[:, :, :, None] >> byte_sh) & np.uint32(0xFF)).reshape(
+    chk_words = rows[:, :, :, GROUP:].reshape(R, P, NR * 8)
+    half_sh = (np.uint32(16) * np.arange(2, dtype=np.uint32))[None, None, None, :]
+    chk_b = ((chk_words[:, :, :, None] >> half_sh) & np.uint32(0xFFFF)).reshape(
         R, P * NW
     )
 
@@ -265,28 +308,36 @@ def gather_hits(
     hi_rep = jnp.repeat(hi, H, axis=1)
     offs = np.tile(np.arange(H, dtype=np.int32), P)[None, :]
     idx = lo_rep + offs
-    # 7-bit checksum of the in-bucket remainder (index.build.check_byte)
-    qcheck = jnp.repeat(
-        ((probe_keys << np.uint32(bucket_bits)) >> np.uint32(25))
-        & np.uint32(0x7F),
-        H, axis=1,
-    )
+    qcheck = jnp.repeat(qcheck_p, H, axis=1)
     hit_valid = (
         (idx < hi_rep)
-        & ((checks & np.uint32(0x7F)) == qcheck)
+        & ((checks & np.uint32(0x7FFF)) == qcheck)
         & jnp.repeat(probe_valid, H, axis=1)
     )
-    hit_orient = (checks >> np.uint32(7)) != 0
-    return hit_pos, hit_valid, hit_orient
+    hit_orient = (checks >> np.uint32(15)) != 0
+    # run extends past the window iff its last slot still matched
+    truncated = hit_valid.reshape(R, P, H)[:, :, H - 1]
+    return hit_pos, hit_valid, hit_orient, truncated
 
 
 def _vote_merged(
     kv: jnp.ndarray,        # uint32 [R, C] candidate positions (SENTINEL = invalid)
-    payload: jnp.ndarray,   # uint32 [R, C]: off | strand<<12 | sub_id<<13
+    payload: jnp.ndarray,   # uint32 [R, C]: off | strand<<12 | sub_id<<13 | pk<<19
     params: VoteParams,
 ) -> tuple[jnp.ndarray, ...]:
-    """Sort ALL candidates (both strands in ONE stream) by kv and compute,
-    per anchor i, the distinct-subread vote count over [kv_i, kv_i + tol].
+    """Sort ALL candidates (both strands in ONE stream) by kv and compute
+    the reference's ANCHORED cluster votes (sorted-hashtable.c:1007-1060):
+    a cluster is created at its first-arriving hit (probe scan order), all
+    same-strand hits within ±tol of that anchor join it, and its vote is
+    the number of distinct subreads among the members.
+
+    On the sorted stream this becomes, per element e:
+      - membership: |kv_w - kv_e| <= tol, same strand
+      - votes(e)  : popcount of the distinct-subread mask over that window
+      - anchor(e) : no same-strand member has a smaller (probe, kv) pair —
+        i.e. e is the hit the sequential reference scan would have created
+        the cluster at.  Non-anchors get votes=0 so top-K never picks the
+        same cluster twice or from a shifted window (which overcounts).
 
     Each index hit belongs to exactly one strand (its stored orientation
     either matches the probe's canonicalisation flip or not), so merging
@@ -303,42 +354,69 @@ def _vote_merged(
     S = params.total_subreads
     kv_s, pay_s = jax.lax.sort((kv, payload), dimension=-1, num_keys=1)
     off_s = (pay_s & np.uint32(0xFFF)).astype(jnp.int32)
-    strand_s = ((pay_s >> np.uint32(12)) & np.uint32(1)).astype(jnp.int32)
-    bit = (pay_s >> np.uint32(13)) + np.uint32(S) * ((pay_s >> np.uint32(12)) & np.uint32(1))
+    strand_su = (pay_s >> np.uint32(12)) & np.uint32(1)
+    strand_s = strand_su.astype(jnp.int32)
+    bit = ((pay_s >> np.uint32(13)) & np.uint32(0x3F)) + np.uint32(S) * strand_su
     mask_s = jnp.uint32(1) << bit
+    # anchor-ordering key: probe scan index in the oriented read's own scan
+    # (reverse-strand probes scan the RC read left-to-right), lower = earlier
+    pk_s = ((pay_s >> np.uint32(19)) & np.uint32(0x3F)).astype(jnp.int32)
 
     W = min(params.window, C)
     tol = np.uint32(params.indel_tolerance)
-    pad_kv = jnp.pad(kv_s, ((0, 0), (0, W)), constant_values=np.uint32(0xFFFFFFFF))
-    pad_mask = jnp.pad(mask_s, ((0, 0), (0, W)))
+    neg = np.uint32((1 << 32) - params.indel_tolerance)
+    BIGPK = jnp.int32(127)
+    pad2 = lambda a, v: jnp.pad(a, ((0, 0), (W, W)), constant_values=v)
+    pad_kv = pad2(kv_s, np.uint32(0xFFFFFFFF))
+    pad_mask = pad2(mask_s, np.uint32(0))
+    pad_pk = pad2(pk_s, 127)
+    pad_strand = pad2(strand_s, -1)
 
-    def body(d, acc):
+    def body(d, carry):
+        acc, minpk, leftpk = carry
         kd = jax.lax.dynamic_slice_in_dim(pad_kv, d, C, axis=1)
-        in_w = (kd - kv_s) <= tol  # uint32 wrap puts sentinels out of window
+        diff = kd - kv_s
+        in_w = ((diff <= tol) | (diff >= neg)) & (kd != SENTINEL)
         md = jax.lax.dynamic_slice_in_dim(pad_mask, d, C, axis=1)
-        return acc | jnp.where(in_w, md, 0)
+        acc = acc | jnp.where(in_w, md, 0)
+        sd = jax.lax.dynamic_slice_in_dim(pad_strand, d, C, axis=1)
+        pkd = jax.lax.dynamic_slice_in_dim(pad_pk, d, C, axis=1)
+        cand = jnp.where(in_w & (sd == strand_s), pkd, BIGPK)
+        minpk = jnp.minimum(minpk, cand)
+        leftpk = jnp.where(d < W, jnp.minimum(leftpk, cand), leftpk)
+        return acc, minpk, leftpk
 
-    acc_mask = jax.lax.fori_loop(0, W, body, jnp.zeros_like(mask_s))
+    init = (
+        jnp.zeros_like(mask_s),
+        jnp.full((R, C), 127, jnp.int32),
+        jnp.full((R, C), 127, jnp.int32),
+    )
+    acc_mask, minpk, leftpk = jax.lax.fori_loop(0, 2 * W + 1, body, init)
 
+    # e is its cluster's creation hit iff nothing in-window scans earlier:
+    # no member with smaller probe anywhere (minpk includes self), and no
+    # LEFT member (smaller kv) sharing its probe index
+    is_anchor = (minpk == pk_s) & (leftpk > pk_s)
     lowhalf = np.uint32((1 << S) - 1)
     half = jnp.where(strand_s == 1, lowhalf << np.uint32(S), lowhalf)
     votes = jax.lax.population_count(acc_mask & half).astype(jnp.int32)
-    votes = jnp.where(kv_s == SENTINEL, 0, votes)
+    votes = jnp.where(is_anchor & (kv_s != SENTINEL), votes, 0)
     return kv_s, votes, strand_s, off_s, acc_mask
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bucket_bits", "params", "static_len")
+    jax.jit, static_argnames=("bucket_bits", "params", "static_len", "max_bucket")
 )
 def vote_batch(
     codes: jnp.ndarray,        # uint8 [R, L]
     ambig: jnp.ndarray,        # bool [R, L]
     read_len: jnp.ndarray,     # int32 [R]
     bucket_start: jnp.ndarray,
-    comb_rows: jnp.ndarray,    # uint32 [G, 10] combined position/check rows
+    comb_rows: jnp.ndarray,    # uint32 [G, 24] combined position/check rows
     bucket_bits: int,
     params: VoteParams,
     static_len: int | None = None,
+    max_bucket: int = 1 << 20,
 ) -> VoteResult:
     """Full vote step for a read batch over both strands.
 
@@ -383,8 +461,8 @@ def vote_batch(
 
     P = keys.shape[1]
     C = P * H
-    hit_pos, hit_valid, hit_orient = gather_hits(
-        keys, valid, bucket_start, comb_rows, bucket_bits, params
+    hit_pos, hit_valid, hit_orient, trunc = gather_hits(
+        keys, valid, bucket_start, comb_rows, bucket_bits, params, max_bucket
     )                                                          # each [R, C]
     # expand per-probe quantities to per-candidate columns (repeat H);
     # everything elementwise below runs on the FLAT [R, C] layout so the
@@ -406,10 +484,15 @@ def vote_batch(
     kv3 = jnp.where(
         hit_valid, hit_pos - off3.astype(jnp.uint32), SENTINEL
     )                                                          # [R, C]
+    # probe scan index in the candidate's own strand orientation: probe p of
+    # the canonical scan is probe P-1-p of the RC read's left-to-right scan
+    pidx_r = np.repeat(np.arange(P, dtype=np.uint32), H)[None, :]
+    pk3 = jnp.where(fwd_match, pidx_r, np.uint32(P - 1) - pidx_r)
     payload = (
         off3.astype(jnp.uint32)
         | (strand3 << np.uint32(12))
         | (subid_r << np.uint32(13))
+        | (pk3 << np.uint32(19))
     )
     kv_s, votes, strand_s, off_s, _ = _vote_merged(kv3, payload, params)
 
@@ -417,10 +500,17 @@ def vote_batch(
     K = params.top_k
     tol = np.uint32(params.indel_tolerance)
     sel_idx = jnp.zeros((R, K), jnp.int32)
+    sel_votes = jnp.zeros((R, K), jnp.int32)
     work = votes
     for k in range(K):
         best = jnp.argmax(work, axis=-1)  # [R] first max wins (smallest kv anchor)
         sel_idx = sel_idx.at[:, k].set(best.astype(jnp.int32))
+        # record the vote count AT PICK TIME: once every anchor is consumed
+        # argmax degenerates to column 0, whose original votes must not leak
+        # back in as a duplicate cluster
+        sel_votes = sel_votes.at[:, k].set(
+            jnp.take_along_axis(work, best[:, None], axis=-1)[:, 0]
+        )
         bkv = jnp.take_along_axis(kv_s, best[:, None], axis=-1)
         bstrand = jnp.take_along_axis(strand_s, best[:, None], axis=-1)
         # suppress anchors of the same strand within ±tol of the chosen anchor
@@ -429,7 +519,6 @@ def vote_batch(
         work = jnp.where(near & (strand_s == bstrand), 0, work)
 
     take = lambda arr: jnp.take_along_axis(arr, sel_idx, axis=-1)
-    sel_votes = take(votes)
     sel_kv = take(kv_s)
     sel_strand = take(strand_s)
 
@@ -438,8 +527,12 @@ def vote_batch(
     # W-step window loop).  head/tail = kv of the member with the
     # smallest/largest read offset (tail - head = net indel; the
     # indel_recorder cumulative offset, sorted-hashtable.c:1049-1060).
-    member = ((kv_s[:, None, :] - sel_kv[:, :, None]) <= tol) & (
-        strand_s[:, None, :] == sel_strand[:, :, None]
+    neg = np.uint32((1 << 32) - params.indel_tolerance)
+    diff_m = kv_s[:, None, :] - sel_kv[:, :, None]
+    member = (
+        ((diff_m <= tol) | (diff_m >= neg))
+        & (kv_s[:, None, :] != SENTINEL)
+        & (strand_s[:, None, :] == sel_strand[:, :, None])
     )                                                          # [R, K, C]
     off_lo = jnp.where(member, off_s[:, None, :], 1 << 30)
     off_hi = jnp.where(member, off_s[:, None, :], -1)
@@ -452,8 +545,11 @@ def vote_batch(
 
     # per-probe member kv (the indel_recorder analog): flat [R, K, C]
     # membership, then a per-probe min over each H-wide block
-    member_p = ((kv3[:, None, :] - sel_kv[:, :, None]) <= tol) & (
-        strand3[:, None, :] == sel_strand[:, :, None].astype(jnp.uint32)
+    diff_p = kv3[:, None, :] - sel_kv[:, :, None]
+    member_p = (
+        ((diff_p <= tol) | (diff_p >= neg))
+        & (kv3[:, None, :] != SENTINEL)
+        & (strand3[:, None, :] == sel_strand[:, :, None].astype(jnp.uint32))
     )                                                          # [R, K, C]
     sel_pkv = jnp.min(
         jnp.where(member_p, kv3[:, None, :], SENTINEL).reshape(R, K, P, H),
@@ -470,6 +566,7 @@ def vote_batch(
         cov_start=jnp.where(empty, 0, sel_covmin),
         cov_end=jnp.where(empty, 0, sel_covmax + KMER),
         probe_kv=jnp.where(empty[:, :, None], SENTINEL, sel_pkv),
+        saturated=jnp.any(trunc, axis=1),
     )
 
 
@@ -498,17 +595,22 @@ def merge_vote_results(a: VoteResult, b: VoteResult, params: VoteParams) -> Vote
 
     R = pos.shape[0]
     sel_idx = jnp.zeros((R, K), jnp.int32)
+    sel_votes = jnp.zeros((R, K), jnp.int32)
     work = votes
     for k in range(K):
         best = jnp.argmax(work, axis=-1)
         sel_idx = sel_idx.at[:, k].set(best.astype(jnp.int32))
+        # vote count at pick time (post-suppression argmax degenerates to
+        # column 0 — its original votes must not resurface as a duplicate)
+        sel_votes = sel_votes.at[:, k].set(
+            jnp.take_along_axis(work, best[:, None], axis=-1)[:, 0]
+        )
         bkv = jnp.take_along_axis(anchor, best[:, None], axis=-1)
         bstrand = jnp.take_along_axis(strand, best[:, None], axis=-1)
         diff = anchor - bkv
         near = (diff <= tol) | (-diff <= tol)
         work = jnp.where(near & (strand == bstrand), -1, work)
     take = lambda arr: jnp.take_along_axis(arr, sel_idx, axis=-1)
-    sel_votes = take(votes)
     empty = sel_votes <= 0
     return VoteResult(
         pos=jnp.where(empty, SENTINEL, take(pos)),
@@ -519,4 +621,5 @@ def merge_vote_results(a: VoteResult, b: VoteResult, params: VoteParams) -> Vote
         cov_start=jnp.where(empty, 0, take(cov_s)),
         cov_end=jnp.where(empty, 0, take(cov_e)),
         probe_kv=jnp.take_along_axis(pkv, sel_idx[:, :, None], axis=1),
+        saturated=a.saturated | b.saturated,
     )

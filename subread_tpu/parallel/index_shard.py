@@ -115,7 +115,7 @@ def place_sharded_index(mesh: Mesh, bs: np.ndarray, cb: np.ndarray):
 
 def index_sharded_vote(
     mesh: Mesh, bucket_bits: int, params: VoteParams,
-    static_len: int | None = None,
+    static_len: int | None = None, max_bucket: int = 1 << 20,
 ):
     """Build a jitted vote step over a ("reads", "index") mesh.
 
@@ -129,7 +129,7 @@ def index_sharded_vote(
     def local(codes, ambig, lens, bs, cb):
         v = vote_batch(
             codes, ambig, lens, bs[0], cb[0], bucket_bits, params,
-            static_len=static_len,
+            static_len=static_len, max_bucket=max_bucket,
         )
         if n_shards == 1:
             return v
@@ -151,6 +151,7 @@ def index_sharded_vote(
             pos=read_spec, tail=read_spec, anchor=read_spec,
             votes=read_spec, strand=read_spec, cov_start=read_spec,
             cov_end=read_spec, probe_kv=P(READS_AXIS, None, None),
+            saturated=P(READS_AXIS),
         ),
         check_vma=False,
     )

@@ -65,7 +65,13 @@ def sharded_align_step(mesh: Mesh, aligner):
         v = vote_batch(
             c, a, l, d_bucket, d_comb,
             aligner.index.bucket_bits, aligner.vote_params,
+            max_bucket=aligner.max_bucket,
         )
-        return aligner._scan2(c, a, l, d_gen, v)
+        res = aligner._scan2(c, a, l, d_gen, v)
+        # repeat reads whose gather window overflowed: callers route these
+        # through aligner._rescue_saturated (same pass the single-chip
+        # align_batch applies) to keep mesh results bit-identical to it
+        res["saturated"] = v.saturated
+        return res
 
     return step

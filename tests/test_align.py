@@ -49,7 +49,11 @@ def test_se_with_errors(aligner, chr901_genome, tmp_path, rng):
     write_fastq(fq, batch)
     summary = aligner.align_file(fq, sam)
     assert summary.total == 2000
-    check_sam(sam, 2000, min_accuracy=0.96, min_sensitivity=0.96)
+    # chr901 contains exact duplicated blocks (~8% of positions, e.g.
+    # offset +63220 repeats): reads from them are break-even multi-mappers
+    # which the reference does not report by default (core.c:2760
+    # highest_score_occurence>=2; its own SE fixture leaves 7.5% unmapped)
+    check_sam(sam, 2000, min_accuracy=0.97, min_sensitivity=0.91)
 
 
 def test_se_indel_reads(aligner, chr901_genome, tmp_path, rng):

@@ -69,11 +69,15 @@ def test_hash_index_globally_sorted(chr901_index):
         np.uint64
     )
     assert np.all(np.diff(comb.astype(np.int64)) > 0)
-    # check bytes round-trip
-    from subread_tpu.index.build import check_byte
+    # check halfwords round-trip: full key remainder + orientation bit 15
+    from subread_tpu.index.build import check16
 
-    b = idx.check_words.view(np.uint8)[: idx.n_items]
-    assert np.array_equal(b, check_byte(idx.keys, idx.orient, idx.bucket_bits))
+    b = idx.check_words.view(np.uint16)[: idx.n_items]
+    assert np.array_equal(b, check16(idx.keys, idx.orient, idx.bucket_bits))
+    # remainder fits 15 bits so a check16 match IS a full key match
+    assert idx.bucket_bits >= 17
+    rem = (idx.keys << np.uint32(idx.bucket_bits)) >> np.uint32(idx.bucket_bits)
+    assert np.array_equal(b & 0x7FFF, rem)
 
 
 def test_index_save_load(tmp_path, chr901_genome, chr901_index):
