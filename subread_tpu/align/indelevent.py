@@ -273,16 +273,23 @@ def ref_stats_host(mm_head, mm_tail, L, splits, indels, cs, ce,
 def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3):
     """Event-table indel placement for one batch.
 
-    Returns (overrides {i: (cigar, mism, nm)}, events {(cidx, coff0, len):
-    (support, inserted_seq)}) and updates res arrays in place for
-    pos/clip/mapq coherence.
+    Updates res arrays IN PLACE (pos/split/clip_l/clip_r/mism/mapq/mapped):
+    every event CIGAR has the single-indel shape
+    [hS] (split-h)M dD/I mM [tS] the emitters already format from those
+    arrays, so no string overrides are needed and the native fast paths
+    stay active.  Returns (events {(small_side, len): (support, ins_seq)},
+    done_rows list) — done_rows' indel events are recorded here; emitters
+    must not double-count them.
     """
     if "probe_kv" not in res:
-        return {}, {}
+        return {}, []
     pos_arr = np.asarray(res["pos"], np.uint32)
     indel_arr = np.asarray(res["indel"], np.int32)
     strand_arr = np.asarray(res["strand"], np.int32)
     cl_arr = np.asarray(res["clip_l"], np.int32) if "clip_l" in res else None
+    cr_arr = np.asarray(res["clip_r"], np.int32) if "clip_r" in res else None
+    split_arr = np.asarray(res["split"], np.int32)
+    mism_arr = np.asarray(res["mism"], np.int32)
     mapped_arr = np.asarray(res["mapped"], bool)
     pkv = np.asarray(res["probe_kv"], np.uint32)
     gcodes = genome.codes
@@ -306,7 +313,7 @@ def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3):
         cand_mask = cand_mask & ~np.asarray(res["multi_indel"], bool)
     cand = np.flatnonzero(cand_mask)
     if len(cand) == 0:
-        return {}, {}
+        return {}, []
 
     # ---- pass 1: propose events via the reference DP ---------------------
     proposals = {}   # i -> [(small_side_abs, len, ins_seq)]
@@ -357,10 +364,10 @@ def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3):
             proposals[i] = evs_i
 
     if not events:
-        return {}, {}
+        return {}, []
 
     # ---- pass 2: apply the best-supported matching event per read --------
-    overrides = {}
+    done_rows = []
     out_events = {}
     by_len = {}
     for (ss, elen), (sup, iseq) in events.items():
@@ -411,22 +418,16 @@ def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3):
         )
         if mism > anchor_mism_limit or match < 1:
             continue
-        nm = mism + abs(ind)
-        c = []
-        if head:
-            c.append(f"{head}S")
-        c.append(f"{split - head}M")
-        c.append(f"{abs(ind)}{'D' if ind > 0 else 'I'}")
-        tail_m = L - split - max(0, -ind) - tail
-        c.append(f"{tail_m}M")
-        if tail:
-            c.append(f"{tail}S")
-        cigar = "".join(c)
-        overrides[i] = (cigar, mism, nm)
-        # position shifts with the head clip
+        # in-place: the event CIGAR [hS](split-h)M dD/I mM[tS] is exactly
+        # what the emitters format from (pos, split, indel, clips)
+        done_rows.append(int(i))
         pos_arr[i] = np.uint32(vpos + head)
+        split_arr[i] = split
+        mism_arr[i] = mism
         if cl_arr is not None:
             cl_arr[i] = head
+        if cr_arr is not None:
+            cr_arr[i] = tail
         mapq_arr[i] = 0 if bool(np.asarray(res["multi"], bool)[i]) else (
             cfg.mapq_unique // max(1, int(n_anch[i]) + mism)
         )
@@ -434,12 +435,16 @@ def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3):
         sup0, iseq0 = out_events.get(ck, (0, iseq))
         out_events[ck] = (sup0 + 1, iseq0)
         mapped_arr[i] = True
-    if overrides:
+    if done_rows:
         res["pos"] = pos_arr
+        res["split"] = split_arr
+        res["mism"] = mism_arr
         res["mapq"] = mapq_arr
         res["mapped"] = mapped_arr
         if cl_arr is not None:
             res["clip_l"] = cl_arr
-    return overrides, out_events
+        if cr_arr is not None:
+            res["clip_r"] = cr_arr
+    return out_events, done_rows
 
 

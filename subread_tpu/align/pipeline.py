@@ -1079,15 +1079,36 @@ class Aligner:
                 mapped = mapped & ~be
             cl_w = jnp.where(mapped, b_cl, 0)
             cr_w = jnp.where(mapped, b_cr, 0)
-            return dict(
+            b_votes = take(sc["votes_k"])
+            out = dict(
                 clip_l=cl_w, clip_r=cr_w,
                 pos=jnp.where(mapped, b_pos + cl_w.astype(jnp.uint32), b_pos),
                 strand=take(sc["strand_k"]),
                 indel=b_indel, split=take(sc["split_k"]),
-                mism=b_mism, votes=take(sc["votes_k"]), mapped=mapped,
+                mism=b_mism, votes=b_votes, mapped=mapped,
                 multi=be, mapq=mapq,
                 n_anchors=n_anch.astype(jnp.int8),
+                cov_start=take(sc["cov_s_k"]).astype(jnp.int16),
+                cov_end=take(sc["cov_e_k"]).astype(jnp.int16),
             )
+            if "probe_kv_k" in sc:
+                # per-probe cluster kv of the chosen candidate: drives the
+                # event-table indel placement (same export as _select_se)
+                b_pkv = jnp.take_along_axis(
+                    sc["probe_kv_k"], kk[:, None, None], axis=1
+                )[:, 0]
+                SEN = np.uint32(0xFFFFFFFF)
+                anchored = (b_pos != SEN) & (b_votes >= cfg.min_votes_second)
+                validp = (b_pkv != SEN) & anchored[:, None]
+                delta = jnp.where(validp, b_pkv - b_pos[:, None], SEN)
+                ds = jnp.sort(delta, axis=1)
+                nvalid = validp.sum(axis=1)
+                j = np.arange(1, b_pkv.shape[1], dtype=np.int32)[None, :]
+                trans = (ds[:, 1:] != ds[:, :-1]) & (j < nvalid[:, None])
+                n_distinct = (nvalid > 0).astype(jnp.int32) + trans.sum(axis=1)
+                out["multi_indel"] = (n_distinct >= 3) & anchored
+                out["probe_kv"] = b_pkv
+            return out
 
         r1 = pick(sc1, lens1, k1, ok1, has1, n_anch1, be1)
         r2 = pick(sc2, lens2, k2, ok2, has2, n_anch2, be2)
@@ -1362,7 +1383,10 @@ class Aligner:
         if sat is None or not sat.any():
             return
         idx = np.flatnonzero(sat)
-        RB = min(self.cfg.batch_reads, 2048)
+        # small fixed rescue batch: the wide-gather kernel (H=rescue_hits,
+        # C=P*H columns) is expensive to compile and run; saturated reads
+        # are rare so a 256-row kernel amortises fine
+        RB = min(self.cfg.batch_reads, 256)
         Lp = max(self.cfg.pad_read_len, batch.max_len)
         P = self.vote_params.total_subreads * max(self.index.index_gap, 1)
         for s in range(0, len(idx), RB):
@@ -1554,8 +1578,9 @@ class Aligner:
                 has_indel[i] = ("I" in cig_o) or ("D" in cig_o)
         summary.indels += int(has_indel.sum())
         if indel_events is not None:
+            done = res.get("_events_done") or ()
             for i in np.flatnonzero(has_indel):
-                if i in overrides:
+                if i in overrides or i in done:
                     continue  # events recorded by the override producer
                 iv = int(indel[i])
                 if iv == 0:
@@ -1699,7 +1724,9 @@ class Aligner:
                         )
                     continue
                 cigar = (f"{cl}S" if cl else "") + f"{mid}M" + (f"{cr}S" if cr else "")
-            if indel != 0 and indel_events is not None:
+            if indel != 0 and indel_events is not None and (
+                i not in (res.get("_events_done") or ())
+            ):
                 ins_seq = seq[split : split - indel] if indel < 0 else ""
                 key = (int(cidx[i]), int(coff[i]) + split - 1, indel)
                 sup, prev = indel_events.get(key, (0, ins_seq))
@@ -1766,17 +1793,37 @@ class Aligner:
             b1d, b2d, r1, r2 = bufs[j]
             if layout is None:
                 layout = (self._res_layout(r1, bs), self._res_layout(r2, bs))
-            for bufd, (items, _), parts in (
-                (b1d, layout[0], parts1), (b2d, layout[1], parts2),
+            for bufd, (items, _), parts, rdev in (
+                (b1d, layout[0], parts1, r1), (b2d, layout[1], parts2, r2),
             ):
                 seg = np.array(jax.device_get(bufd))  # copy: views must be writable
                 d = {}
                 for k, dt, off, nb, was_bool, shape in items:
                     a = seg[off : off + nb].view(dt).reshape(shape)
                     d[k] = a.astype(bool) if was_bool else a
+                if "probe_kv" in rdev and d.get("indel") is not None and bool(
+                    (d["indel"] != 0).any()
+                ):
+                    # per-probe section table, fetched only when an indel
+                    # read needs event placement (same rule as collect_batch)
+                    d["probe_kv"] = np.asarray(
+                        jax.device_get(rdev["probe_kv"])
+                    )
                 parts.append(d)
-        out1 = {k: np.concatenate([p[k] for p in parts1])[:R] for k in parts1[0]}
-        out2 = {k: np.concatenate([p[k] for p in parts2])[:R] for k in parts2[0]}
+
+        def merge(parts):
+            out = {k: np.concatenate([p[k] for p in parts])[:R]
+                   for k in parts[0] if k != "probe_kv"}
+            if any("probe_kv" in p for p in parts):
+                P = self.vote_params.total_subreads * max(self.index.index_gap, 1)
+                out["probe_kv"] = np.concatenate([
+                    p.get("probe_kv",
+                          np.full((len(p["pos"]), P), 0xFFFFFFFF, np.uint32))
+                    for p in parts
+                ])[:R]
+            return out
+
+        out1, out2 = merge(parts1), merge(parts2)
         self._rescue_saturated_pe(b1, b2, out1, out2)
         return out1, out2
 
@@ -1791,7 +1838,10 @@ class Aligner:
         if not sat.any():
             return
         idx = np.flatnonzero(sat)
-        RB = min(self.cfg.batch_reads, 2048)
+        # small fixed rescue batch: the wide-gather kernel (H=rescue_hits,
+        # C=P*H columns) is expensive to compile and run; saturated reads
+        # are rare so a 256-row kernel amortises fine
+        RB = min(self.cfg.batch_reads, 256)
         for s in range(0, len(idx), RB):
             ii = idx[s : s + RB]
             dcs = []
@@ -2059,7 +2109,10 @@ class Aligner:
             for (batch, res, cidx, coff, ok, ind) in (
                 (b1, res1, c1, o1, ok1, m1[4]), (b2, res2, c2, o2, ok2, m2[4]),
             ):
+                done = res.get("_events_done") or ()
                 for i in np.flatnonzero(ok & (ind != 0)):
+                    if i in done:
+                        continue  # recorded by the event-placement pass
                     iv = int(ind[i])
                     sp = int(res["split"][i])
                     L = int(batch.lengths[i])
@@ -2158,7 +2211,9 @@ class Aligner:
                     )
                 if indel != 0:
                     summary.indels += 1
-                    if indel_events is not None:
+                    if indel_events is not None and (
+                        i not in (res.get("_events_done") or ())
+                    ):
                         ins_seq = seq[split : split - indel] if indel < 0 else ""
                         key = (int(cidx[i]), int(coff[i]) + split - 1, indel)
                         sup, prev = indel_events.get(key, (0, ins_seq))
@@ -2210,6 +2265,27 @@ class Aligner:
                 nxt_state = self.submit_batch_pe(*nxt) if nxt is not None else None
                 t1 = time.time()
                 r1, r2 = self.collect_batch_pe(state)
+                if junctions is None:
+                    # event-table indel placement per end (same shared-event
+                    # rule as the SE path; see align_file)
+                    from .indelevent import propose_and_apply
+
+                    for (bb, rr) in ((pair[0], r1), (pair[1], r2)):
+                        if "probe_kv" not in rr:
+                            continue
+                        ev_new, ev_done = propose_and_apply(
+                            self.genome, bb, rr, self.cfg,
+                            anchor_mism_limit=self.cfg.max_mismatches,
+                        )
+                        if ev_done:
+                            rr["_events_done"] = set(ev_done)
+                        for (ss, elen), (sup, iseq) in ev_new.items():
+                            ci_e, co_e = self.genome.linear_to_chro(
+                                np.asarray([ss], np.int64)
+                            )
+                            k_e = (int(ci_e[0]), int(co_e[0]), elen)
+                            s0, p0 = indel_events.get(k_e, (0, iseq))
+                            indel_events[k_e] = (s0 + sup, p0)
                 t2 = time.time()
                 if junctions is not None:
                     # scan-2 event sharing + chaining, mirroring the SE
@@ -2292,14 +2368,14 @@ class Aligner:
                     # homopolymers
                     from .indelevent import propose_and_apply
 
-                    ov_ev, ev_new = propose_and_apply(
+                    ev_new, ev_done = propose_and_apply(
                         self.genome, batch, res, self.cfg,
                         anchor_mism_limit=self.cfg.max_mismatches,
                     )
-                    if ov_ev:
-                        cur = res.get("cigar_override") or {}
-                        cur.update(ov_ev)
-                        res["cigar_override"] = cur
+                    if ev_done:
+                        # these rows' events are recorded below; emitters
+                        # must not re-derive them from (pos, split)
+                        res["_events_done"] = set(ev_done)
                     for (ss, elen), (sup, iseq) in ev_new.items():
                         ci_e, co_e = self.genome.linear_to_chro(
                             np.asarray([ss], np.int64)
