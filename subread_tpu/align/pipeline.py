@@ -901,8 +901,22 @@ class Aligner:
         R, K = sc1["votes_k"].shape
         v1, v2 = sc1["votes_k"], sc2["votes_k"]
         p1, p2 = sc1["pos_k"], sc2["pos_k"]
-        val1 = (v1 >= 1) & (p1 != np.uint32(0xFFFFFFFF))
-        val2 = (v2 >= 1) & (p2 != np.uint32(0xFFFFFFFF))
+
+        def tier_filter(v, p):
+            """The reference's simple-list vote-tier gate
+            (process_voting_junction_PE_topK core-junction.c:2261-2290):
+            candidates in the top top_scores=3 DISTINCT vote values, within
+            max_vote_number_cutoff=2 of the end's max, votes >= min_second.
+            Candidates arrive votes-descending so tiers are prefix groups."""
+            has = (v >= cfg.min_votes_second) & (p != np.uint32(0xFFFFFFFF))
+            newval = jnp.concatenate(
+                [jnp.zeros_like(v[:, :1]),
+                 (v[:, 1:] != v[:, :-1]).astype(v.dtype)], axis=1)
+            tier = jnp.cumsum(newval, axis=1)
+            return has & (tier <= 2) & (v >= v[:, :1] - 2)
+
+        val1 = tier_filter(v1, p1)
+        val2 = tier_filter(v2, p2)
         cid1 = jnp.searchsorted(self.d_contig_starts,
                                 p1.astype(jnp.int64), side="right")
         cid2 = jnp.searchsorted(self.d_contig_starts,
@@ -958,14 +972,23 @@ class Aligner:
         anchor1 = jnp.where(any_combo[:, None], a1_combo, a1_se)
         anchor2 = jnp.where(any_combo[:, None], a2_combo, a2_se)
 
-        # MAPQ divisor: rX_step2_locations counts the END's OWN vote-table
-        # candidates that enter scan-2 (votes >= min_second with the read's
-        # max votes >= min_first, core.c:2642,2671) — independent of which
-        # combos win (core.c:2951-2952 adds the end's mismatches)
-        _, n_anch1 = self._anchor_set(sc1, cfg.min_votes_second)
-        _, n_anch2 = self._anchor_set(sc2, cfg.min_votes_second)
-        vmax1 = jnp.max(jnp.where(val1, v1, 0), axis=1)
-        vmax2 = jnp.max(jnp.where(val2, v2, 0), axis=1)
+        # MAPQ divisor: rX_step2_locations = how many bigtable slots this
+        # end fills (multi_best_reads=3, load_global_context core.c:4076)
+        # = DISTINCT positions among the end's top-3 combo anchors (or the
+        # SE-style fallback set), gated by votes >= min_second and slot-0
+        # votes >= min_first (core.c:2642,2671; MAPQ adj core.c:2951-2952)
+        def distinct_pos_count(anchor, pos):
+            eq = pos[:, :, None] == pos[:, None, :]
+            earlier = np.arange(K)[None, :, None] > np.arange(K)[None, None, :]
+            dup = jnp.any(eq & earlier & anchor[:, None, :], axis=2) & anchor
+            return jnp.sum((anchor & ~dup).astype(jnp.int32), axis=1)
+
+        n_anch1 = jnp.minimum(distinct_pos_count(anchor1, p1), 3)
+        n_anch2 = jnp.minimum(distinct_pos_count(anchor2, p2), 3)
+        # slot 0 holds the end's best candidate; its votes are the
+        # max_votes gate for the whole read (core.c:2602,2642)
+        vmax1 = jnp.max(jnp.where(anchor1, v1, 0), axis=1)
+        vmax2 = jnp.max(jnp.where(anchor2, v2, 0), axis=1)
         n_anch1 = jnp.where(vmax1 >= cfg.min_votes, n_anch1, 0)
         n_anch2 = jnp.where(vmax2 >= cfg.min_votes, n_anch2, 0)
 

@@ -183,6 +183,77 @@ class CellCounter:
         return info
 
 
+def write_reference_outputs(
+    counter, prefix: str, sample_name: str, annot_rows=None,
+    umi_cutoff: float | None = None,
+) -> dict:
+    """The reference cell-counts artifact set for ONE sample
+    (cellCounts_merged_to_tables_write cell-counts.c:4430-4500):
+    {prefix}.scRNA.SampleTable, .scRNA.001.{HighConf,RescCand}.{BCtab,
+    GENEtab,spmtx}, .scRNA.001.{no0Genes,AmbSum}, and {prefix}.Annot.
+    GENEtab lists ALL genes (spmtx row ids index it); BCtab lists the
+    called/rescued barcodes; spmtx entries are cell-major."""
+    import os
+
+    entries, cells = counter.finalise()
+    gene_names = counter.gene_names
+    totals = {c: 0 for c in cells}
+    per_cell: dict[int, list] = {c: [] for c in cells}
+    for (g, cr, n) in entries:
+        c = cells[int(cr)]
+        totals[c] += int(n)
+        per_cell[c].append((int(g), int(n)))
+    called, rescued, cutoff = call_cells(totals, umi_cutoff)
+
+    def write_tab(tabtype: str, cell_list: list[int]):
+        base = f"{prefix}.scRNA.001.{tabtype}"
+        with open(base + ".GENEtab", "w") as f:
+            for g in gene_names:
+                f.write(g + "\n")
+        with open(base + ".BCtab", "w") as f:
+            for c in cell_list:
+                f.write(counter.matcher.barcodes[c] + "\n")
+        rows = []
+        for ci, c in enumerate(cell_list):
+            for g, n in sorted(per_cell.get(c, ())):
+                if n > 0:
+                    rows.append((g + 1, ci + 1, n))
+        with open(base + ".spmtx", "w") as f:
+            f.write("%%MatrixMarket matrix coordinate integer general\n")
+            f.write(f"{len(gene_names)} {len(cell_list)} {len(rows)}\n")
+            for g1, c1, n in rows:
+                f.write(f"{g1} {c1} {n}\n")
+
+    write_tab("HighConf", called)
+    write_tab("RescCand", rescued)
+    order = sorted(totals, key=lambda c: (-totals[c], c))
+    amb_cells = set(order[45000:90000])
+    amb: dict[int, int] = {}
+    for c in amb_cells:
+        for g, n in per_cell.get(c, ()):
+            amb[g] = amb.get(g, 0) + n
+    with open(f"{prefix}.scRNA.001.AmbSum", "w") as f:
+        f.write("GeneID\tUMIs\n")
+        for g in sorted(amb):
+            f.write(f"{gene_names[g]}\t{amb[g]}\n")
+    no0 = sorted({int(g) for (g, _cr, n) in entries if n > 0})
+    with open(f"{prefix}.scRNA.001.no0Genes", "w") as f:
+        for g in no0:
+            f.write(gene_names[g] + "\n")
+    with open(f"{prefix}.scRNA.SampleTable", "w") as f:
+        f.write("SampleName\tUMICutoff\tTotalReads\tMappedReads"
+                "\tAssignedReads\tIndex\n")
+        f.write(f"{sample_name}\t{cutoff}\t{counter.stats['reads']}"
+                f"\t{counter.stats.get('mapped', counter.stats['reads'])}"
+                f"\t{counter.stats['assigned']}\t1\n")
+    if annot_rows is not None:
+        with open(f"{prefix}.Annot", "w") as f:
+            f.write("GeneID\tChr\tStart\tEnd\tStrand\tLength\n")
+            for row in annot_rows:
+                f.write("\t".join(str(x) for x in row) + "\n")
+    return {"umi_cutoff": cutoff, "n_called": len(called)}
+
+
 def _hamming(a: str, b: str) -> int:
     return sum(1 for x, y in zip(a, b) if x != y)
 

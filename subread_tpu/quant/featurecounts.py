@@ -797,13 +797,44 @@ class FeatureCounter:
             self.summary[k] += v
         return True
 
-    def count_sam(self, path: str) -> None:
+    def count_sam(self, path: str,
+                  orphan_budget: int | None = 2_000_000) -> None:
         """Stream a SAM text file; mates re-paired by name (the SAM_pairer
-        analog, input-files.c:2562 — here a host hash of pending mates)."""
+        analog, input-files.c:2562 — here a host hash of pending mates).
+
+        orphan_budget bounds the in-RAM pending-mate table: when a
+        name-scattered input accumulates more orphans, they SPILL to
+        qname-hashed bucket files on disk and are paired per bucket after
+        the streaming pass (the reference spills orphan blocks and merges
+        them in rounds, input-files.c:5672).  Counting is order-free, so
+        bucket-order pairing is exact; per-read detail output keeps the
+        unbounded path (order matters there)."""
         if self._native_eligible() and self._count_sam_native(path):
             return
         o = self.opts
         keep_raw = self._detail_fmt in ("SAM", "BAM")
+        if keep_raw:
+            orphan_budget = None  # detail files need streaming order
+        spill_dir = None
+        spill_fps: list = []
+        N_BUCKETS = 64
+
+        def spill(items):
+            nonlocal spill_dir, spill_fps
+            if spill_dir is None:
+                import tempfile
+
+                spill_dir = tempfile.TemporaryDirectory(
+                    prefix="fc_orphans_"
+                )
+                spill_fps = [
+                    open(f"{spill_dir.name}/b{b:02d}.sam", "a+")
+                    for b in range(N_BUCKETS)
+                ]
+            for qname, fields in items:
+                b = hash(qname) % N_BUCKETS
+                spill_fps[b].write("\t".join(fields) + "\n")
+
         pending: dict[str, list[str]] = {}
         with open(path) as f:
             for line in f:
@@ -816,11 +847,36 @@ class FeatureCounter:
                     mate = pending.pop(qname, None)
                     if mate is None:
                         pending[qname] = fields
+                        if orphan_budget and len(pending) > orphan_budget:
+                            spill(pending.items())
+                            pending.clear()
                     else:
                         self._assign([_parse_rec(mate, keep_raw),
                                       _parse_rec(fields, keep_raw)])
                 else:
                     self._assign([_parse_rec(fields, keep_raw)])
+        if spill_dir is not None:
+            # merge rounds: per-bucket pairing (each bucket holds all
+            # spilled records of its qname-hash class, so pairs meet)
+            spill(pending.items())
+            pending.clear()
+            for fp in spill_fps:
+                fp.seek(0)
+                bucket: dict[str, list[str]] = {}
+                for line in fp:
+                    fields = line.rstrip("\n").split("\t")
+                    qname = fields[0]
+                    mate = bucket.pop(qname, None)
+                    if mate is None:
+                        bucket[qname] = fields
+                    else:
+                        self._assign([_parse_rec(mate, keep_raw),
+                                      _parse_rec(fields, keep_raw)])
+                for fields in bucket.values():
+                    self._assign([_parse_rec(fields, keep_raw)])
+                fp.close()
+            spill_dir.cleanup()
+            return
         # leftover singletons (mate never seen)
         for fields in pending.values():
             self._assign([_parse_rec(fields, keep_raw)])

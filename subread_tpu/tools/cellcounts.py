@@ -38,6 +38,9 @@ def _count_batches(aligner, genome, fcview, counter, batch_pairs,
             mapped = np.asarray(res["mapped"], bool) & (coff >= 0) & (
                 coff < genome.lengths[cidx]
             )
+            counter.stats["mapped"] = (
+                counter.stats.get("mapped", 0) + int(mapped.sum())
+            )
             start = (coff + 1).astype(np.int64)
             end = start + b2.lengths.astype(np.int64) - 1
             gene = assign_genes_batch(
@@ -175,7 +178,10 @@ def main(argv=None) -> int:
                 a, b = line.split(",", 1)
                 aliases[a] = b
     fcview = FeatureCounter(ann, FCOptions(), chro_aliases=aliases)
-    overrides = dict(batch_reads=2048)
+    # cellCounts reports a read's top location even on score ties (its
+    # SampleTable counts them mapped; reportedAlignmentsPerRead=1 keeps
+    # the first-best) — unlike subread-align's break-even drop
+    overrides = dict(batch_reads=2048, report_multi_mapping=True)
     if args.subreadsPerRead is not None:
         overrides["total_subreads"] = args.subreadsPerRead
     if args.minVotesPerRead is not None:
@@ -207,6 +213,38 @@ def main(argv=None) -> int:
         _count_batches(aligner, genome, fcview, counter, pairs())
         r1.close()
         r2.close()
+        if args.sampleSheetFile:
+            # reference artifact set: {output} is a PREFIX like the
+            # reference binary's --output (cell-counts.c:4430-4500)
+            from ..io.bcl import parse_sample_sheet
+            from ..quant.cellcounts import write_reference_outputs
+
+            _fmt, entries = parse_sample_sheet(args.sampleSheetFile)
+            sname = entries[0].sample if entries else "Sample1"
+            # per-gene annotation rows ({prefix}.Annot): name, chro, span,
+            # strand, merged-exon union length
+            import numpy as np
+
+            glens = ann.gene_lengths()
+            annot_rows = []
+            for g, name in enumerate(ann.gene_names):
+                sel = np.flatnonzero(ann.feat_gene == g)
+                chro = ann.feat_chro[int(sel[0])]
+                s = int(ann.feat_start[sel].min())
+                e = int(ann.feat_end[sel].max())
+                strand = "+-."[int(ann.feat_strand[int(sel[0])])]
+                annot_rows.append((name, chro, s, e, strand, int(glens[g])))
+            write_reference_outputs(
+                counter, args.output, sname, annot_rows=annot_rows,
+                umi_cutoff=args.umiCutoff,
+            )
+            print(
+                f"// cellCounts[{sname}]: {counter.stats['reads']} reads, "
+                f"{counter.stats['assigned']} assigned -> "
+                f"{args.output}.scRNA.*",
+                file=sys.stderr,
+            )
+            return 0
         counter.write_matrix(
             args.output, cell_calling=args.cellCalling,
             umi_cutoff=args.umiCutoff,

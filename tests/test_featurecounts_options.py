@@ -275,3 +275,32 @@ def test_native_pe_matches_python(tmp_path):
         b.count_file(sam)
         assert np.array_equal(a.counts, b.counts), f"strand={strand}"
         assert a.summary == b.summary, f"strand={strand}"
+
+
+def test_orphan_spill_pairing_matches_unbounded(tmp_path):
+    """Bounded-memory mate pairing: a name-scattered PE SAM whose pending
+    orphans exceed the budget spills to qname-hashed disk buckets and is
+    paired in merge rounds (SAM_pairer disk spill, input-files.c:5672);
+    counts and summary must equal the unbounded in-RAM pairing."""
+    n = 500
+    # all first mates, then all second mates reversed: pending peaks at n
+    lines = [sam_line(f"p{i}", 0x1 | 0x40 | (0x20 if i % 2 else 0),
+                      1001 + (i % 90))
+             for i in range(n)]
+    lines += [sam_line(f"p{i}", 0x1 | 0x80 | (0x10 if i % 2 else 0),
+                       2001 + (i % 150))
+              for i in reversed(range(n))]
+    # a few true orphans (mate never appears)
+    lines += [sam_line(f"orph{j}", 0x1 | 0x40, 1001) for j in range(3)]
+
+    fc1, sam = count(tmp_path, lines, FCOptions(paired=True))
+    fc1._native_eligible = lambda: False
+    fc1.count_sam(sam)
+
+    fc2, sam = count(tmp_path, lines, FCOptions(paired=True))
+    fc2._native_eligible = lambda: False
+    fc2.count_sam(sam, orphan_budget=16)
+
+    assert fc1.counts.tolist() == fc2.counts.tolist()
+    assert dict(fc1.summary) == dict(fc2.summary)
+    assert fc1.counts.sum() > 0
