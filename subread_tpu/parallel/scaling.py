@@ -1,0 +1,123 @@
+"""Weak-scaling efficiency harness for the sharded align step.
+
+The reference scales by adding pthreads over shared memory
+(`/root/reference/src/core.c:3379-3461`); our unit of scaling is a mesh
+device.  Weak scaling holds the per-device read load constant and grows
+the mesh: ideal efficiency keeps step time flat, so
+
+    efficiency(N) = t(1 device) / t(N devices)
+
+with each step processing ``per_device_reads * N`` reads.  On a real pod
+this is one command:
+
+    python -m subread_tpu.parallel.scaling [--devices 1,2,8] [--reads 4096]
+
+On this machine it runs on the 8-way virtual CPU mesh — the numbers are
+not TPU numbers, but the harness, sharding layout, and efficiency metric
+are exactly what a pod run reports (SURVEY.md §5 scaling-efficiency
+requirement; VERDICT round-1 weak item 6).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _setup(per_device_reads: int, n_devices: int, read_len: int = 100,
+            seed: int = 3):
+    from subread_tpu import dna  # noqa: F401  (package init side effects)
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+    from subread_tpu.index.build import build_hash_index
+    from subread_tpu.index.genome import build_genome
+    from subread_tpu.io.fasta import Contig
+
+    rng = np.random.default_rng(seed)
+    n_bases = 200_000
+    contig = Contig(
+        name="synth1",
+        codes=rng.integers(0, 4, size=n_bases).astype(np.uint8),
+        ambig=np.zeros(n_bases, bool),
+    )
+    genome = build_genome([contig])
+    index = build_hash_index(genome, index_gap=1)
+    n_reads = per_device_reads * n_devices
+    cfg = aligner_config(batch_reads=n_reads, pad_read_len=read_len)
+    aligner = Aligner(genome, index, cfg)
+    starts = rng.integers(0, n_bases - read_len, size=n_reads)
+    lin = starts + int(genome.starts[0])
+    codes = np.stack(
+        [genome.codes[p:p + read_len] for p in lin]
+    ).astype(np.uint8)
+    ambig = np.zeros_like(codes, dtype=bool)
+    lens = np.full(n_reads, read_len, np.int32)
+    return aligner, codes, ambig, lens
+
+
+def measure_weak_scaling(device_counts=(1, 2, 8), per_device_reads=2048,
+                         reps: int = 5, devices=None) -> dict:
+    """Time the full sharded align step at each mesh size; returns
+    {n: {"step_s": best, "reads_per_s": ..., "efficiency": ...}}."""
+    import jax
+
+    from subread_tpu.parallel.mesh import make_mesh, sharded_align_step
+
+    if devices is None:
+        devices = jax.devices()
+        if len(devices) < max(device_counts):
+            devices = jax.devices("cpu")
+    results: dict[int, dict] = {}
+    t1 = None
+    for n in device_counts:
+        mesh = make_mesh(n, devices=devices[:n])
+        aligner, codes, ambig, lens = _setup(per_device_reads, n)
+        step = sharded_align_step(mesh, aligner)
+        jax.block_until_ready(step(codes, ambig, lens))  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(step(codes, ambig, lens))
+            best = min(best, time.perf_counter() - t0)
+        if t1 is None:
+            t1 = best
+        results[n] = {
+            "reads": len(lens),
+            "step_s": best,
+            "reads_per_s": len(lens) / best,
+            "efficiency": t1 / best,
+        }
+    return results
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--devices", default="1,2,8")
+    ap.add_argument("--reads", type=int, default=2048,
+                    help="reads per device per step")
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args(argv)
+    counts = tuple(int(x) for x in args.devices.split(","))
+    res = measure_weak_scaling(counts, args.reads, args.reps)
+    for n, r in res.items():
+        print(
+            f"devices={n:2d}  reads/step={r['reads']:6d}  "
+            f"step={r['step_s'] * 1e3:8.1f} ms  "
+            f"reads/s={r['reads_per_s']:10.0f}  "
+            f"efficiency={r['efficiency']:.2f}"
+        )
+    print(json.dumps({
+        "metric": "weak_scaling_efficiency",
+        "value": res[counts[-1]]["efficiency"],
+        "unit": f"t(1)/t({counts[-1]}) at {args.reads} reads/device",
+        "per_n": {str(n): r["efficiency"] for n, r in res.items()},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
