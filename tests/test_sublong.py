@@ -96,8 +96,9 @@ def test_sequence_parallel_long_read_matches_single_device(
         pytest.skip("need 8 virtual CPU devices")
     g = chr901_genome
     reads = []
-    # one extreme read (~60kbp -> 600 windows, ~75/chip) + a few medium ones
-    for L in (60_000, 4_000, 2_500):
+    # one extreme read (120kbp -> 1200 windows, 150/chip; toward the
+    # reference's 1.2Mbp LRM spec, LRMconfig.h:25) + a few medium ones
+    for L in (120_000, 4_000, 2_500):
         pos = int(rng.integers(0, int(g.lengths[0]) - L - 1))
         lin = g.chro_to_linear(0, pos)
         codes = g.codes[lin : lin + L].copy()
