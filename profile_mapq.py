@@ -42,7 +42,10 @@ def main():
     dc, da = al._unpack(jnp.asarray(words), jnp.asarray(amask), codes.shape[1])
     from subread_tpu.ops.vote import vote_batch
     v = vote_batch(dc, da, jnp.asarray(lens), al.d_bucket_start, al.d_comb,
-                   al.index.bucket_bits, al.vote_params, static_len=100)
+                   al.index.bucket_bits, al.vote_params, static_len=100,
+                   sub_base=al.d_sub_base, sub_lo=al.d_sub_lo,
+                   sub_bits=al.block_meta[0][1],
+                   search_steps=al.block_meta[0][2])
     votes = np.asarray(v.votes)[:R]
     poss = np.asarray(v.pos)[:R]
 

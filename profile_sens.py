@@ -56,7 +56,8 @@ ambig = jnp.asarray(batch.ambig[ii])
 lens = jnp.asarray(batch.lengths[ii])
 v = vote_batch(codes, ambig, lens, al.d_bucket_start, al.d_comb,
                idx.bucket_bits, al.vote_params, static_len=100,
-               max_bucket=al.max_bucket)
+               sub_base=al.d_sub_base, sub_lo=al.d_sub_lo,
+               sub_bits=al.block_meta[0][1], search_steps=al.block_meta[0][2])
 vv = jax.device_get(v)
 true_kv_f = (p1[ii] - 1) + lin0   # fwd read start in linear coords
 true_kv_r = (p2[ii] - 1) + lin0 - 99 + 99  # rev reads: leftmost base

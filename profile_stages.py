@@ -60,11 +60,13 @@ def main():
         codes, ambig = unp
     else:
         codes, ambig = timeit("unpack", lambda: al._unpack(d_words, d_amask, L))
-    bs, cb = al.d_blocks[0]
+    bs, cb, sb, sl = al.d_blocks[0]
+    bb0, e0, st0 = al.block_meta[0]
 
     v = timeit("vote_batch", lambda: vote_batch(
-        codes, ambig, d_lens, bs, cb, al.index.bucket_bits, al.vote_params,
-        static_len=ul))
+        codes, ambig, d_lens, bs, cb, bb0, al.vote_params,
+        static_len=ul, sub_base=sb, sub_lo=sl, sub_bits=e0,
+        search_steps=st0))
 
     sc = timeit("score_candidates", lambda: al._score_candidates(
         codes, ambig, d_lens, al.d_genome, v, uniform_len=ul))

@@ -32,7 +32,8 @@ def main():
     L = pcodes.shape[1]
     ul = uniform_length(lens[:R0])
     codes, ambig = al._unpack_na(d_words, L)
-    bs_, cb = al.d_blocks[0]
+    bs_, cb, sb_, sl_ = al.d_blocks[0]
+    bb0, e0, st0 = al.block_meta[0]
     params = al.vote_params
     bb = al.index.bucket_bits
 
@@ -50,12 +51,14 @@ def main():
     @jax.jit
     def stage_gather(codes, ambig, lens, bs, cb):
         keys, flip_p, valid = stage_keys(codes, ambig, lens)
-        return V.gather_hits(keys, valid, bs, cb, bb, params)
+        return V.gather_hits(keys, valid, bs, cb, bb, params,
+                             sb_, sl_, e0, st0)
 
     @jax.jit
     def stage_sortwin(codes, ambig, lens, bs, cb):
         keys, flip_p, valid = stage_keys(codes, ambig, lens)
-        hit_pos, hit_valid, hit_orient = V.gather_hits(keys, valid, bs, cb, bb, params)
+        hit_pos, hit_valid, hit_orient, _tr = V.gather_hits(
+            keys, valid, bs, cb, bb, params, sb_, sl_, e0, st0)
         R, P = keys.shape
         H = params.max_hits
         off_r = np.repeat(offs_np, H)[None, :]
@@ -71,7 +74,8 @@ def main():
         return V._vote_merged(kv3, payload, params)
 
     full = functools.partial(
-        V.vote_batch, bucket_bits=bb, params=params, static_len=ul)
+        V.vote_batch, bucket_bits=bb, params=params, static_len=ul,
+        sub_base=sb_, sub_lo=sl_, sub_bits=e0, search_steps=st0)
 
     def force(r):
         for leaf in jax.tree_util.tree_leaves(r):

@@ -245,25 +245,43 @@ class Aligner:
             top_k=cfg.top_k,
             index_gap=self.index.index_gap,
         )
-        # static binary-search trip count for repeat-dense buckets
-        self.max_bucket = max(b.max_bucket for b in self.blocks)
         # saturation rescue: reads whose key runs overflow the H-entry
         # gather window re-vote through the same path at a width covering
         # the longest run in the index, so every <=repeat_threshold
         # occurrence is counted exactly like the reference's full bucket
         # scan (sorted-hashtable.c:515-1060)
         max_run = max(getattr(b, "max_run", 0) for b in self.blocks)
-        self.rescue_hits = max(64, -(-max_run // 16) * 16)
+        # strictly wider than the longest run, so a full-width run cannot
+        # re-trip the truncation flag inside the rescue pass itself
+        self.rescue_hits = max(64, -(-(max_run + 1) // 16) * 16)
         self.rescue_vote_params = self.vote_params._replace(
             max_hits=self.rescue_hits,
             window=max(self.vote_params.window, 64),
         )
-        # device-resident index blocks (replicated single-chip)
+        # device-side rescue fold: saturated reads are compacted ON DEVICE
+        # and re-aligned through the wide pass inside the same dispatch
+        # chain (no host round trip; collect_batch's host rescue only
+        # handles overflow beyond this capacity).  Zero when the narrow
+        # window already covers every run (no read can saturate).
+        self.rescue_fold_cap = (
+            0 if max_run < cfg.max_hits_per_probe
+            else min(4096, cfg.batch_reads)
+        )
+        # device-resident index blocks (replicated single-chip); each block
+        # carries its sub-bucket directory (repeat-dense bucket jump table,
+        # index.build.build_sub_directory) + its static (sub_bits, steps)
         self.d_blocks = [
-            (jnp.asarray(b.bucket_start), jnp.asarray(b.comb_rows))
+            (
+                jnp.asarray(b.bucket_start), jnp.asarray(b.comb_rows),
+                jnp.asarray(b.sub_dir[0]), jnp.asarray(b.sub_dir[1]),
+            )
             for b in self.blocks
         ]
-        self.d_bucket_start, self.d_comb = self.d_blocks[0]
+        self.block_meta = [
+            (b.bucket_bits, b.sub_dir[2], b.sub_dir[3]) for b in self.blocks
+        ]
+        (self.d_bucket_start, self.d_comb, self.d_sub_base,
+         self.d_sub_lo) = self.d_blocks[0]
         gwords = dna.packed_as_u32(dna.pack_2bit(genome.codes))
         if len(gwords) % 8:
             # pad to an 8-word multiple so genome_window can take its
@@ -293,8 +311,8 @@ class Aligner:
         return dna.unpack_reads_device(words, None, L)
 
     def _device_align(
-        self, codes, ambig, lens, bucket_start, comb, genome_u32,
-        uniform_len=None, rescue=False,
+        self, codes, ambig, lens, bucket_start, comb, sub_base, sub_lo,
+        genome_u32, uniform_len=None, rescue=False,
     ):
         """Full single-end alignment step: votes + scan-2 selection.
 
@@ -303,21 +321,83 @@ class Aligner:
         the wide gather (rescue_vote_params) for saturated reads.
         """
         vp = self.rescue_vote_params if rescue else self.vote_params
+        bb0, e0, st0 = self.block_meta[0]
         v = vote_batch(
             codes, ambig, lens, bucket_start, comb,
-            self.index.bucket_bits, vp, static_len=uniform_len,
-            max_bucket=self.max_bucket,
+            bb0, vp, static_len=uniform_len,
+            sub_base=sub_base, sub_lo=sub_lo, sub_bits=e0, search_steps=st0,
         )
-        for blk, (d_bs, d_cb) in zip(self.blocks[1:], self.d_blocks[1:]):
+        for (bb, e, st), (d_bs, d_cb, d_sb, d_sl) in zip(
+            self.block_meta[1:], self.d_blocks[1:]
+        ):
             vb = vote_batch(
                 codes, ambig, lens, d_bs, d_cb,
-                blk.bucket_bits, vp, static_len=uniform_len,
-                max_bucket=self.max_bucket,
+                bb, vp, static_len=uniform_len,
+                sub_base=d_sb, sub_lo=d_sl, sub_bits=e, search_steps=st,
             )
             v = self._merge_votes(v, vb)
         res = self._scan2(codes, ambig, lens, genome_u32, v, uniform_len)
         res["saturated"] = v.saturated
+        if not rescue and self.rescue_fold_cap:
+            res = self._rescue_fold(
+                codes, ambig, lens, bucket_start, comb, sub_base, sub_lo,
+                genome_u32, res, uniform_len,
+            )
         return res
+
+    def _rescue_fold(
+        self, codes, ambig, lens, bucket_start, comb, sub_base, sub_lo,
+        genome_u32, res, uniform_len,
+    ):
+        """Device-side saturation rescue: compact the reads whose vote
+        gather saturated (first rescue_fold_cap of them), re-align them
+        through the wide pass, and scatter the results back — all within
+        the submit-side dispatch chain, so the common case costs no host
+        round trip (the reference's full bucket scan semantics,
+        sorted-hashtable.c:515-1060, at the wide gather width)."""
+        rb = min(self.rescue_fold_cap, codes.shape[0])
+        idx_r, valid_r, codes_r, ambig_r, lens_r = self._sat_compact(
+            res["saturated"], codes, ambig, lens, rb
+        )
+        res_r = self._device_align(
+            codes_r, ambig_r, lens_r, bucket_start, comb, sub_base, sub_lo,
+            genome_u32, uniform_len=uniform_len, rescue=True,
+        )
+        return self._sat_scatter(res, res_r, idx_r, valid_r)
+
+    @functools.partial(jax.jit, static_argnames=("self", "rb"))
+    def _sat_compact(self, sat, codes, ambig, lens, rb):
+        order = jnp.argsort(
+            jnp.where(sat, 0, 1), stable=True
+        ).astype(jnp.int32)[:rb]
+        return (
+            order,
+            jnp.take(sat, order, axis=0),
+            jnp.take(codes, order, axis=0),
+            jnp.take(ambig, order, axis=0),
+            jnp.take(lens, order, axis=0),
+        )
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _sat_scatter(self, res, res_r, idx_r, valid_r):
+        out = {}
+        for k, a in res.items():
+            if k == "saturated":
+                # rescued rows are final; overflow rows (saturated beyond
+                # rescue_fold_cap) stay flagged for the host pass
+                out[k] = a.at[idx_r].set(a[idx_r] & ~valid_r)
+                continue
+            r = res_r.get(k)
+            if r is None:
+                out[k] = a
+                continue
+            vr = valid_r
+            while vr.ndim < r.ndim:
+                vr = vr[..., None]
+            out[k] = a.at[idx_r].set(
+                jnp.where(vr, r.astype(a.dtype), jnp.take(a, idx_r, axis=0))
+            )
+        return out
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _merge_votes(self, a: VoteResult, b: VoteResult) -> VoteResult:
@@ -1186,15 +1266,17 @@ class Aligner:
         return out
 
     def _device_align_pe(
-        self, c1, a1, l1, c2, a2, l2, bucket_start, comb, genome_u32,
-        ul1=None, ul2=None, expected_tlen=None, rescue=False,
+        self, c1, a1, l1, c2, a2, l2, bucket_start, comb, sub_base, sub_lo,
+        genome_u32, ul1=None, ul2=None, expected_tlen=None, rescue=False,
     ):
-        B = self.index.bucket_bits
+        B, e0, st0 = self.block_meta[0]
         vp = self.rescue_vote_params if rescue else self.vote_params
         v1 = vote_batch(c1, a1, l1, bucket_start, comb, B, vp,
-                        static_len=ul1, max_bucket=self.max_bucket)
+                        static_len=ul1, sub_base=sub_base, sub_lo=sub_lo,
+                        sub_bits=e0, search_steps=st0)
         v2 = vote_batch(c2, a2, l2, bucket_start, comb, B, vp,
-                        static_len=ul2, max_bucket=self.max_bucket)
+                        static_len=ul2, sub_base=sub_base, sub_lo=sub_lo,
+                        sub_bits=e0, search_steps=st0)
         # candidate lists for BOTH ends use min_second (the reference's
         # simple-list gate, core-junction.c:2287); min_first gates combos
         # and anchors inside _select_pe
@@ -1220,6 +1302,23 @@ class Aligner:
         r2.pop("best_k", None)
         r1["saturated"] = v1.saturated
         r2["saturated"] = v2.saturated
+        if not rescue and self.rescue_fold_cap:
+            # device-side rescue fold, PE: pairs where EITHER end saturated
+            # re-run the wide pass inside the dispatch chain (pair selection
+            # mixes both ends' candidate tables, so both records rescatter)
+            sat = v1.saturated | v2.saturated
+            rb = min(self.rescue_fold_cap, c1.shape[0])
+            idx_r, valid_r, c1r, a1r, l1r = self._sat_compact(sat, c1, a1, l1, rb)
+            _, _, c2r, a2r, l2r = self._sat_compact(sat, c2, a2, l2, rb)
+            r1r, r2r = self._device_align_pe(
+                c1r, a1r, l1r, c2r, a2r, l2r, bucket_start, comb,
+                sub_base, sub_lo, genome_u32,
+                ul1=ul1, ul2=ul2, expected_tlen=expected_tlen, rescue=True,
+            )
+            r1["saturated"] = sat
+            r2["saturated"] = sat
+            r1 = self._sat_scatter(r1, r1r, idx_r, valid_r)
+            r2 = self._sat_scatter(r2, r2r, idx_r, valid_r)
         return r1, r2
 
     # --- host orchestration -------------------------------------------------
@@ -1348,7 +1447,8 @@ class Aligner:
                 dc, da, dl = self._prep(d_words, d_lens, d_amask, idxs[j], bs, Lp)
             res = self._device_align(
                 dc, da, dl,
-                self.d_bucket_start, self.d_comb, self.d_genome,
+                self.d_bucket_start, self.d_comb, self.d_sub_base,
+                self.d_sub_lo, self.d_genome,
                 uniform_len=ul,
             )
             pending.append(res)
@@ -1428,7 +1528,8 @@ class Aligner:
                 dc, da = self._unpack_na(jnp.asarray(words), Lp)
             res = self._device_align(
                 dc, da, jnp.asarray(lens),
-                self.d_bucket_start, self.d_comb, self.d_genome,
+                self.d_bucket_start, self.d_comb, self.d_sub_base,
+                self.d_sub_lo, self.d_genome,
                 uniform_len=ul, rescue=True,
             )
             items, _ = self._res_layout(res, RB)
@@ -1802,7 +1903,8 @@ class Aligner:
                 dc2, da2, dl2 = self._prep(d_w2, d_l2, d_m2, idxs[j], bs, L2)
             r1, r2 = self._device_align_pe(
                 dc1, da1, dl1, dc2, da2, dl2,
-                self.d_bucket_start, self.d_comb, self.d_genome,
+                self.d_bucket_start, self.d_comb, self.d_sub_base,
+                self.d_sub_lo, self.d_genome,
                 ul1=ul1, ul2=ul2,
             )
             bufs.append((self._pack_res(r1), self._pack_res(r2), r1, r2))
@@ -1889,7 +1991,8 @@ class Aligner:
             (dc1, da1, dl1, ul1), (dc2, da2, dl2, ul2) = dcs
             r1, r2 = self._device_align_pe(
                 dc1, da1, dl1, dc2, da2, dl2,
-                self.d_bucket_start, self.d_comb, self.d_genome,
+                self.d_bucket_start, self.d_comb, self.d_sub_base,
+                self.d_sub_lo, self.d_genome,
                 ul1=ul1, ul2=ul2, rescue=True,
             )
             for res, out in ((r1, out1), (r2, out2)):

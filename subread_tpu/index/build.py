@@ -24,10 +24,15 @@ up globally sorted.  bucket_bits >= MIN_BUCKET_BITS keeps the key
 remainder <= 15 bits, so check16 carries the WHOLE remainder: a check
 match verifies full key identity (no aliasing), and checks are monotone
 inside a bucket.  Small buckets are fetched as one fixed-width window
-with no search; for buckets longer than the window the device finds the
-key run's exact start by a fixed-trip binary search over the packed
-checks (ops.vote.gather_hits), whose trip count comes from the static
-max_bucket.
+with no search.  Buckets longer than BIG_BUCKET (repeat families share
+key prefixes, so prefix buckets skew heavily — chr901 has buckets of
+1300+ entries) additionally get a SUB-BUCKET DIRECTORY: a per-big-bucket
+table indexed by the next `sub_bits` bits of the key remainder that maps
+a probe straight to its key run's start.  The builder raises sub_bits
+until every run starts exactly at its sub-slot boundary, so the device
+in-bucket binary search of the reference (sorted-hashtable.c:960-981)
+costs TWO extra scalar gathers instead of a log2(max_bucket)-step loop
+of them (a measured ~11ms per 16K x 10-probe dispatch on chr901).
 
 Uninformative 16-mers occurring more than `repeat_threshold` (=100) times
 are excluded, mirroring scan_gene_index/add_repeated_subread
@@ -47,8 +52,10 @@ REPEAT_THRESHOLD = 100  # reference index-builder default (-f 100)
 MAX_BUCKET_BITS = 28    # 1GB bucket_start ceiling (human full index)
 MIN_BUCKET_BITS = 17    # key remainder <= 15 bits -> check16 verifies the
 #                         FULL key (no aliasing) and stays monotone within a
-#                         bucket, which the device in-bucket binary search
-#                         relies on (ops.vote.gather_hits)
+#                         bucket, which the sub-bucket directory relies on
+BIG_BUCKET = 16         # buckets longer than this get a sub-bucket directory
+#                         (so the plain window path needs max_hits >= 16)
+MAX_SUB_SLOTS = 1 << 27  # directory size cap (512MB of int32 slots)
 
 
 @dataclass
@@ -76,6 +83,17 @@ class HashIndex:
         return len(self.keys)
 
     @property
+    def sub_dir(self) -> tuple[np.ndarray, np.ndarray, int, int]:
+        """Sub-bucket directory (sub_base, sub_lo, sub_bits, search_steps)
+        for repeat-dense buckets — see module docstring.  Built lazily and
+        cached (one vectorised pass over the sorted keys)."""
+        if getattr(self, "_sub_dir", None) is None:
+            self._sub_dir = build_sub_directory(
+                self.keys, self.bucket_start, self.bucket_bits
+            )
+        return self._sub_dir
+
+    @property
     def comb_rows(self) -> np.ndarray:
         """Combined device rows: uint32 [G, 20] — 16 positions + their 16
         check bytes packed into 4 words per row of GROUP=16 entries.  2-D
@@ -87,6 +105,7 @@ class HashIndex:
         return self._comb_rows
 
     def save(self, prefix: str) -> None:
+        sb, sl, sbits, steps = self.sub_dir
         np.savez_compressed(
             prefix + ".hash.npz",
             version=np.int64(3),
@@ -99,6 +118,10 @@ class HashIndex:
             padding=np.int64(self.padding),
             max_bucket=np.int64(self.max_bucket),
             max_run=np.int64(self.max_run),
+            sub_base=sb,
+            sub_lo=sl,
+            sub_bits=np.int64(sbits),
+            sub_steps=np.int64(steps),
         )
 
     @classmethod
@@ -142,6 +165,11 @@ class HashIndex:
             max_run=int(z["max_run"]) if "max_run" in z else _max_key_run(z["keys"]),
         )
         idx.check_words = pack_check_bytes(idx.keys, orient, idx.bucket_bits)
+        if "sub_base" in z:
+            idx._sub_dir = (
+                z["sub_base"], z["sub_lo"], int(z["sub_bits"]),
+                int(z["sub_steps"]),
+            )
         return idx
 
 
@@ -154,6 +182,76 @@ def revcomp_keys_np(x: np.ndarray) -> np.ndarray:
     x = ((x & m4) << np.uint32(4)) | ((x >> np.uint32(4)) & m4)
     x = ((x & m8) << np.uint32(8)) | ((x >> np.uint32(8)) & m8)
     return ((x << np.uint32(16)) | (x >> np.uint32(16))).astype(np.uint32)
+
+
+def build_sub_directory(
+    ks: np.ndarray, bucket_start: np.ndarray, bucket_bits: int,
+    force_bits: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Two-level lookup for buckets longer than BIG_BUCKET.
+
+    For the k-th big bucket, `sub_lo[(sub_base[bucket] ... +2**sub_bits)]`
+    holds, per value s of the top `sub_bits` bits of the in-bucket key
+    remainder, the index of the first entry whose remainder-top >= s
+    (empty slots point at the next occupied one; trailing empties at the
+    bucket end).  sub_bits is raised until EVERY key run starts exactly at
+    its slot's first entry (d_max == 0), so the device jump lands on the
+    run start with no residual search; at sub_bits = 32 - bucket_bits the
+    slot IS the full remainder, which guarantees d_max == 0, so
+    search_steps > 0 can only happen under the MAX_SUB_SLOTS memory cap.
+
+    Returns (sub_base int32 [B] (-1 = small bucket), sub_lo int32,
+    sub_bits, search_steps).
+    """
+    B = 1 << bucket_bits
+    counts = np.diff(bucket_start.astype(np.int64))
+    bigmask = counts > BIG_BUCKET
+    nbig = int(bigmask.sum())
+    sub_base = np.full(B, -1, np.int32)
+    if nbig == 0 or len(ks) == 0:
+        return sub_base, np.zeros(1, np.int32), 0, 0
+    rem_bits = 32 - bucket_bits
+    bucket = (ks >> np.uint32(rem_bits)).astype(np.int64)
+    in_big = bigmask[bucket]
+    eidx = np.flatnonzero(in_big).astype(np.int64)  # global entry index
+    kb = bucket[eidx]
+    krank = np.cumsum(bigmask) - 1                  # bucket -> big rank
+    kr = krank[kb].astype(np.int64)
+    chk = (ks[eidx] & np.uint32((1 << rem_bits) - 1)).astype(np.uint32)
+    kk = ks[eidx]
+    is_start = np.concatenate(
+        ([True], (kk[1:] != kk[:-1]) | (kb[1:] != kb[:-1]))
+    )
+    ar = np.arange(len(eidx), dtype=np.int64)
+    e = d_max = 0
+    slot = slot_change = None
+    candidates = (
+        [min(force_bits, rem_bits)] if force_bits else range(1, rem_bits + 1)
+    )
+    for e in candidates:
+        if (nbig << e) > MAX_SUB_SLOTS and slot is not None:
+            e -= 1
+            break
+        sub = (chk >> np.uint32(rem_bits - e)).astype(np.int64)
+        new_slot = (kr << e) | sub
+        new_change = np.concatenate(([True], new_slot[1:] != new_slot[:-1]))
+        slot, slot_change = new_slot, new_change
+        last_change = np.maximum.accumulate(np.where(slot_change, ar, -1))
+        d_max = int((ar - last_change)[is_start].max(initial=0))
+        if d_max == 0:
+            break
+    E = 1 << e
+    sub_base[bigmask] = (np.arange(nbig, dtype=np.int64) << e).astype(np.int32)
+    ends = bucket_start[1:].astype(np.int64)
+    sub_lo = np.repeat(ends[bigmask], E)            # default: bucket end
+    sub_lo[slot[slot_change]] = eidx[slot_change]   # first entry per slot
+    # empty slots point at the next occupied one: slot values rise within a
+    # bucket, so a right-to-left running minimum fills them
+    sub_lo = np.minimum.accumulate(
+        sub_lo.reshape(nbig, E)[:, ::-1], axis=1
+    )[:, ::-1].reshape(-1)
+    steps = 0 if d_max == 0 else int(np.ceil(np.log2(d_max + 2)))
+    return sub_base, sub_lo.astype(np.int32), e, steps
 
 
 def _max_key_run(ks: np.ndarray) -> int:

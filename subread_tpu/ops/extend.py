@@ -227,11 +227,15 @@ def ref_clip_stats(
     test1 = splitc
     c0 = cov_start[:, None].astype(jnp.int32)
     s0h = jnp.where(c0 < 0, 0, jnp.where(c0 >= test1, test1 - 1, c0 + 1))
-    # windowed mismatch count over examined bases [i, min(i+W-1, s0h)]
+    # windowed mismatch count over examined bases [i, min(i+W-1, s0h)]:
+    # mmh is zero past s0h, so the clamped upper bound falls out of a plain
+    # 5-wide sum of static left shifts — no cumsum, no take_along_axis
+    # gathers (a [R, L] take_along_axis here measured ~70ms per 64K x 100
+    # candidate batch; the whole scan is elementwise now)
     mmh = (mm & (j <= s0h)).astype(jnp.int32)
-    ch = jnp.cumsum(mmh, axis=1)                     # ch[i] = sum mmh[0..i]
-    hi_idx = jnp.minimum(j + (_SC_WINDOW - 1), s0h)
-    win_h = jnp.take_along_axis(ch, hi_idx, axis=1) - ch + mmh
+    win_h = mmh
+    for dsh in range(1, _SC_WINDOW):
+        win_h = win_h + jnp.pad(mmh[:, dsh:], ((0, 0), (0, dsh)))
     trip_h = (win_h > _SC_MAX_ERROR) & (j <= s0h)
     tripped_h = jnp.any(trip_h, axis=1, keepdims=True)
     jt_h = jnp.max(jnp.where(trip_h, j, -1), axis=1, keepdims=True)
@@ -250,13 +254,13 @@ def ref_clip_stats(
     c1 = cov_end[:, None].astype(jnp.int32) - sec2_start
     s0t_rel = jnp.where(c1 < 0, 0, jnp.where(c1 >= test2, test2 - 1, c1 - 1))
     s0t = sec2_start + s0t_rel                       # absolute read coord
+    # windowed count over [max(i-W+1, s0t), i]: mmt is zero before s0t, so
+    # the clamp falls out of a 5-wide sum of static right shifts (see head
+    # scan note — no cumsum/gather)
     mmt = (mm & (j >= s0t)).astype(jnp.int32)
-    ct = jnp.cumsum(mmt, axis=1)
-    lo_idx = jnp.maximum(j - (_SC_WINDOW - 1), s0t)
-    # sum over [lo_idx, j] = ct[j] - ct[lo_idx] + mmt[lo_idx]
-    ct_lo = jnp.take_along_axis(ct, lo_idx, axis=1)
-    mm_lo = jnp.take_along_axis(mmt, lo_idx, axis=1)
-    win_t = ct - ct_lo + mm_lo
+    win_t = mmt
+    for dsh in range(1, _SC_WINDOW):
+        win_t = win_t + jnp.pad(mmt[:, :-dsh], ((0, 0), (dsh, 0)))
     trip_t = (win_t > _SC_MAX_ERROR) & (j >= s0t) & (j < rl)
     tripped_t = jnp.any(trip_t, axis=1, keepdims=True)
     jt_t = jnp.min(jnp.where(trip_t, j, 1 << 20), axis=1, keepdims=True)

@@ -200,22 +200,29 @@ def gather_hits(
     comb_rows: jnp.ndarray,     # uint32 [G, 24]: 16 positions + 8 check words
     bucket_bits: int,
     params: VoteParams,
-    max_bucket: int = 1 << 20,
+    sub_base: jnp.ndarray | None = None,  # int32 [B] (-1 = small bucket)
+    sub_lo: jnp.ndarray | None = None,    # int32 sub-bucket directory
+    sub_bits: int = 0,
+    search_steps: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Key-run window fetch via ROW gathers with exact check16 key
     verification.
 
     Replaces the reference's in-bucket binary search
-    (sorted-hashtable.c:960-981) for the common case: with
-    B = 2**bucket_bits high-bit buckets the average bucket holds about one
-    entry, so the H-wide window [lo, lo+H) usually covers the probe's
-    whole key run with NO search.  Repeat-dense buckets (tandem repeats
+    (sorted-hashtable.c:960-981): with B = 2**bucket_bits high-bit buckets
+    the average bucket holds about one entry, so the H-wide window
+    [lo, lo+H) covers the probe's whole key run with NO search for any
+    bucket of <= BIG_BUCKET entries.  Repeat-dense buckets (tandem repeats
     concentrate many high-occurrence keys sharing their prefix) can hold
     hundreds of entries, where a head-of-bucket window would miss runs
-    entirely — for those a branchless fixed-trip binary search over the
-    packed check16s (monotone in-bucket: index.build.check16) finds the
-    run's EXACT start first.  The trip count is static, derived from the
-    index's max_bucket; it is 0 when every bucket fits in the window.
+    entirely — for those the build-time SUB-BUCKET DIRECTORY
+    (index.build.build_sub_directory) maps the probe's next `sub_bits`
+    check bits straight to its key run's start: two extra scalar gathers,
+    replacing a log2(max_bucket)-trip scalar-gather search loop that
+    measured ~11ms per 16K-read dispatch on chr901.  The builder
+    guarantees the jump lands exactly on the run start (search_steps=0);
+    a residual fixed-trip lower_bound remains only for the pathological
+    directory-size-capped case.
 
     probe_keys are CANONICAL, so one probe serves both strands (bit 15 of
     check16 carries the stored orientation).  Bits 0-14 hold the full key
@@ -255,11 +262,20 @@ def gather_hits(
     # full in-bucket key remainder (<= 15 bits: MIN_BUCKET_BITS)
     qcheck_p = probe_keys & np.uint32((1 << (32 - bucket_bits)) - 1)  # [R, P]
 
-    # branchless lower_bound over the bucket's monotone check16s: exact
-    # run start.  Scalar check fetches address the packed words inside
-    # comb_rows directly (entry i = word 16 + (i&15)//2 of row i>>4).
-    steps = 0 if max_bucket <= H else int(np.ceil(np.log2(max_bucket + 1)))
-    if steps:
+    if sub_bits and sub_base is not None:
+        # big-bucket jump: directory slot = top sub_bits of the remainder
+        sb = sub_base[bucket]
+        sub = (qcheck_p >> np.uint32(32 - bucket_bits - sub_bits)).astype(
+            jnp.int32
+        )
+        lo2 = sub_lo[jnp.maximum(sb, 0) + sub]
+        lo = jnp.where(sb >= 0, lo2, lo)
+
+    if search_steps:
+        # residual branchless lower_bound over [lo, lo + 2**steps) — only
+        # when the directory was memory-capped (never for built indexes).
+        # Scalar check fetches address the packed words inside comb_rows
+        # directly (entry i = word 16 + (i&15)//2 of row i>>4).
         flat = comb_rows.reshape(-1)
 
         def bs_body(_, carry):
@@ -277,7 +293,8 @@ def gather_hits(
                 jnp.where(right, length - half - 1, jnp.minimum(half, length)),
             )
 
-        lo, _ = jax.lax.fori_loop(0, steps, bs_body, (lo, hi - lo))
+        len0 = jnp.minimum(hi - lo, np.int32(1 << search_steps))
+        lo, _ = jax.lax.fori_loop(0, search_steps, bs_body, (lo, len0))
 
     r0 = lo >> np.int32(4)
     ridx = jnp.minimum(
@@ -359,18 +376,24 @@ def _vote_merged(
     bit = ((pay_s >> np.uint32(13)) & np.uint32(0x3F)) + np.uint32(S) * strand_su
     mask_s = jnp.uint32(1) << bit
     # anchor-ordering key: probe scan index in the oriented read's own scan
-    # (reverse-strand probes scan the RC read left-to-right), lower = earlier
-    pk_s = ((pay_s >> np.uint32(19)) & np.uint32(0x3F)).astype(jnp.int32)
+    # (reverse-strand probes scan the RC read left-to-right), lower = earlier.
+    # Packed with the strand in bit 7 (spk = pk | strand<<7): XORing a
+    # window element's spk with the center's strand<<7 yields pk for
+    # same-strand members and pk+128 for the other strand, so one int16
+    # min replaces the separate strand compare — the window loop then
+    # slices 3 arrays per step instead of 4.
+    pk_s = ((pay_s >> np.uint32(19)) & np.uint32(0x3F)).astype(jnp.int16)
+    spk_s = pk_s | (strand_su.astype(jnp.int16) << np.int16(7))
 
     W = min(params.window, C)
     tol = np.uint32(params.indel_tolerance)
     neg = np.uint32((1 << 32) - params.indel_tolerance)
-    BIGPK = jnp.int32(127)
+    BIGPK = jnp.int16(0x7FFF)
+    sflip = strand_su.astype(jnp.int16) << np.int16(7)
     pad2 = lambda a, v: jnp.pad(a, ((0, 0), (W, W)), constant_values=v)
     pad_kv = pad2(kv_s, np.uint32(0xFFFFFFFF))
     pad_mask = pad2(mask_s, np.uint32(0))
-    pad_pk = pad2(pk_s, 127)
-    pad_strand = pad2(strand_s, -1)
+    pad_spk = pad2(spk_s, 0x3FFF)
 
     def body(d, carry):
         acc, minpk, leftpk = carry
@@ -379,23 +402,23 @@ def _vote_merged(
         in_w = ((diff <= tol) | (diff >= neg)) & (kd != SENTINEL)
         md = jax.lax.dynamic_slice_in_dim(pad_mask, d, C, axis=1)
         acc = acc | jnp.where(in_w, md, 0)
-        sd = jax.lax.dynamic_slice_in_dim(pad_strand, d, C, axis=1)
-        pkd = jax.lax.dynamic_slice_in_dim(pad_pk, d, C, axis=1)
-        cand = jnp.where(in_w & (sd == strand_s), pkd, BIGPK)
+        spkd = jax.lax.dynamic_slice_in_dim(pad_spk, d, C, axis=1)
+        cand = jnp.where(in_w, spkd ^ sflip, BIGPK)
         minpk = jnp.minimum(minpk, cand)
         leftpk = jnp.where(d < W, jnp.minimum(leftpk, cand), leftpk)
         return acc, minpk, leftpk
 
     init = (
         jnp.zeros_like(mask_s),
-        jnp.full((R, C), 127, jnp.int32),
-        jnp.full((R, C), 127, jnp.int32),
+        jnp.full((R, C), 0x7FFF, jnp.int16),
+        jnp.full((R, C), 0x7FFF, jnp.int16),
     )
     acc_mask, minpk, leftpk = jax.lax.fori_loop(0, 2 * W + 1, body, init)
 
     # e is its cluster's creation hit iff nothing in-window scans earlier:
-    # no member with smaller probe anywhere (minpk includes self), and no
-    # LEFT member (smaller kv) sharing its probe index
+    # no same-strand member with smaller probe anywhere (minpk includes
+    # self; other-strand members carry +128 via the spk XOR), and no LEFT
+    # member (smaller kv) sharing its probe index
     is_anchor = (minpk == pk_s) & (leftpk > pk_s)
     lowhalf = np.uint32((1 << S) - 1)
     half = jnp.where(strand_s == 1, lowhalf << np.uint32(S), lowhalf)
@@ -405,7 +428,9 @@ def _vote_merged(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bucket_bits", "params", "static_len", "max_bucket")
+    jax.jit,
+    static_argnames=("bucket_bits", "params", "static_len", "sub_bits",
+                     "search_steps"),
 )
 def vote_batch(
     codes: jnp.ndarray,        # uint8 [R, L]
@@ -416,7 +441,10 @@ def vote_batch(
     bucket_bits: int,
     params: VoteParams,
     static_len: int | None = None,
-    max_bucket: int = 1 << 20,
+    sub_base: jnp.ndarray | None = None,
+    sub_lo: jnp.ndarray | None = None,
+    sub_bits: int = 0,
+    search_steps: int = 0,
 ) -> VoteResult:
     """Full vote step for a read batch over both strands.
 
@@ -462,7 +490,8 @@ def vote_batch(
     P = keys.shape[1]
     C = P * H
     hit_pos, hit_valid, hit_orient, trunc = gather_hits(
-        keys, valid, bucket_start, comb_rows, bucket_bits, params, max_bucket
+        keys, valid, bucket_start, comb_rows, bucket_bits, params,
+        sub_base, sub_lo, sub_bits, search_steps,
     )                                                          # each [R, C]
     # expand per-probe quantities to per-candidate columns (repeat H);
     # everything elementwise below runs on the FLAT [R, C] layout so the
@@ -522,37 +551,39 @@ def vote_batch(
     sel_kv = take(kv_s)
     sel_strand = take(strand_s)
 
-    # cluster stats for just the K winners: membership over the sorted
-    # stream ([R, K, C] once, instead of accumulating min/max inside the
-    # W-step window loop).  head/tail = kv of the member with the
-    # smallest/largest read offset (tail - head = net indel; the
-    # indel_recorder cumulative offset, sorted-hashtable.c:1049-1060).
+    # cluster stats for just the K winners: ONE [R, K, C] membership pass
+    # over the UNSORTED candidate stream (kv3/off3 — the sorted stream
+    # would need a second, identical pass for the per-probe table).
+    # head/tail = kv of the member with the smallest/largest read offset
+    # (tail - head = net indel; the indel_recorder cumulative offset,
+    # sorted-hashtable.c:1049-1060); offset ties resolve to the smallest
+    # kv, matching the sorted-stream argmin/argmax this replaces.
     neg = np.uint32((1 << 32) - params.indel_tolerance)
-    diff_m = kv_s[:, None, :] - sel_kv[:, :, None]
-    member = (
-        ((diff_m <= tol) | (diff_m >= neg))
-        & (kv_s[:, None, :] != SENTINEL)
-        & (strand_s[:, None, :] == sel_strand[:, :, None])
-    )                                                          # [R, K, C]
-    off_lo = jnp.where(member, off_s[:, None, :], 1 << 30)
-    off_hi = jnp.where(member, off_s[:, None, :], -1)
-    sel_covmin = jnp.min(off_lo, axis=-1)
-    sel_covmax = jnp.max(off_hi, axis=-1)
-    head_j = jnp.argmin(off_lo, axis=-1)                       # [R, K]
-    tail_j = jnp.argmax(off_hi, axis=-1)
-    sel_head = jnp.take_along_axis(kv_s, head_j, axis=-1)
-    sel_tail = jnp.take_along_axis(kv_s, tail_j, axis=-1)
-
-    # per-probe member kv (the indel_recorder analog): flat [R, K, C]
-    # membership, then a per-probe min over each H-wide block
     diff_p = kv3[:, None, :] - sel_kv[:, :, None]
-    member_p = (
+    member = (
         ((diff_p <= tol) | (diff_p >= neg))
         & (kv3[:, None, :] != SENTINEL)
         & (strand3[:, None, :] == sel_strand[:, :, None].astype(jnp.uint32))
     )                                                          # [R, K, C]
+    off3_m = off3[:, None, :]
+    off_lo = jnp.where(member, off3_m, 1 << 30)
+    off_hi = jnp.where(member, off3_m, -1)
+    sel_covmin = jnp.min(off_lo, axis=-1)
+    sel_covmax = jnp.max(off_hi, axis=-1)
+    kv3_m = kv3[:, None, :]
+    sel_head = jnp.min(
+        jnp.where(member & (off3_m == sel_covmin[:, :, None]), kv3_m, SENTINEL),
+        axis=-1,
+    )
+    sel_tail = jnp.min(
+        jnp.where(member & (off3_m == sel_covmax[:, :, None]), kv3_m, SENTINEL),
+        axis=-1,
+    )
+
+    # per-probe member kv (the indel_recorder analog): per-probe min over
+    # each H-wide block of the same membership mask
     sel_pkv = jnp.min(
-        jnp.where(member_p, kv3[:, None, :], SENTINEL).reshape(R, K, P, H),
+        jnp.where(member, kv3_m, SENTINEL).reshape(R, K, P, H),
         axis=-1,
     )
 

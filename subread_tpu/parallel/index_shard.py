@@ -87,11 +87,16 @@ def split_index_shards(
     return shards
 
 
-def stack_shards(shards: list[HashIndex]) -> tuple[np.ndarray, np.ndarray, int]:
+def stack_shards(
+    shards: list[HashIndex],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int]:
     """Stack shard arrays for device placement along the "index" axis:
-    (bucket_start [S, B+1] int32, comb_rows [S, G, 10] uint32, bucket_bits).
+    (bucket_start [S, B+1] int32, comb_rows [S, G, 24] uint32,
+    sub_base [S, B] int32, sub_lo [S, M] int32, bucket_bits, sub_bits).
     comb_rows are padded to the largest shard's row count (padding rows are
-    unreachable: bucket_start never points past a shard's own entries)."""
+    unreachable: bucket_start never points past a shard's own entries).
+    Sub-bucket directories are rebuilt at one shared sub_bits (the max over
+    shards — raising sub_bits keeps the run-start guarantee)."""
     bits = shards[0].bucket_bits
     assert all(s.bucket_bits == bits for s in shards)
     G = max(s.comb_rows.shape[0] for s in shards)
@@ -102,34 +107,50 @@ def stack_shards(shards: list[HashIndex]) -> tuple[np.ndarray, np.ndarray, int]:
             for s in shards
         ]
     )
-    return bs, cb, bits
+    from ..index.build import build_sub_directory
+
+    dirs = [s.sub_dir for s in shards]
+    sub_bits = max(d[2] for d in dirs)
+    dirs = [
+        d if d[2] == sub_bits or d[2] == 0
+        else build_sub_directory(s.keys, s.bucket_start, bits, force_bits=sub_bits)
+        for s, d in zip(shards, dirs)
+    ]
+    M = max(len(d[1]) for d in dirs)
+    sb = np.stack([d[0] for d in dirs])
+    sl = np.stack([np.pad(d[1], (0, M - len(d[1]))) for d in dirs])
+    assert all(d[3] == 0 for d in dirs)
+    return bs, cb, sb, sl, bits, sub_bits
 
 
-def place_sharded_index(mesh: Mesh, bs: np.ndarray, cb: np.ndarray):
+def place_sharded_index(mesh: Mesh, bs, cb, sb, sl):
     """Put the stacked shard arrays on the mesh: leading (shard) axis over
     the "index" mesh axis, replicated over "reads"."""
-    spec_bs = NamedSharding(mesh, P(INDEX_AXIS, None))
-    spec_cb = NamedSharding(mesh, P(INDEX_AXIS, None, None))
-    return jax.device_put(bs, spec_bs), jax.device_put(cb, spec_cb)
+    put = lambda a: jax.device_put(
+        a, NamedSharding(mesh, P(INDEX_AXIS, *([None] * (a.ndim - 1))))
+    )
+    return put(bs), put(cb), put(sb), put(sl)
 
 
 def index_sharded_vote(
     mesh: Mesh, bucket_bits: int, params: VoteParams,
-    static_len: int | None = None, max_bucket: int = 1 << 20,
+    static_len: int | None = None, sub_bits: int = 0,
 ):
     """Build a jitted vote step over a ("reads", "index") mesh.
 
-    step(codes, ambig, lens, bs_stack, cb_stack) -> VoteResult replicated
-    over the index axis, sharded over reads.  Each chip votes its reads
-    against its index shard; the S partial top-K tables are allgathered
-    over ICI and folded with merge_vote_results (left-to-right, matching
-    the single-device block loop so outputs are bit-identical)."""
+    step(codes, ambig, lens, bs_stack, cb_stack, sb_stack, sl_stack) ->
+    VoteResult replicated over the index axis, sharded over reads.  Each
+    chip votes its reads against its index shard; the S partial top-K
+    tables are allgathered over ICI and folded with merge_vote_results
+    (left-to-right, matching the single-device block loop so outputs are
+    bit-identical)."""
     n_shards = mesh.shape[INDEX_AXIS]
 
-    def local(codes, ambig, lens, bs, cb):
+    def local(codes, ambig, lens, bs, cb, sb, sl):
         v = vote_batch(
             codes, ambig, lens, bs[0], cb[0], bucket_bits, params,
-            static_len=static_len, max_bucket=max_bucket,
+            static_len=static_len, sub_base=sb[0], sub_lo=sl[0],
+            sub_bits=sub_bits, search_steps=0,
         )
         if n_shards == 1:
             return v
@@ -146,7 +167,8 @@ def index_sharded_vote(
     mapped = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(read_spec, read_spec, P(READS_AXIS), shard_spec(2), shard_spec(3)),
+        in_specs=(read_spec, read_spec, P(READS_AXIS), shard_spec(2),
+                  shard_spec(3), shard_spec(2), shard_spec(2)),
         out_specs=VoteResult(
             pos=read_spec, tail=read_spec, anchor=read_spec,
             votes=read_spec, strand=read_spec, cov_start=read_spec,

@@ -20,8 +20,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.vote import VoteParams, vote_batch
-
 READS_AXIS = "reads"
 
 
@@ -54,24 +52,23 @@ def sharded_align_step(mesh: Mesh, aligner):
     whose leading dim divides the mesh size; outputs live sharded on the
     mesh.  The index arrays are replicated once.
     """
-    d_bucket, d_comb, d_gen = replicate(
-        mesh, aligner.d_bucket_start, aligner.d_comb, aligner.d_genome,
+    d_bucket, d_comb, d_sb, d_sl, d_gen = replicate(
+        mesh, aligner.d_bucket_start, aligner.d_comb, aligner.d_sub_base,
+        aligner.d_sub_lo, aligner.d_genome,
     )
 
     def step(codes, ambig, lens):
         c, a, l = shard_batch(
             mesh, jnp.asarray(codes), jnp.asarray(ambig), jnp.asarray(lens)
         )
-        v = vote_batch(
-            c, a, l, d_bucket, d_comb,
-            aligner.index.bucket_bits, aligner.vote_params,
-            max_bucket=aligner.max_bucket,
+        # the full single-chip step — votes, scan-2, device rescue fold —
+        # under SPMD sharding: XLA inserts the collectives (the rescue
+        # compaction gathers saturated reads across shards), and results
+        # stay bit-identical to the single-device path.  Residual overflow
+        # beyond rescue_fold_cap still routes through
+        # aligner._rescue_saturated on the host, same as align_batch.
+        return aligner._device_align(
+            c, a, l, d_bucket, d_comb, d_sb, d_sl, d_gen
         )
-        res = aligner._scan2(c, a, l, d_gen, v)
-        # repeat reads whose gather window overflowed: callers route these
-        # through aligner._rescue_saturated (same pass the single-chip
-        # align_batch applies) to keep mesh results bit-identical to it
-        res["saturated"] = v.saturated
-        return res
 
     return step

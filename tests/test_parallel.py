@@ -40,7 +40,7 @@ def test_sharded_align_matches_single_device(
             al._device_align(
                 jax.numpy.asarray(codes), jax.numpy.asarray(ambig),
                 jax.numpy.asarray(lens), al.d_bucket_start, al.d_comb,
-                al.d_genome,
+                al.d_sub_base, al.d_sub_lo, al.d_genome,
             )
         )
 
@@ -120,7 +120,7 @@ def test_index_sharded_vote_matches_block_fold(
     shards = split_index_shards(chr901_index, 4)
     assert len(shards) == 4
     assert sum(s.n_items for s in shards) >= chr901_index.n_items
-    bs, cb, bits = stack_shards(shards)
+    bs, cb, sb, sl, bits, sbits = stack_shards(shards)
 
     batch, _ = simulate_reads(
         chr901_genome, 256, read_len=100, rng=rng, error_rate=0.01
@@ -131,34 +131,41 @@ def test_index_sharded_vote_matches_block_fold(
 
     with jax.default_device(cpu_devices[0]):
         acc = vote_batch(
-            codes, ambig, lens, jnp.asarray(shards[0].bucket_start),
-            jnp.asarray(shards[0].comb_rows), bits, params,
+            codes, ambig, lens, jnp.asarray(bs[0]),
+            jnp.asarray(cb[0]), bits, params,
+            sub_base=jnp.asarray(sb[0]), sub_lo=jnp.asarray(sl[0]),
+            sub_bits=sbits,
         )
-        for s in shards[1:]:
+        for i in range(1, len(shards)):
             acc = merge_vote_results(
                 acc,
                 vote_batch(
-                    codes, ambig, lens, jnp.asarray(s.bucket_start),
-                    jnp.asarray(s.comb_rows), bits, params,
+                    codes, ambig, lens, jnp.asarray(bs[i]),
+                    jnp.asarray(cb[i]), bits, params,
+                    sub_base=jnp.asarray(sb[i]), sub_lo=jnp.asarray(sl[i]),
+                    sub_bits=sbits,
                 ),
                 params,
             )
         single = jax.device_get(acc)
 
     mesh = make_mesh_2d(2, 4, cpu_devices)
-    d_bs, d_cb = place_sharded_index(mesh, bs, cb)
-    step = index_sharded_vote(mesh, bits, params)
-    sharded = jax.device_get(step(codes, ambig, lens, d_bs, d_cb))
+    d_bs, d_cb, d_sb, d_sl = place_sharded_index(mesh, bs, cb, sb, sl)
+    step = index_sharded_vote(mesh, bits, params, sub_bits=sbits)
+    sharded = jax.device_get(step(codes, ambig, lens, d_bs, d_cb, d_sb, d_sl))
 
     for f in single._fields:
         assert np.array_equal(getattr(single, f), getattr(sharded, f)), f
 
     # and the shard split must not lose accuracy vs the full index
+    fsb, fsl, fsbits, fsteps = chr901_index.sub_dir
     full = jax.device_get(
         vote_batch(
             codes, ambig, lens, jnp.asarray(chr901_index.bucket_start),
             jnp.asarray(chr901_index.comb_rows), chr901_index.bucket_bits,
             params,
+            sub_base=jnp.asarray(fsb), sub_lo=jnp.asarray(fsl),
+            sub_bits=fsbits, search_steps=fsteps,
         )
     )
     agree = np.mean(

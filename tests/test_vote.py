@@ -10,6 +10,7 @@ from subread_tpu.utils.simulate import simulate_reads
 
 
 def run_vote(genome, index, batch, params):
+    sb, sl, sbits, steps = index.sub_dir
     return jax.device_get(
         vote_batch(
             jnp.asarray(batch.codes),
@@ -19,6 +20,8 @@ def run_vote(genome, index, batch, params):
             jnp.asarray(index.comb_rows),
             index.bucket_bits,
             params,
+            sub_base=jnp.asarray(sb), sub_lo=jnp.asarray(sl),
+            sub_bits=sbits, search_steps=steps,
         )
     )
 
