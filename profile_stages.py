@@ -75,13 +75,13 @@ def main():
 
     # whole fused dispatch as align_batch does it
     t0 = time.time()
-    full = al._device_align(codes, ambig, d_lens, bs, cb, al.d_genome, uniform_len=ul)
+    full = al._device_align(codes, ambig, d_lens, bs, cb, sb, sl, al.d_genome, uniform_len=ul)
     jax.block_until_ready(full)
     print(f"{'_device_align (first)':28s} {(time.time()-t0)*1000:8.2f} ms")
     ts = []
     for _ in range(5):
         t0 = time.time()
-        full = al._device_align(codes, ambig, d_lens, bs, cb, al.d_genome, uniform_len=ul)
+        full = al._device_align(codes, ambig, d_lens, bs, cb, sb, sl, al.d_genome, uniform_len=ul)
         jax.block_until_ready(full)
         ts.append(time.time() - t0)
     print(f"{'_device_align (steady)':28s} {sorted(ts)[2]*1000:8.2f} ms")

@@ -1,6 +1,12 @@
-"""Micro-attribution inside vote_batch via cumulative-stage jits."""
+"""Micro-attribution inside vote_batch via cumulative-stage jits.
+
+Run on the real chip; prints per-dispatch ms for each cumulative prefix of
+the vote pipeline (keys -> gather -> sort -> window loop -> full) for both
+the main (H=32) and the rescue (H=rescue_hits) parameter sets.
+"""
 import functools
 import time
+
 import numpy as np
 
 
@@ -15,8 +21,8 @@ def main():
     from subread_tpu.index.build import build_hash_index
     from subread_tpu.index.genome import genome_from_fasta
     from subread_tpu.utils.simulate import simulate_reads
-    from subread_tpu import dna
     from subread_tpu.ops import vote as V
+    from subread_tpu import dna
 
     genome = genome_from_fasta("/root/reference/test/chr901.fa")
     index = build_hash_index(genome, index_gap=1)
@@ -25,8 +31,9 @@ def main():
     batch, _ = simulate_reads(genome, n, read_len=100, rng=rng, error_rate=0.005)
     cfg = aligner_config(batch_reads=n)
     al = Aligner(genome, index, cfg)
+
     pcodes, pambig, lens, R0 = al._pad_batch(batch)
-    words, amask = dna.pack_reads_host(pcodes, pambig)
+    words, _ = dna.pack_reads_host(pcodes, pambig)
     d_words = jnp.asarray(words)
     d_lens = jnp.asarray(lens)
     L = pcodes.shape[1]
@@ -34,66 +41,87 @@ def main():
     codes, ambig = al._unpack_na(d_words, L)
     bs_, cb, sb_, sl_ = al.d_blocks[0]
     bb0, e0, st0 = al.block_meta[0]
-    params = al.vote_params
-    bb = al.index.bucket_bits
-
-    offs_np = V.static_offsets(ul, params)
-    sub_id = np.arange(params.total_subreads, dtype=np.int32)
-
-    @jax.jit
-    def stage_keys(codes, ambig, lens):
-        keys_raw, wamb_p = V.probe_keys_static(codes, ambig, offs_np)
-        keys = jnp.minimum(keys_raw, V.revcomp_keys(keys_raw))
-        flip_p = keys != keys_raw
-        valid = ~wamb_p & (lens[:, None] >= np.int32(ul))
-        return keys, flip_p, valid
-
-    @jax.jit
-    def stage_gather(codes, ambig, lens, bs, cb):
-        keys, flip_p, valid = stage_keys(codes, ambig, lens)
-        return V.gather_hits(keys, valid, bs, cb, bb, params,
-                             sb_, sl_, e0, st0)
-
-    @jax.jit
-    def stage_sortwin(codes, ambig, lens, bs, cb):
-        keys, flip_p, valid = stage_keys(codes, ambig, lens)
-        hit_pos, hit_valid, hit_orient, _tr = V.gather_hits(
-            keys, valid, bs, cb, bb, params, sb_, sl_, e0, st0)
-        R, P = keys.shape
-        H = params.max_hits
-        off_r = np.repeat(offs_np, H)[None, :]
-        mir_r = np.repeat(ul - V.KMER - offs_np, H)[None, :]
-        flip_r = jnp.repeat(flip_p, H, axis=1)
-        subid_r = np.repeat(sub_id.astype(np.uint32), H)[None, :]
-        fwd_match = hit_orient == flip_r
-        strand3 = (~fwd_match).astype(jnp.uint32)
-        off3 = jnp.clip(jnp.where(fwd_match, off_r, mir_r), 0, L)
-        kv3 = jnp.where(hit_valid, hit_pos - off3.astype(jnp.uint32), V.SENTINEL)
-        payload = (off3.astype(jnp.uint32) | (strand3 << np.uint32(12))
-                   | (subid_r << np.uint32(13)))
-        return V._vote_merged(kv3, payload, params)
-
-    full = functools.partial(
-        V.vote_batch, bucket_bits=bb, params=params, static_len=ul,
-        sub_base=sb_, sub_lo=sl_, sub_bits=e0, search_steps=st0)
 
     def force(r):
         for leaf in jax.tree_util.tree_leaves(r):
             np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
 
-    def timeit(name, fn, reps=16):
+    def timeit(name, fn, reps=10):
         force(fn())
         t0 = time.time(); force(fn()); t1 = time.time() - t0
         t0 = time.time()
         rs = [fn() for _ in range(reps)]
         force(rs[-1])
-        tk = time.time() - t0
-        print(f"{name:24s} {(tk-t1)/(reps-1)*1000:8.2f} ms/dispatch")
+        print(f"{name:34s} {(time.time()-t0-t1)/(reps-1)*1000:8.2f} ms/dispatch")
 
-    timeit("keys", lambda: stage_keys(codes, ambig, d_lens))
-    timeit("keys+gather", lambda: stage_gather(codes, ambig, d_lens, bs_, cb))
-    timeit("keys+gather+sortwin", lambda: stage_sortwin(codes, ambig, d_lens, bs_, cb))
-    timeit("full vote_batch", lambda: full(codes, ambig, d_lens, bs_, cb))
+    def stages(tag, params, rows):
+        c = codes[:rows]
+        a = ambig[:rows]
+        l = d_lens[:rows]
+        offs_np = V.static_offsets(ul, params)
+        H = params.max_hits
+        P = len(offs_np)
+
+        @jax.jit
+        def s_keys(c, a, l):
+            keys_raw, wamb_p = V.probe_keys_static(c, a, offs_np)
+            keys = jnp.minimum(keys_raw, V.revcomp_keys(keys_raw))
+            flip_p = keys != keys_raw
+            valid = ~wamb_p & (l[:, None] >= np.int32(ul))
+            return keys, flip_p, valid
+
+        @jax.jit
+        def s_gather(c, a, l):
+            keys, flip_p, valid = s_keys(c, a, l)
+            return V.gather_hits(keys, valid, bs_, cb, bb0, params,
+                                 sb_, sl_, e0, st0)
+
+        def common(c, a, l):
+            keys, flip_p, valid = s_keys(c, a, l)
+            hit_pos, hit_valid, hit_orient, trunc = V.gather_hits(
+                keys, valid, bs_, cb, bb0, params, sb_, sl_, e0, st0)
+            off_r = np.repeat(offs_np, H)[None, :]
+            mir_r = np.repeat(ul - V.KMER - offs_np, H)[None, :]
+            flip_r = jnp.repeat(flip_p, H, axis=1)
+            sub_id = np.arange(params.total_subreads, dtype=np.uint32)
+            subid_r = np.repeat(
+                np.repeat(sub_id, max(params.index_gap, 1)), H
+            )[None, :]
+            fwd_match = hit_orient == flip_r
+            strand3 = (~fwd_match).astype(jnp.uint32)
+            off3 = jnp.clip(jnp.where(fwd_match, off_r, mir_r), 0, L)
+            kv3 = jnp.where(
+                hit_valid, hit_pos - off3.astype(jnp.uint32), V.SENTINEL
+            )
+            pidx_r = np.repeat(np.arange(P, dtype=np.uint32), H)[None, :]
+            pk3 = jnp.where(fwd_match, pidx_r, np.uint32(P - 1) - pidx_r)
+            payload = (off3.astype(jnp.uint32) | (strand3 << np.uint32(12))
+                       | (subid_r << np.uint32(13)) | (pk3 << np.uint32(19)))
+            return kv3, payload
+
+        @jax.jit
+        def s_sort(c, a, l):
+            kv3, payload = common(c, a, l)
+            return jax.lax.sort((kv3, payload), dimension=-1, num_keys=1)
+
+        @jax.jit
+        def s_window(c, a, l):
+            kv3, payload = common(c, a, l)
+            return V._vote_merged(kv3, payload, params)
+
+        full = functools.partial(
+            V.vote_batch, bucket_bits=bb0, params=params, static_len=ul,
+            sub_base=sb_, sub_lo=sl_, sub_bits=e0, search_steps=st0)
+
+        timeit(f"{tag} keys", lambda: s_keys(c, a, l))
+        timeit(f"{tag} +gather", lambda: s_gather(c, a, l))
+        timeit(f"{tag} +sort", lambda: s_sort(c, a, l))
+        timeit(f"{tag} +window", lambda: s_window(c, a, l))
+        timeit(f"{tag} full vote", lambda: full(c, a, l, bs_, cb))
+
+    stages("main[16K,H=32,W=32]", al.vote_params, n)
+    stages(f"resc[{al.rescue_fold_cap},H={al.rescue_hits},W=64]",
+           al.rescue_vote_params, al.rescue_fold_cap)
 
 
 if __name__ == "__main__":

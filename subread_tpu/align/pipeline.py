@@ -201,6 +201,10 @@ def write_junction_bed(path: str, junctions: dict) -> None:
 # clipped to 999, clips bounded by read length <= 1210)
 _PACK_CAST = {"mism": np.int16, "clip_l": np.int16, "clip_r": np.int16}
 
+# device-side probe_kv compaction capacity (reads with an indel/multi-indel
+# flag per sub-batch whose [P] section rows ride the packed result buffer)
+PKV_CAP = 1024
+
 
 def fetch_result(res: dict) -> dict:
     """device_get of a result dict, excluding the [R, P] probe_kv table —
@@ -256,17 +260,42 @@ class Aligner:
         self.rescue_hits = max(64, -(-(max_run + 1) // 16) * 16)
         self.rescue_vote_params = self.vote_params._replace(
             max_hits=self.rescue_hits,
-            window=max(self.vote_params.window, 64),
+            # wide-gather candidate streams are denser; measured in-window
+            # spans on chr901 repeats peak at 21 (profile_vote) — 40 keeps
+            # a 2x margin at a third of the old W=64 loop cost
+            window=max(self.vote_params.window, 40),
         )
         # device-side rescue fold: saturated reads are compacted ON DEVICE
-        # and re-aligned through the wide pass inside the same dispatch
+        # and re-aligned through wider passes inside the same dispatch
         # chain (no host round trip; collect_batch's host rescue only
-        # handles overflow beyond this capacity).  Zero when the narrow
+        # handles overflow beyond the tier capacities).  Two tiers when the
+        # full width is much wider than a mid gather: most saturated reads
+        # have runs <= 96 (chr901: ~75%), so the expensive full-width pass
+        # runs on a quarter of the rows.  Zero tiers when the narrow
         # window already covers every run (no read can saturate).
         self.rescue_fold_cap = (
             0 if max_run < cfg.max_hits_per_probe
             else min(4096, cfg.batch_reads)
         )
+        self.rescue_tiers = []
+        if self.rescue_fold_cap:
+            mid = 96
+            if self.rescue_hits > mid + 32:
+                self.rescue_tiers.append((
+                    self.rescue_vote_params._replace(max_hits=mid),
+                    self.rescue_fold_cap,
+                ))
+                # chr901 measurement: 1179 of 2701 tier-1 reads re-saturate
+                # at H=96 (runs > 96 are common in its repeat families), so
+                # the full-width tier needs half the tier-1 capacity
+                self.rescue_tiers.append((
+                    self.rescue_vote_params,
+                    max(self.rescue_fold_cap // 2, 256),
+                ))
+            else:
+                self.rescue_tiers.append(
+                    (self.rescue_vote_params, self.rescue_fold_cap)
+                )
         # device-resident index blocks (replicated single-chip); each block
         # carries its sub-bucket directory (repeat-dense bucket jump table,
         # index.build.build_sub_directory) + its static (sub_bits, steps)
@@ -312,15 +341,17 @@ class Aligner:
 
     def _device_align(
         self, codes, ambig, lens, bucket_start, comb, sub_base, sub_lo,
-        genome_u32, uniform_len=None, rescue=False,
+        genome_u32, uniform_len=None, rescue=False, vp=None,
     ):
         """Full single-end alignment step: votes + scan-2 selection.
 
         Returns per-read int arrays (best position, strand, cigar pieces,
         mismatches, mapq, flags related info).  rescue=True re-votes with
-        the wide gather (rescue_vote_params) for saturated reads.
+        the wide gather (rescue_vote_params, or an explicit vp) for
+        saturated reads.
         """
-        vp = self.rescue_vote_params if rescue else self.vote_params
+        if vp is None:
+            vp = self.rescue_vote_params if rescue else self.vote_params
         bb0, e0, st0 = self.block_meta[0]
         v = vote_batch(
             codes, ambig, lens, bucket_start, comb,
@@ -355,15 +386,18 @@ class Aligner:
         the submit-side dispatch chain, so the common case costs no host
         round trip (the reference's full bucket scan semantics,
         sorted-hashtable.c:515-1060, at the wide gather width)."""
-        rb = min(self.rescue_fold_cap, codes.shape[0])
-        idx_r, valid_r, codes_r, ambig_r, lens_r = self._sat_compact(
-            res["saturated"], codes, ambig, lens, rb
-        )
-        res_r = self._device_align(
-            codes_r, ambig_r, lens_r, bucket_start, comb, sub_base, sub_lo,
-            genome_u32, uniform_len=uniform_len, rescue=True,
-        )
-        return self._sat_scatter(res, res_r, idx_r, valid_r)
+        for vp, cap in self.rescue_tiers:
+            rb = min(cap, codes.shape[0])
+            idx_r, valid_r, codes_r, ambig_r, lens_r = self._sat_compact(
+                res["saturated"], codes, ambig, lens, rb
+            )
+            res_r = self._device_align(
+                codes_r, ambig_r, lens_r, bucket_start, comb, sub_base,
+                sub_lo, genome_u32, uniform_len=uniform_len, rescue=True,
+                vp=vp,
+            )
+            res = self._sat_scatter(res, res_r, idx_r, valid_r)
+        return res
 
     @functools.partial(jax.jit, static_argnames=("self", "rb"))
     def _sat_compact(self, sat, codes, ambig, lens, rb):
@@ -382,11 +416,11 @@ class Aligner:
     def _sat_scatter(self, res, res_r, idx_r, valid_r):
         out = {}
         for k, a in res.items():
-            if k == "saturated":
-                # rescued rows are final; overflow rows (saturated beyond
-                # rescue_fold_cap) stay flagged for the host pass
-                out[k] = a.at[idx_r].set(a[idx_r] & ~valid_r)
-                continue
+            # "saturated" flows through like any key: an intermediate tier's
+            # re-saturation flag routes the read to the next (wider) tier;
+            # the final tier's gather covers max_run so its flag is False.
+            # Overflow rows beyond a tier's capacity keep their flag for
+            # the host pass.
             r = res_r.get(k)
             if r is None:
                 out[k] = a
@@ -1268,9 +1302,11 @@ class Aligner:
     def _device_align_pe(
         self, c1, a1, l1, c2, a2, l2, bucket_start, comb, sub_base, sub_lo,
         genome_u32, ul1=None, ul2=None, expected_tlen=None, rescue=False,
+        vp=None,
     ):
         B, e0, st0 = self.block_meta[0]
-        vp = self.rescue_vote_params if rescue else self.vote_params
+        if vp is None:
+            vp = self.rescue_vote_params if rescue else self.vote_params
         v1 = vote_batch(c1, a1, l1, bucket_start, comb, B, vp,
                         static_len=ul1, sub_base=sub_base, sub_lo=sub_lo,
                         sub_bits=e0, search_steps=st0)
@@ -1304,21 +1340,29 @@ class Aligner:
         r2["saturated"] = v2.saturated
         if not rescue and self.rescue_fold_cap:
             # device-side rescue fold, PE: pairs where EITHER end saturated
-            # re-run the wide pass inside the dispatch chain (pair selection
-            # mixes both ends' candidate tables, so both records rescatter)
-            sat = v1.saturated | v2.saturated
-            rb = min(self.rescue_fold_cap, c1.shape[0])
-            idx_r, valid_r, c1r, a1r, l1r = self._sat_compact(sat, c1, a1, l1, rb)
-            _, _, c2r, a2r, l2r = self._sat_compact(sat, c2, a2, l2, rb)
-            r1r, r2r = self._device_align_pe(
-                c1r, a1r, l1r, c2r, a2r, l2r, bucket_start, comb,
-                sub_base, sub_lo, genome_u32,
-                ul1=ul1, ul2=ul2, expected_tlen=expected_tlen, rescue=True,
-            )
-            r1["saturated"] = sat
-            r2["saturated"] = sat
-            r1 = self._sat_scatter(r1, r1r, idx_r, valid_r)
-            r2 = self._sat_scatter(r2, r2r, idx_r, valid_r)
+            # re-run the wider passes inside the dispatch chain (pair
+            # selection mixes both ends' candidate tables, so both records
+            # rescatter); a pair stays flagged between tiers while either
+            # end's rescue vote re-saturated
+            r1["saturated"] = v1.saturated | v2.saturated
+            r2["saturated"] = r1["saturated"]
+            for tier_vp, cap in self.rescue_tiers:
+                sat = r1["saturated"] | r2["saturated"]
+                rb = min(cap, c1.shape[0])
+                idx_r, valid_r, c1r, a1r, l1r = self._sat_compact(
+                    sat, c1, a1, l1, rb
+                )
+                _, _, c2r, a2r, l2r = self._sat_compact(sat, c2, a2, l2, rb)
+                r1r, r2r = self._device_align_pe(
+                    c1r, a1r, l1r, c2r, a2r, l2r, bucket_start, comb,
+                    sub_base, sub_lo, genome_u32,
+                    ul1=ul1, ul2=ul2, expected_tlen=expected_tlen,
+                    rescue=True, vp=tier_vp,
+                )
+                r1["saturated"] = sat
+                r2["saturated"] = sat
+                r1 = self._sat_scatter(r1, r1r, idx_r, valid_r)
+                r2 = self._sat_scatter(r2, r2r, idx_r, valid_r)
         return r1, r2
 
     # --- host orchestration -------------------------------------------------
@@ -1435,6 +1479,7 @@ class Aligner:
         d_amask = None if no_ambig else jnp.asarray(amask)
         idxs = self._iota(n_sub) if n_sub > 1 else (None,)
         pending = []
+        pending_comp = []
         bufs = []
         for j in range(n_sub):
             if n_sub == 1:
@@ -1452,36 +1497,110 @@ class Aligner:
                 uniform_len=ul,
             )
             pending.append(res)
-            bufs.append(self._pack_res(res))
-        return pending, bufs, bs, R, n_sub, batch
+            comp = (
+                self._pkv_compact(
+                    res, PKV_CAP, bool_keys=self._bool_keys(res),
+                    drop_bestk=not self.cfg.all_junctions,
+                )
+                if "probe_kv" in res else res
+            )
+            pending_comp.append(comp)
+            bufs.append(self._pack_res(comp))
+        if n_sub > 1:
+            # ONE chunk-wide fetch: the tunnel does not overlap transfers
+            # with compute and every device->host fetch costs a ~20-28ms
+            # round trip regardless of size, so n_sub round trips collapse
+            # into one concatenated buffer (measured: 4x16K chunk collect
+            # 350ms -> ~250ms)
+            bufs = [self._concat_bufs(tuple(bufs))]
+        return pending, pending_comp, bufs, bs, R, n_sub, batch
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _concat_bufs(self, bufs):
+        return jnp.concatenate(bufs)
+
+    @staticmethod
+    def _bool_keys(res) -> tuple:
+        """[R]-shaped bool keys of a result dict, sorted — the bitfield
+        packing order shared by _pkv_compact and collect_batch."""
+        return tuple(sorted(
+            k for k, v in res.items()
+            if getattr(v, "dtype", None) == jnp.bool_ and v.ndim == 1
+        ))
+
+    @functools.partial(
+        jax.jit, static_argnames=("self", "cap", "bool_keys", "drop_bestk")
+    )
+    def _pkv_compact(self, res, cap, bool_keys=(), drop_bestk=False):
+        """Shrink the fetched result: (a) replace the [R, P] probe_kv table
+        with a device-compacted (indices, rows, count) triple covering the
+        reads that host-side event placement actually touches
+        (indel-flagged + multi-indel) — these are rare, so the triple rides
+        the packed result buffer and the ~0.6MB-per-sub-batch separate
+        probe_kv fetch disappears, with a count overflow falling back to
+        the full fetch in collect_batch; (b) pack the [R] bool flags into
+        one u8 bitfield; (c) drop best_k outside fusion mode (its only
+        host consumer).  Fetched bytes are wall-clock on the tunnel."""
+        out = {k: v for k, v in res.items() if k != "probe_kv"}
+        if drop_bestk:
+            out.pop("best_k", None)
+        if bool_keys:
+            assert len(bool_keys) <= 8
+            bits = jnp.zeros(res[bool_keys[0]].shape, jnp.uint8)
+            for i, k in enumerate(bool_keys):
+                bits = bits | (out.pop(k).astype(jnp.uint8) << np.uint8(i))
+            out["bflags"] = bits
+        flag = res["indel"] != 0
+        if "multi_indel" in res:
+            flag = flag | res["multi_indel"]
+        c = min(cap, flag.shape[0])
+        order = jnp.argsort(~flag, stable=True).astype(jnp.int32)[:c]
+        out["pkv_idx"] = order
+        out["pkv_rows"] = jnp.take(res["probe_kv"], order, axis=0)
+        out["pkv_n"] = jnp.sum(flag.astype(jnp.int32))[None]
+        return out
 
     def collect_batch(self, state) -> dict[str, np.ndarray]:
-        pending, bufs, bs, R, n_sub, batch = state
+        pending, pending_comp, bufs, bs, R, n_sub, batch = state
         # one single-array fetch per sub-batch: the first waits on compute,
         # later transfers ride under the still-running FIFO queue (measured:
         # a device-side concat into one buffer is ~25% SLOWER end-to-end)
-        items, seg_len = self._res_layout(pending[0], bs)
+        items, seg_len = self._res_layout(pending_comp[0], bs)
+        P = self.vote_params.total_subreads * max(self.index.index_gap, 1)
         parts = []
+        if len(bufs) == 1 and n_sub > 1:
+            whole = np.array(jax.device_get(bufs[0]))
+            segs = [whole[j * seg_len : (j + 1) * seg_len] for j in range(n_sub)]
+        else:
+            segs = None
         for j in range(n_sub):
-            seg = np.array(jax.device_get(bufs[j]))  # copy: views must be writable
+            seg = (
+                segs[j] if segs is not None
+                else np.array(jax.device_get(bufs[j]))
+            )  # copy: views must be writable
             d = {}
             for k, dt, off, nb, was_bool, shape in items:
                 a = seg[off : off + nb].view(dt).reshape(shape)
                 d[k] = a.astype(bool) if was_bool else a
-            need_pkv = (
-                d.get("multi_indel") is not None and d["multi_indel"].any()
-            ) or (
-                # event-table indel placement (align/indelevent.py) needs
-                # the per-probe section table for every indel read
-                d.get("indel") is not None
-                and bool((d["indel"] != 0).any())
-            )
-            if "probe_kv" in pending[j] and need_pkv:
-                # the [bs, P] table fetched only for batches that need it
-                d["probe_kv"] = np.asarray(jax.device_get(pending[j]["probe_kv"]))
+            bf = d.pop("bflags", None)
+            if bf is not None:
+                for i, k in enumerate(self._bool_keys(pending[j])):
+                    d[k] = ((bf >> i) & 1) != 0
+            pkv_idx = d.pop("pkv_idx", None)
+            pkv_rows = d.pop("pkv_rows", None)
+            nf = int(d.pop("pkv_n", [0])[0])
+            if pkv_idx is not None and nf > 0:
+                if nf <= len(pkv_idx):
+                    full = np.full((len(d["pos"]), P), 0xFFFFFFFF, np.uint32)
+                    full[pkv_idx[:nf]] = pkv_rows[:nf]
+                    d["probe_kv"] = full
+                else:
+                    # overflow: more flagged reads than the compaction cap
+                    d["probe_kv"] = np.asarray(
+                        jax.device_get(pending[j]["probe_kv"])
+                    )
             parts.append(d)
         out = {}
-        P = self.vote_params.total_subreads * max(self.index.index_gap, 1)
         for key in parts[0]:
             if key == "probe_kv":
                 continue
@@ -1907,17 +2026,24 @@ class Aligner:
                 self.d_sub_lo, self.d_genome,
                 ul1=ul1, ul2=ul2,
             )
-            bufs.append((self._pack_res(r1), self._pack_res(r2), r1, r2))
+            mk = lambda r: (
+                self._pkv_compact(r, PKV_CAP, bool_keys=self._bool_keys(r))
+                if "probe_kv" in r else r
+            )
+            c1r, c2r = mk(r1), mk(r2)
+            bufs.append((self._pack_res(c1r), self._pack_res(c2r),
+                         r1, r2, c1r, c2r))
         return bufs, bs, R, n_sub, b1, b2
 
     def collect_batch_pe(self, state):
         bufs, bs, R, n_sub, b1, b2 = state
+        P = self.vote_params.total_subreads * max(self.index.index_gap, 1)
         parts1, parts2 = [], []
         layout = None
         for j in range(n_sub):
-            b1d, b2d, r1, r2 = bufs[j]
+            b1d, b2d, r1, r2, c1r, c2r = bufs[j]
             if layout is None:
-                layout = (self._res_layout(r1, bs), self._res_layout(r2, bs))
+                layout = (self._res_layout(c1r, bs), self._res_layout(c2r, bs))
             for bufd, (items, _), parts, rdev in (
                 (b1d, layout[0], parts1, r1), (b2d, layout[1], parts2, r2),
             ):
@@ -1926,14 +2052,24 @@ class Aligner:
                 for k, dt, off, nb, was_bool, shape in items:
                     a = seg[off : off + nb].view(dt).reshape(shape)
                     d[k] = a.astype(bool) if was_bool else a
-                if "probe_kv" in rdev and d.get("indel") is not None and bool(
-                    (d["indel"] != 0).any()
-                ):
-                    # per-probe section table, fetched only when an indel
-                    # read needs event placement (same rule as collect_batch)
-                    d["probe_kv"] = np.asarray(
-                        jax.device_get(rdev["probe_kv"])
-                    )
+                bf = d.pop("bflags", None)
+                if bf is not None:
+                    for i, k in enumerate(self._bool_keys(rdev)):
+                        d[k] = ((bf >> i) & 1) != 0
+                pkv_idx = d.pop("pkv_idx", None)
+                pkv_rows = d.pop("pkv_rows", None)
+                nf = int(d.pop("pkv_n", [0])[0])
+                if pkv_idx is not None and nf > 0:
+                    if nf <= len(pkv_idx):
+                        full = np.full(
+                            (len(d["pos"]), P), 0xFFFFFFFF, np.uint32
+                        )
+                        full[pkv_idx[:nf]] = pkv_rows[:nf]
+                        d["probe_kv"] = full
+                    else:
+                        d["probe_kv"] = np.asarray(
+                            jax.device_get(rdev["probe_kv"])
+                        )
                 parts.append(d)
 
         def merge(parts):

@@ -19,7 +19,12 @@ class AlignConfig:
     min_votes_second: int = 1         # -p; min votes read 2
     max_indel: int = 5                # -I
     max_mismatches: int = 3           # -M
-    max_hits_per_probe: int = 32      # bucket-window width (GENE_VOTE_SPACE analog; canonical runs mix strands so 2x16)
+    max_hits_per_probe: int = 16      # bucket-window width; key runs longer
+    #                                   than this re-vote through the rescue
+    #                                   tiers (results identical — verified
+    #                                   bit-equal vs 32 on chr901 — but the
+    #                                   narrow window halves the main vote
+    #                                   sort/cluster stream)
     top_k: int = 4                    # candidate clusters kept per read
 
     # experiment

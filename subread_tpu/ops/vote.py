@@ -40,7 +40,11 @@ class VoteParams(NamedTuple):
     total_subreads: int = 10      # 10 DNA-seq / 14 RNA-seq (core-indel.c:4473)
     max_hits: int = 32            # bucket-window width per probe (GENE_VOTE_SPACE analog)
     indel_tolerance: int = 5      # cluster tolerance (max indel length, -I)
-    window: int = 32              # max cluster candidates scanned per anchor
+    window: int = 24              # max cluster candidates scanned per anchor
+    #                               (the reference's own vote rows cap at
+    #                               GENE_VOTE_SPACE=24 slots per 5bp band,
+    #                               subread.h:217; measured spans on chr901
+    #                               peak at 16 within +-tol)
     top_k: int = 4                # candidate clusters kept per read
     index_gap: int = 1            # 1 = full index (-F), 3 = gapped
 
@@ -387,7 +391,7 @@ def _vote_merged(
 
     W = min(params.window, C)
     tol = np.uint32(params.indel_tolerance)
-    neg = np.uint32((1 << 32) - params.indel_tolerance)
+    tol2 = np.uint32(2 * params.indel_tolerance)
     BIGPK = jnp.int16(0x7FFF)
     sflip = strand_su.astype(jnp.int16) << np.int16(7)
     pad2 = lambda a, v: jnp.pad(a, ((0, 0), (W, W)), constant_values=v)
@@ -395,25 +399,39 @@ def _vote_merged(
     pad_mask = pad2(mask_s, np.uint32(0))
     pad_spk = pad2(spk_s, 0x3FFF)
 
-    def body(d, carry):
-        acc, minpk, leftpk = carry
+    # in-window test: kd - kv_s in [-tol, tol] <=> kd - kv_s + tol <= 2*tol
+    # unsigned (one add + one compare).  No SENTINEL guard is needed:
+    # SENTINEL neighbours sit 2^32-1 - kv away from any genuine candidate
+    # (positions are >= the contig padding), and SENTINEL *centers* match
+    # only other sentinels — their votes are masked at the end anyway.
+    def win_at(d):
         kd = jax.lax.dynamic_slice_in_dim(pad_kv, d, C, axis=1)
-        diff = kd - kv_s
-        in_w = ((diff <= tol) | (diff >= neg)) & (kd != SENTINEL)
+        in_w = (kd - kv_s + tol) <= tol2
         md = jax.lax.dynamic_slice_in_dim(pad_mask, d, C, axis=1)
-        acc = acc | jnp.where(in_w, md, 0)
         spkd = jax.lax.dynamic_slice_in_dim(pad_spk, d, C, axis=1)
         cand = jnp.where(in_w, spkd ^ sflip, BIGPK)
-        minpk = jnp.minimum(minpk, cand)
-        leftpk = jnp.where(d < W, jnp.minimum(leftpk, cand), leftpk)
-        return acc, minpk, leftpk
+        return jnp.where(in_w, md, 0), cand
+
+    # two loops so the left-half-only leftpk min costs nothing on the right
+    def body_left(d, carry):
+        acc, minpk, leftpk = carry
+        m, cand = win_at(d)
+        return acc | m, jnp.minimum(minpk, cand), jnp.minimum(leftpk, cand)
+
+    def body_right(d, carry):
+        acc, minpk = carry
+        m, cand = win_at(d)
+        return acc | m, jnp.minimum(minpk, cand)
 
     init = (
         jnp.zeros_like(mask_s),
         jnp.full((R, C), 0x7FFF, jnp.int16),
         jnp.full((R, C), 0x7FFF, jnp.int16),
     )
-    acc_mask, minpk, leftpk = jax.lax.fori_loop(0, 2 * W + 1, body, init)
+    acc_mask, minpk, leftpk = jax.lax.fori_loop(0, W, body_left, init)
+    acc_mask, minpk = jax.lax.fori_loop(
+        W, 2 * W + 1, body_right, (acc_mask, minpk)
+    )
 
     # e is its cluster's creation hit iff nothing in-window scans earlier:
     # no same-strand member with smaller probe anywhere (minpk includes
