@@ -515,7 +515,8 @@ class Aligner:
         return dict(
             pos_k=pos_k, strand_k=strand_k, indel_k=indel_k, split_k=split_k,
             mism_k=mism_k, match_k=match_k, votes_k=votes_k, valid_k=valid_k,
-            score_k=score_k, probe_kv_k=v.probe_kv, **clip_kk,
+            score_k=score_k, probe_kv_k=v.probe_kv, anchor_k=v.anchor,
+            **clip_kk,
         )
 
     def _anchor_set(self, sc, min_first: int, max_simples: int = 3,
@@ -533,6 +534,7 @@ class Aligner:
         Returns (anchor_k bool [R,K], n_anchors int32 [R]).
         """
         votes_k, pos_k = sc["votes_k"], sc["pos_k"]
+        apos_k = sc.get("anchor_k", pos_k)  # vote slot position (creation kv)
         has = (votes_k >= 1) & (pos_k != np.uint32(0xFFFFFFFF))
         vmax = votes_k[:, :1]
         newval = jnp.concatenate(
@@ -545,10 +547,11 @@ class Aligner:
         slot = jnp.cumsum(allowed.astype(jnp.int32), axis=1)
         simple = allowed & (slot <= max_simples)
         anchor = simple & (votes_k >= min_first)
-        # dedup by position (reference dedups selected_position, :2416)
+        # dedup by the vote slot position — the reference compares
+        # selected_position (= vote->pos[i][j], the cluster creation kv)
+        # across already-stored entries (:2416), strand-blind
         K = votes_k.shape[1]
-        dup = jnp.zeros_like(anchor)
-        eqpos = pos_k[:, :, None] == pos_k[:, None, :]   # [R, K, K]
+        eqpos = apos_k[:, :, None] == apos_k[:, None, :]   # [R, K, K]
         earlier = (np.arange(K)[None, :, None] > np.arange(K)[None, None, :])
         dup = jnp.any(eqpos & earlier & anchor[:, None, :], axis=2) & anchor
         anchor = anchor & ~dup
@@ -576,9 +579,18 @@ class Aligner:
         b_indel, b_split = take(sc["indel_k"]), take(sc["split_k"])
         b_mism, b_votes, b_score = take(sc["mism_k"]), take(sc["votes_k"]), take(score_m)
         b_valid = take(cand_ok)
-        b_pkv = jnp.take_along_axis(
-            sc["probe_kv_k"], best[:, None, None], axis=1
-        )[:, 0] if "probe_kv_k" in sc else None
+        if "probe_kv_k" in sc:
+            b_pkv2 = jnp.take_along_axis(
+                sc["probe_kv_k"], best[:, None, None], axis=1
+            )[:, 0]
+            # the member table covers both strand scans' probes [R, 2*P0];
+            # host event placement wants the winner's OWN scan: slice half
+            P0 = b_pkv2.shape[1] // 2
+            b_pkv = jnp.where(
+                b_strand[:, None] == 1, b_pkv2[:, P0:], b_pkv2[:, :P0]
+            )
+        else:
+            b_pkv = None
 
         mapped = b_valid
         # break-even: a DISTINCT (pos, cigar) alignment ties the best score
@@ -1231,9 +1243,14 @@ class Aligner:
             if "probe_kv_k" in sc:
                 # per-probe cluster kv of the chosen candidate: drives the
                 # event-table indel placement (same export as _select_se)
-                b_pkv = jnp.take_along_axis(
+                b_pkv2 = jnp.take_along_axis(
                     sc["probe_kv_k"], kk[:, None, None], axis=1
                 )[:, 0]
+                P0h = b_pkv2.shape[1] // 2
+                b_pkv = jnp.where(
+                    take(sc["strand_k"])[:, None] == 1,
+                    b_pkv2[:, P0h:], b_pkv2[:, :P0h],
+                )
                 SEN = np.uint32(0xFFFFFFFF)
                 anchored = (b_pos != SEN) & (b_votes >= cfg.min_votes_second)
                 validp = (b_pkv != SEN) & anchored[:, None]

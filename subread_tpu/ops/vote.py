@@ -50,12 +50,21 @@ class VoteParams(NamedTuple):
 
 
 class VoteResult(NamedTuple):
-    """Per-read top-K vote clusters; arrays [R, K] (probe_kv [R, K, P])."""
+    """Per-read top-K vote clusters; arrays [R, K] (probe_kv [R, K, P]).
+
+    Candidates are ordered exactly as the reference's simple-list scan
+    emits them (process_voting_junction_PE_topK, core-junction.c:2262-2310):
+    vote count descending (level), then vote-table row (kv/5) % 30
+    ascending, then slot creation order within the row (= arrival order of
+    the cluster's first hit in the strand-major probe scan), then kv.
+    This ordering is observable: it caps the simple list (max_vote_simples),
+    feeds the MAPQ candidate count, and breaks equal-score ties."""
 
     pos: jnp.ndarray        # uint32 position implied by the head section
     tail: jnp.ndarray      # uint32 position implied by the tail section
     #                        (tail - pos = net indel: >0 deletion, <0 insertion)
-    anchor: jnp.ndarray     # uint32 smallest kv in the cluster
+    anchor: jnp.ndarray     # uint32 kv of the cluster's creation hit (the
+    #                         vote-table slot position, vote->pos[i][j])
     votes: jnp.ndarray      # int32 number of distinct probing subreads
     strand: jnp.ndarray     # int32 0 = forward, 1 = reverse-complement
     cov_start: jnp.ndarray  # int32 smallest read offset voting in the cluster
@@ -67,6 +76,9 @@ class VoteResult(NamedTuple):
     saturated: jnp.ndarray  # bool [R] some probe's key run extended past the
     #                         H-entry gather window: vote counts may be low —
     #                         re-vote the read with a wider rescue pass
+    apk: jnp.ndarray = None  # int32 [R, K] anchor arrival key
+    #                          strand*P + probe-scan-index of the creation
+    #                          hit (the within-row tie order above)
 
 
 def subread_offsets(read_len: jnp.ndarray, params: VoteParams) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -404,45 +416,81 @@ def _vote_merged(
     # SENTINEL neighbours sit 2^32-1 - kv away from any genuine candidate
     # (positions are >= the contig padding), and SENTINEL *centers* match
     # only other sentinels — their votes are masked at the end anyway.
-    def win_at(d):
+    def cand_at(d):
         kd = jax.lax.dynamic_slice_in_dim(pad_kv, d, C, axis=1)
         in_w = (kd - kv_s + tol) <= tol2
-        md = jax.lax.dynamic_slice_in_dim(pad_mask, d, C, axis=1)
         spkd = jax.lax.dynamic_slice_in_dim(pad_spk, d, C, axis=1)
-        cand = jnp.where(in_w, spkd ^ sflip, BIGPK)
-        return jnp.where(in_w, md, 0), cand
+        return jnp.where(in_w, spkd ^ sflip, BIGPK)
 
-    # two loops so the left-half-only leftpk min costs nothing on the right
+    # pass A — anchor (slot creation) detection.  Two loops so the
+    # left-half-only leftpk min costs nothing on the right half.
     def body_left(d, carry):
-        acc, minpk, leftpk = carry
-        m, cand = win_at(d)
-        return acc | m, jnp.minimum(minpk, cand), jnp.minimum(leftpk, cand)
+        minpk, leftpk = carry
+        cand = cand_at(d)
+        return jnp.minimum(minpk, cand), jnp.minimum(leftpk, cand)
 
-    def body_right(d, carry):
-        acc, minpk = carry
-        m, cand = win_at(d)
-        return acc | m, jnp.minimum(minpk, cand)
+    def body_right(d, minpk):
+        return jnp.minimum(minpk, cand_at(d))
 
     init = (
-        jnp.zeros_like(mask_s),
         jnp.full((R, C), 0x7FFF, jnp.int16),
         jnp.full((R, C), 0x7FFF, jnp.int16),
     )
-    acc_mask, minpk, leftpk = jax.lax.fori_loop(0, W, body_left, init)
-    acc_mask, minpk = jax.lax.fori_loop(
-        W, 2 * W + 1, body_right, (acc_mask, minpk)
-    )
+    minpk, leftpk = jax.lax.fori_loop(0, W, body_left, init)
+    minpk = jax.lax.fori_loop(W, 2 * W + 1, body_right, minpk)
 
     # e is its cluster's creation hit iff nothing in-window scans earlier:
     # no same-strand member with smaller probe anywhere (minpk includes
     # self; other-strand members carry +128 via the spk XOR), and no LEFT
     # member (smaller kv) sharing its probe index
-    is_anchor = (minpk == pk_s) & (leftpk > pk_s)
+    is_anchor = (minpk == pk_s) & (leftpk > pk_s) & (kv_s != SENTINEL)
+
+    # --- first-match slot assignment (gehash_go_X, sorted-hashtable.c:
+    # 1007-1071): each hit votes for ONE slot — the first matching one in
+    # the iix row-scan order over rows (kv/5), (kv/5)+1, (kv/5)-1, ...
+    # Same-strand slots are always > tol apart, so at most TWO (the
+    # nearest anchor left and right in kv) are reachable; the winner is
+    # the one whose 5-wide band is probed first: band offset b =
+    # floor(a/5) - floor(kv/5), rank 0 for b=0, 2b-1 for b>0, -2b for
+    # b<0 (iix sequence 0, +5, -5, +10, -10 ...).
+    own_kv = jnp.where(is_anchor, kv_s, np.uint32(0))
+    aL0 = jax.lax.cummax(jnp.where(strand_s == 0, own_kv, 0), axis=1)
+    aL1 = jax.lax.cummax(jnp.where(strand_s == 1, own_kv, 0), axis=1)
+    aL = jnp.where(strand_s == 1, aL1, aL0)
+    own_kv_r = jnp.where(is_anchor, kv_s, SENTINEL)
+    rev = lambda a: jnp.flip(a, axis=1)
+    aR0 = rev(jax.lax.cummin(rev(jnp.where(strand_s == 0, own_kv_r, SENTINEL)), axis=1))
+    aR1 = rev(jax.lax.cummin(rev(jnp.where(strand_s == 1, own_kv_r, SENTINEL)), axis=1))
+    aR = jnp.where(strand_s == 1, aR1, aR0)
+    okL = (aL > 0) & (kv_s - aL <= tol)
+    okR = (aR != SENTINEL) & (aR - kv_s <= tol)
+    band = lambda x: (x // np.uint32(5)).astype(jnp.int32)
+    bL = band(aL) - band(kv_s)          # <= 0
+    bR = band(aR) - band(kv_s)          # >= 0
+    rkL = jnp.where(bL == 0, 0, -2 * bL)
+    rkR = jnp.where(bR == 0, 0, 2 * bR - 1)
+    assigned = jnp.where(
+        okL & (~okR | (rkL <= rkR)), aL, jnp.where(okR, aR, SENTINEL)
+    )
+    assigned = jnp.where(kv_s == SENTINEL, SENTINEL - np.uint32(1), assigned)
+
+    # pass B — per-slot distinct-subread accumulation over assigned members
+    pad_asg = pad2(assigned, np.uint32(0xFFFFFFFE))
+
+    def body_acc(d, acc):
+        ad = jax.lax.dynamic_slice_in_dim(pad_asg, d, C, axis=1)
+        md = jax.lax.dynamic_slice_in_dim(pad_mask, d, C, axis=1)
+        return acc | jnp.where(ad == kv_s, md, 0)
+
+    acc_mask = jax.lax.fori_loop(
+        0, 2 * W + 1, body_acc, jnp.zeros_like(mask_s)
+    )
+
     lowhalf = np.uint32((1 << S) - 1)
     half = jnp.where(strand_s == 1, lowhalf << np.uint32(S), lowhalf)
     votes = jax.lax.population_count(acc_mask & half).astype(jnp.int32)
-    votes = jnp.where(is_anchor & (kv_s != SENTINEL), votes, 0)
-    return kv_s, votes, strand_s, off_s, acc_mask
+    votes = jnp.where(is_anchor, votes, 0)
+    return kv_s, votes, strand_s, pk_s.astype(jnp.int32), acc_mask
 
 
 @functools.partial(
@@ -474,38 +522,71 @@ def vote_batch(
     """
     R, L = codes.shape
     H = params.max_hits
+    S = params.total_subreads
+    gap = max(params.index_gap, 1)
+    P0 = S * gap                     # probes per strand scan
 
-    # Canonical probes: ONE hash gather serves both strands.  A hit whose
-    # stored orientation equals the probe's canonicalisation flip matches
-    # the forward read; otherwise it matches the reverse-complemented read
-    # at the mirrored offset o' = read_len - KMER - o.
+    # TWO probe grids, one per strand scan, exactly as the reference runs
+    # them (do_voting, core.c:3110-3186: all forward-read probes, then all
+    # probes of the REVERSED read at the same offset grid).  The reverse
+    # scan's probe at rev-offset o reads the revcomp of the forward read's
+    # window at L-16-o — and because the grid is not mirror-symmetric,
+    # those are DIFFERENT 16-mers than the forward probes (an earlier
+    # canonical-probe design reused the forward grid for both strands and
+    # skewed reverse-strand vote counts by ±1).  Each probe accepts only
+    # hits of its own orientation; everything per-probe (own-scan offset,
+    # strand, subread id, arrival index) is a static per-column constant.
     if static_len is not None and static_len >= KMER:
-        offs_np = static_offsets(static_len, params)           # [P] numpy
-        sub_id = (
-            np.repeat(np.arange(params.total_subreads, dtype=np.int32), params.index_gap)
-            if params.index_gap > 1
-            else np.arange(params.total_subreads, dtype=np.int32)
+        offs_f = static_offsets(static_len, params)            # [P0] numpy
+        extract_np = np.concatenate(
+            [offs_f, (static_len - KMER - offs_f)]
+        )                                                       # [2P0]
+        keys_raw, wamb_p = probe_keys_static(codes, ambig, extract_np)
+        rck = revcomp_keys(keys_raw)
+        keys = jnp.minimum(keys_raw, rck)
+        # flip_req: stored orientation that makes the hit match THIS probe
+        # (probe kmer = raw for forward probes, revcomp(raw) for reverse)
+        nprobe = extract_np.shape[0]
+        is_rev_p = np.arange(nprobe) >= P0                     # [2P0] numpy
+        flip_req = jnp.where(
+            jnp.asarray(is_rev_p)[None, :], keys != rck, keys != keys_raw
         )
-        keys_raw, wamb_p = probe_keys_static(codes, ambig, offs_np)
-        keys = jnp.minimum(keys_raw, revcomp_keys(keys_raw))
-        flip_p = keys != keys_raw
         valid = ~wamb_p & (read_len[:, None] >= np.int32(static_len))
-        off_b = offs_np[None, :]                               # [1, P] numpy
-        mir_b = (static_len - KMER - offs_np)[None, :]
+        ownoff_np = np.concatenate([offs_f, offs_f])           # [2P0]
+        own_b = ownoff_np[None, :]
     else:
-        offsets, sub_id = subread_offsets(read_len, params)
+        offsets_f, sub_id0 = subread_offsets(read_len, params)  # [R, P0]
+        extract = jnp.concatenate(
+            [offsets_f,
+             jnp.maximum(read_len[:, None] - KMER - offsets_f, 0)],
+            axis=1,
+        )                                                       # [R, 2P0]
         keymat, wamb = rolling_keys(codes, ambig)
-        canonmat = jnp.minimum(keymat, revcomp_keys(keymat))
-        flipmat = canonmat != keymat
-        in_read = (offsets + KMER <= read_len[:, None]) & (read_len[:, None] >= KMER)
-        off_c = jnp.clip(offsets, 0, L - 1)
+        rcmat = revcomp_keys(keymat)
+        canonmat = jnp.minimum(keymat, rcmat)
+        flipf_mat = canonmat != keymat
+        flipr_mat = canonmat != rcmat
+        in_read = (
+            (extract + KMER <= read_len[:, None])
+            & (read_len[:, None] >= KMER)
+        )
+        off_c = jnp.clip(extract, 0, L - 1)
         keys = jnp.take_along_axis(canonmat, off_c, axis=1)
-        flip_p = jnp.take_along_axis(flipmat, off_c, axis=1)
+        nprobe = 2 * P0
+        is_rev_p = np.arange(nprobe) >= P0
+        flip_req = jnp.where(
+            jnp.asarray(is_rev_p)[None, :],
+            jnp.take_along_axis(flipr_mat, off_c, axis=1),
+            jnp.take_along_axis(flipf_mat, off_c, axis=1),
+        )
         valid = in_read & ~jnp.take_along_axis(wamb, off_c, axis=1)
-        off_b = offsets                                        # [R, P]
-        mir_b = (read_len[:, None] - KMER - offsets).astype(jnp.int32)
+        own_b = jnp.concatenate([offsets_f, offsets_f], axis=1)  # [R, 2P0]
 
-    P = keys.shape[1]
+    sn_np = np.tile(
+        np.repeat(np.arange(S, dtype=np.int32), gap) if gap > 1
+        else np.arange(S, dtype=np.int32), 2
+    )                                                           # [2P0]
+    P = nprobe
     C = P * H
     hit_pos, hit_valid, hit_orient, trunc = gather_hits(
         keys, valid, bucket_start, comb_rows, bucket_bits, params,
@@ -513,53 +594,76 @@ def vote_batch(
     )                                                          # each [R, C]
     # expand per-probe quantities to per-candidate columns (repeat H);
     # everything elementwise below runs on the FLAT [R, C] layout so the
-    # VPU's 128-lane tiles are full (a [R, P, H=32] last dim wastes 3/4)
-    if isinstance(off_b, np.ndarray) and off_b.shape[0] == 1:
-        off_r = np.repeat(off_b[0], H)[None, :]                # static numpy
-        mir_r = np.repeat(mir_b[0], H)[None, :]
+    # VPU's 128-lane tiles are full
+    if isinstance(own_b, np.ndarray) and own_b.shape[0] == 1:
+        off_r = np.repeat(own_b[0], H)[None, :]                # static numpy
     else:
-        off_r = jnp.repeat(off_b, H, axis=1)
-        mir_r = jnp.repeat(mir_b, H, axis=1)
-    flip_r = jnp.repeat(flip_p, H, axis=1)
-    subid_r = np.repeat(sub_id.astype(np.uint32), H)[None, :]
-    fwd_match = hit_orient == flip_r                           # [R, C]
-
-    # Each hit belongs to exactly ONE strand, so both strands share a single
-    # [R, C] candidate stream (half the sort/window work of two streams).
-    strand3 = (~fwd_match).astype(jnp.uint32)                  # 0 fwd, 1 rev
-    off3 = jnp.clip(jnp.where(fwd_match, off_r, mir_r), 0, L)  # [R, C] int32
+        off_r = jnp.repeat(own_b, H, axis=1)
+    flipreq_r = jnp.repeat(flip_req, H, axis=1)
+    accept = hit_orient == flipreq_r                           # [R, C]
+    strand3_np = np.repeat(is_rev_p.astype(np.uint32), H)[None, :]
+    strand3 = jnp.broadcast_to(jnp.asarray(strand3_np), (R, C))
+    # own-scan subread id only: _vote_merged shifts the mask bit by
+    # S*strand itself
+    subid_r = np.repeat(sn_np.astype(np.uint32), H)[None, :]
+    off3 = (
+        jnp.broadcast_to(jnp.asarray(off_r), (R, C))
+        if isinstance(off_r, np.ndarray) else off_r
+    ).astype(jnp.int32)
     kv3 = jnp.where(
-        hit_valid, hit_pos - off3.astype(jnp.uint32), SENTINEL
+        hit_valid & accept, hit_pos - off3.astype(jnp.uint32), SENTINEL
     )                                                          # [R, C]
-    # probe scan index in the candidate's own strand orientation: probe p of
-    # the canonical scan is probe P-1-p of the RC read's left-to-right scan
-    pidx_r = np.repeat(np.arange(P, dtype=np.uint32), H)[None, :]
-    pk3 = jnp.where(fwd_match, pidx_r, np.uint32(P - 1) - pidx_r)
+    # probe scan index within the candidate's own strand scan
+    pk3_np = np.repeat(
+        np.concatenate([np.arange(P0), np.arange(P0)]).astype(np.uint32), H
+    )[None, :]
     payload = (
         off3.astype(jnp.uint32)
         | (strand3 << np.uint32(12))
         | (subid_r << np.uint32(13))
-        | (pk3 << np.uint32(19))
+        | (jnp.asarray(pk3_np) << np.uint32(19))
     )
-    kv_s, votes, strand_s, off_s, _ = _vote_merged(kv3, payload, params)
+    kv_s, votes, strand_s, pk_s, _ = _vote_merged(kv3, payload, params)
 
     # --- top-K selection (both strands live in the one stream) ------------
+    # Reference simple-list order (core-junction.c:2262-2310): vote count
+    # level descending, then vote-table row (kv/5)%30 ascending, then slot
+    # creation order (arrival of the cluster's first hit in the
+    # strand-major scan: strand*P + probe index), then kv ascending (one
+    # probe's hits arrive position-sorted).  Packed into one uint32 minor
+    # key; votes stay the major key so level grouping is exact.
     K = params.top_k
     tol = np.uint32(params.indel_tolerance)
+    row30 = ((kv_s // np.uint32(5)) % np.uint32(30)).astype(jnp.uint32)
+    arrival = (
+        strand_s.astype(jnp.uint32) * np.uint32(P0) + pk_s.astype(jnp.uint32)
+    )
+    minor = (row30 << np.uint32(9)) | jnp.minimum(arrival, np.uint32(511))
     sel_idx = jnp.zeros((R, K), jnp.int32)
     sel_votes = jnp.zeros((R, K), jnp.int32)
+    BIGU = np.uint32(0xFFFFFFFF)
+    col = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[None, :], (R, C)
+    )
     work = votes
     for k in range(K):
-        best = jnp.argmax(work, axis=-1)  # [R] first max wins (smallest kv anchor)
-        sel_idx = sel_idx.at[:, k].set(best.astype(jnp.int32))
+        vmax = jnp.max(work, axis=-1, keepdims=True)            # [R, 1]
+        lvl = (work == vmax) & (work > 0)
+        m1 = jnp.min(jnp.where(lvl, minor, BIGU), axis=-1, keepdims=True)
+        cand = lvl & (minor == m1)
+        mkv = jnp.min(jnp.where(cand, kv_s, BIGU), axis=-1, keepdims=True)
+        cand = cand & (kv_s == mkv)
+        best = jnp.min(jnp.where(cand, col, 1 << 30), axis=-1)
+        bestc = jnp.minimum(best, C - 1)
+        sel_idx = sel_idx.at[:, k].set(bestc)
         # record the vote count AT PICK TIME: once every anchor is consumed
-        # argmax degenerates to column 0, whose original votes must not leak
-        # back in as a duplicate cluster
+        # the pick degenerates, and its original votes must not leak back
+        # in as a duplicate cluster
         sel_votes = sel_votes.at[:, k].set(
-            jnp.take_along_axis(work, best[:, None], axis=-1)[:, 0]
+            jnp.where(vmax[:, 0] > 0, vmax[:, 0], 0)
         )
-        bkv = jnp.take_along_axis(kv_s, best[:, None], axis=-1)
-        bstrand = jnp.take_along_axis(strand_s, best[:, None], axis=-1)
+        bkv = jnp.take_along_axis(kv_s, bestc[:, None], axis=-1)
+        bstrand = jnp.take_along_axis(strand_s, bestc[:, None], axis=-1)
         # suppress anchors of the same strand within ±tol of the chosen anchor
         diff = kv_s - bkv
         near = (diff <= tol) | (-diff <= tol)
@@ -568,6 +672,7 @@ def vote_batch(
     take = lambda arr: jnp.take_along_axis(arr, sel_idx, axis=-1)
     sel_kv = take(kv_s)
     sel_strand = take(strand_s)
+    sel_apk = take(arrival.astype(jnp.int32))
 
     # cluster stats for just the K winners: ONE [R, K, C] membership pass
     # over the UNSORTED candidate stream (kv3/off3 — the sorted stream
@@ -616,6 +721,7 @@ def vote_batch(
         cov_end=jnp.where(empty, 0, sel_covmax + KMER),
         probe_kv=jnp.where(empty[:, :, None], SENTINEL, sel_pkv),
         saturated=jnp.any(trunc, axis=1),
+        apk=jnp.where(empty, 1 << 29, sel_apk),
     )
 
 
@@ -641,24 +747,41 @@ def merge_vote_results(a: VoteResult, b: VoteResult, params: VoteParams) -> Vote
     cov_s = cat(a.cov_start, b.cov_start)
     cov_e = cat(a.cov_end, b.cov_end)
     pkv = jnp.concatenate([a.probe_kv, b.probe_kv], axis=1)
+    apk_a = a.apk if a.apk is not None else jnp.zeros_like(a.votes)
+    apk_b = b.apk if b.apk is not None else jnp.zeros_like(b.votes)
+    apk = cat(apk_a, apk_b)
 
     R = pos.shape[0]
+    C2 = pos.shape[1]
+    # the reference simple-list order (see vote_batch top-K): level desc,
+    # vote-table row asc, arrival asc, kv asc
+    row30 = ((anchor // np.uint32(5)) % np.uint32(30)).astype(jnp.uint32)
+    minor = (row30 << np.uint32(9)) | jnp.minimum(
+        apk.astype(jnp.uint32), np.uint32(511)
+    )
+    BIGU = np.uint32(0xFFFFFFFF)
+    col = jnp.broadcast_to(jnp.arange(C2, dtype=jnp.int32)[None, :], (R, C2))
     sel_idx = jnp.zeros((R, K), jnp.int32)
     sel_votes = jnp.zeros((R, K), jnp.int32)
     work = votes
     for k in range(K):
-        best = jnp.argmax(work, axis=-1)
-        sel_idx = sel_idx.at[:, k].set(best.astype(jnp.int32))
-        # vote count at pick time (post-suppression argmax degenerates to
-        # column 0 — its original votes must not resurface as a duplicate)
+        vmax = jnp.max(work, axis=-1, keepdims=True)
+        lvl = (work == vmax) & (work > 0)
+        m1 = jnp.min(jnp.where(lvl, minor, BIGU), axis=-1, keepdims=True)
+        cand = lvl & (minor == m1)
+        mkv = jnp.min(jnp.where(cand, anchor, BIGU), axis=-1, keepdims=True)
+        cand = cand & (anchor == mkv)
+        best = jnp.min(jnp.where(cand, col, 1 << 30), axis=-1)
+        bestc = jnp.minimum(best, C2 - 1)
+        sel_idx = sel_idx.at[:, k].set(bestc)
         sel_votes = sel_votes.at[:, k].set(
-            jnp.take_along_axis(work, best[:, None], axis=-1)[:, 0]
+            jnp.where(vmax[:, 0] > 0, vmax[:, 0], 0)
         )
-        bkv = jnp.take_along_axis(anchor, best[:, None], axis=-1)
-        bstrand = jnp.take_along_axis(strand, best[:, None], axis=-1)
+        bkv = jnp.take_along_axis(anchor, bestc[:, None], axis=-1)
+        bstrand = jnp.take_along_axis(strand, bestc[:, None], axis=-1)
         diff = anchor - bkv
         near = (diff <= tol) | (-diff <= tol)
-        work = jnp.where(near & (strand == bstrand), -1, work)
+        work = jnp.where(near & (strand == bstrand), 0, work)
     take = lambda arr: jnp.take_along_axis(arr, sel_idx, axis=-1)
     empty = sel_votes <= 0
     return VoteResult(
@@ -671,4 +794,5 @@ def merge_vote_results(a: VoteResult, b: VoteResult, params: VoteParams) -> Vote
         cov_end=jnp.where(empty, 0, take(cov_e)),
         probe_kv=jnp.take_along_axis(pkv, sel_idx[:, :, None], axis=1),
         saturated=a.saturated | b.saturated,
+        apk=jnp.where(empty, 1 << 29, take(apk)),
     )

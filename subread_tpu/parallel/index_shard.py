@@ -173,7 +173,7 @@ def index_sharded_vote(
             pos=read_spec, tail=read_spec, anchor=read_spec,
             votes=read_spec, strand=read_spec, cov_start=read_spec,
             cov_end=read_spec, probe_kv=P(READS_AXIS, None, None),
-            saturated=P(READS_AXIS),
+            saturated=P(READS_AXIS), apk=read_spec,
         ),
         check_vma=False,
     )
