@@ -58,45 +58,54 @@ def main():
         c = codes[:rows]
         a = ambig[:rows]
         l = d_lens[:rows]
-        offs_np = V.static_offsets(ul, params)
+        offs_f = V.static_offsets(ul, params)
         H = params.max_hits
-        P = len(offs_np)
+        S = params.total_subreads
+        gap = max(params.index_gap, 1)
+        P0 = S * gap
+        extract_np = np.concatenate([offs_f, (ul - V.KMER - offs_f)])
+        is_rev_p = np.arange(2 * P0) >= P0
+        P = 2 * P0
 
         @jax.jit
         def s_keys(c, a, l):
-            keys_raw, wamb_p = V.probe_keys_static(c, a, offs_np)
-            keys = jnp.minimum(keys_raw, V.revcomp_keys(keys_raw))
-            flip_p = keys != keys_raw
+            keys_raw, wamb_p = V.probe_keys_static(c, a, extract_np)
+            rck = V.revcomp_keys(keys_raw)
+            keys = jnp.minimum(keys_raw, rck)
+            flip_req = jnp.where(
+                jnp.asarray(is_rev_p)[None, :], keys != rck, keys != keys_raw
+            )
             valid = ~wamb_p & (l[:, None] >= np.int32(ul))
-            return keys, flip_p, valid
+            return keys, flip_req, valid
 
         @jax.jit
         def s_gather(c, a, l):
-            keys, flip_p, valid = s_keys(c, a, l)
+            keys, flip_req, valid = s_keys(c, a, l)
             return V.gather_hits(keys, valid, bs_, cb, bb0, params,
-                                 sb_, sl_, e0, st0)
+                                 sb_, sl_, e0, st0, probe_orient=flip_req)
 
         def common(c, a, l):
-            keys, flip_p, valid = s_keys(c, a, l)
-            hit_pos, hit_valid, hit_orient, trunc = V.gather_hits(
-                keys, valid, bs_, cb, bb0, params, sb_, sl_, e0, st0)
-            off_r = np.repeat(offs_np, H)[None, :]
-            mir_r = np.repeat(ul - V.KMER - offs_np, H)[None, :]
-            flip_r = jnp.repeat(flip_p, H, axis=1)
-            sub_id = np.arange(params.total_subreads, dtype=np.uint32)
-            subid_r = np.repeat(
-                np.repeat(sub_id, max(params.index_gap, 1)), H
-            )[None, :]
-            fwd_match = hit_orient == flip_r
-            strand3 = (~fwd_match).astype(jnp.uint32)
-            off3 = jnp.clip(jnp.where(fwd_match, off_r, mir_r), 0, L)
+            keys, flip_req, valid = s_keys(c, a, l)
+            hit_pos, hit_valid, trunc = V.gather_hits(
+                keys, valid, bs_, cb, bb0, params, sb_, sl_, e0, st0,
+                probe_orient=flip_req)
+            ownoff = np.concatenate([offs_f, offs_f])
+            off_r = np.repeat(ownoff, H)[None, :]
+            sn = (np.repeat(np.arange(S), gap) if gap > 1
+                  else np.arange(S)).astype(np.uint32)
+            subid_r = np.repeat(np.tile(sn, 2), H)[None, :]
+            strand3 = jnp.broadcast_to(
+                jnp.asarray(np.repeat(is_rev_p.astype(np.uint32), H)[None, :]),
+                hit_valid.shape)
+            off3 = jnp.broadcast_to(jnp.asarray(off_r), hit_valid.shape
+                                    ).astype(jnp.int32)
             kv3 = jnp.where(
                 hit_valid, hit_pos - off3.astype(jnp.uint32), V.SENTINEL
             )
-            pidx_r = np.repeat(np.arange(P, dtype=np.uint32), H)[None, :]
-            pk3 = jnp.where(fwd_match, pidx_r, np.uint32(P - 1) - pidx_r)
+            pk3 = np.repeat(np.tile(np.arange(P0, dtype=np.uint32), 2), H)[None, :]
             payload = (off3.astype(jnp.uint32) | (strand3 << np.uint32(12))
-                       | (subid_r << np.uint32(13)) | (pk3 << np.uint32(19)))
+                       | (subid_r << np.uint32(13))
+                       | (jnp.asarray(pk3) << np.uint32(19)))
             return kv3, payload
 
         @jax.jit

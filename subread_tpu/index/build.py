@@ -13,11 +13,12 @@ gathered elements per probe:
     positions    : uint32 [N]       sorted by (canonical key, position)
 
 Keys are stored CANONICAL — min(kmer, revcomp(kmer)) — with the
-orientation (was-the-genome-kmer-flipped) in bit 15 of the check16, so
-ONE probe per read offset serves both strands: a hit whose stored
-orientation equals the probe's canonicalisation flip is a forward-strand
-match, otherwise reverse.  This halves every per-probe gather (the
-dominant cost: each gathered element is a fixed ~12ns issue slot).
+orientation (was-the-genome-kmer-flipped) in bit 0 of the check16 and
+entries sorted by (key, orientation, position): each (key, orientation)
+pair forms its own contiguous run, so a probe's full-check equality match
+returns only entries of its required orientation — gather windows carry
+no wrong-strand entries, and the rescue width is bounded by the
+PER-ORIENTATION run length (<= REPEAT_THRESHOLD).
 
 Because the bucket is the *high* bits of the canonical key, entries end
 up globally sorted.  bucket_bits >= MIN_BUCKET_BITS keeps the key
@@ -89,7 +90,7 @@ class HashIndex:
         cached (one vectorised pass over the sorted keys)."""
         if getattr(self, "_sub_dir", None) is None:
             self._sub_dir = build_sub_directory(
-                self.keys, self.bucket_start, self.bucket_bits
+                self.keys, self.orient, self.bucket_start, self.bucket_bits
             )
         return self._sub_dir
 
@@ -108,7 +109,7 @@ class HashIndex:
         sb, sl, sbits, steps = self.sub_dir
         np.savez_compressed(
             prefix + ".hash.npz",
-            version=np.int64(3),
+            version=np.int64(4),
             bucket_bits=np.int64(self.bucket_bits),
             bucket_start=self.bucket_start,
             keys=self.keys,
@@ -146,10 +147,16 @@ class HashIndex:
                 int(z["padding"])
             )
         orient = np.unpackbits(z["orient"])[: len(z["keys"])].astype(bool)
-        if int(z["bucket_bits"]) < MIN_BUCKET_BITS:
-            # pre-check16 file: re-derive the layout at the new minimum bits
+        if int(z["bucket_bits"]) < MIN_BUCKET_BITS or int(z["version"]) < 4:
+            # pre-check16 or pre-orientation-split file: re-sort into the
+            # (key, orient, pos) layout (the stored canonical keys/orient/
+            # positions carry everything needed)
+            rawkeys = np.where(
+                orient, revcomp_keys_np(z["keys"].astype(np.uint32)),
+                z["keys"].astype(np.uint32),
+            )
             return native_layout(
-                z["keys"], z["positions"], int(z["index_gap"]),
+                rawkeys, z["positions"], int(z["index_gap"]),
                 int(z["padding"])
             )
         idx = cls(
@@ -162,7 +169,7 @@ class HashIndex:
             index_gap=int(z["index_gap"]),
             padding=int(z["padding"]),
             max_bucket=int(z["max_bucket"]),
-            max_run=int(z["max_run"]) if "max_run" in z else _max_key_run(z["keys"]),
+            max_run=int(z["max_run"]) if "max_run" in z else 0,
         )
         idx.check_words = pack_check_bytes(idx.keys, orient, idx.bucket_bits)
         if "sub_base" in z:
@@ -185,20 +192,21 @@ def revcomp_keys_np(x: np.ndarray) -> np.ndarray:
 
 
 def build_sub_directory(
-    ks: np.ndarray, bucket_start: np.ndarray, bucket_bits: int,
-    force_bits: int | None = None,
+    ks: np.ndarray, orient: np.ndarray, bucket_start: np.ndarray,
+    bucket_bits: int, force_bits: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
     """Two-level lookup for buckets longer than BIG_BUCKET.
 
     For the k-th big bucket, `sub_lo[(sub_base[bucket] ... +2**sub_bits)]`
-    holds, per value s of the top `sub_bits` bits of the in-bucket key
-    remainder, the index of the first entry whose remainder-top >= s
-    (empty slots point at the next occupied one; trailing empties at the
-    bucket end).  sub_bits is raised until EVERY key run starts exactly at
-    its slot's first entry (d_max == 0), so the device jump lands on the
-    run start with no residual search; at sub_bits = 32 - bucket_bits the
-    slot IS the full remainder, which guarantees d_max == 0, so
-    search_steps > 0 can only happen under the MAX_SUB_SLOTS memory cap.
+    holds, per value s of the top `sub_bits` bits of the in-bucket check
+    ((remainder << 1) | orientation — see check16), the index of the first
+    entry whose check-top >= s (empty slots point at the next occupied
+    one; trailing empties at the bucket end).  sub_bits is raised until
+    EVERY (key, orientation) run starts exactly at its slot's first entry
+    (d_max == 0), so the device jump lands on the run start with no
+    residual search; at sub_bits = 33 - bucket_bits the slot IS the full
+    check, which guarantees d_max == 0, so search_steps > 0 can only
+    happen under the MAX_SUB_SLOTS memory cap.
 
     Returns (sub_base int32 [B] (-1 = small bucket), sub_lo int32,
     sub_bits, search_steps).
@@ -210,17 +218,22 @@ def build_sub_directory(
     sub_base = np.full(B, -1, np.int32)
     if nbig == 0 or len(ks) == 0:
         return sub_base, np.zeros(1, np.int32), 0, 0
-    rem_bits = 32 - bucket_bits
-    bucket = (ks >> np.uint32(rem_bits)).astype(np.int64)
+    rem_bits = 33 - bucket_bits      # check width incl. the orientation LSB
+    bucket = (ks >> np.uint32(32 - bucket_bits)).astype(np.int64)
     in_big = bigmask[bucket]
     eidx = np.flatnonzero(in_big).astype(np.int64)  # global entry index
     kb = bucket[eidx]
     krank = np.cumsum(bigmask) - 1                  # bucket -> big rank
     kr = krank[kb].astype(np.int64)
-    chk = (ks[eidx] & np.uint32((1 << rem_bits) - 1)).astype(np.uint32)
+    chk = (
+        ((ks[eidx] & np.uint32((1 << (32 - bucket_bits)) - 1)) << np.uint32(1))
+        | orient[eidx].astype(np.uint32)
+    ).astype(np.uint32)
     kk = ks[eidx]
+    oo = orient[eidx]
     is_start = np.concatenate(
-        ([True], (kk[1:] != kk[:-1]) | (kb[1:] != kb[:-1]))
+        ([True],
+         (kk[1:] != kk[:-1]) | (oo[1:] != oo[:-1]) | (kb[1:] != kb[:-1]))
     )
     ar = np.arange(len(eidx), dtype=np.int64)
     e = d_max = 0
@@ -254,25 +267,31 @@ def build_sub_directory(
     return sub_base, sub_lo.astype(np.int32), e, steps
 
 
-def _max_key_run(ks: np.ndarray) -> int:
-    """Longest run of one canonical key in the sorted key array."""
+def _max_key_run(ks: np.ndarray, orient: np.ndarray) -> int:
+    """Longest run of one (canonical key, orientation) pair in the sorted
+    arrays — the rescue gather width bound (<= REPEAT_THRESHOLD per
+    forward key thanks to the uninformative filter)."""
     if len(ks) == 0:
         return 0
-    change = np.flatnonzero(ks[1:] != ks[:-1])
+    change = np.flatnonzero((ks[1:] != ks[:-1]) | (orient[1:] != orient[:-1]))
     bounds = np.concatenate([[-1], change, [len(ks) - 1]])
     return int(np.diff(bounds).max())
 
 
 def check16(keys_u32: np.ndarray, orient: np.ndarray, bucket_bits: int):
-    """Check half-word: bit 15 = orientation (genome kmer was the revcomp
-    of the canonical key), bits 0-14 = the FULL in-bucket key remainder
-    (bucket_bits >= MIN_BUCKET_BITS makes it <= 15 bits).  Exact: a check
-    match means the entry's key equals the probe's key.  Monotone within a
-    bucket, so the device locates a key's run by binary search over the
-    packed checks alone."""
+    """Check half-word: bits 1-15 = the FULL in-bucket key remainder
+    (bucket_bits >= MIN_BUCKET_BITS makes it <= 15 bits), bit 0 = the
+    stored orientation (genome kmer was the revcomp of the canonical key).
+    With the orientation in the LSB and entries sorted by (key, orient,
+    pos), each (key, orientation) pair forms its own contiguous run with
+    its own directory slot — a probe's 16-bit check equality match returns
+    ONLY entries of its required orientation, so gather windows carry no
+    wrong-strand entries and the per-run length bound halves (the
+    uninformative filter caps each forward key at REPEAT_THRESHOLD
+    occurrences per orientation)."""
     rem = (keys_u32 & np.uint32((1 << (32 - bucket_bits)) - 1)).astype(np.uint32)
     return (
-        rem | (orient.astype(np.uint32) << np.uint32(15))
+        (rem << np.uint32(1)) | orient.astype(np.uint32)
     ).astype(np.uint16)
 
 
@@ -317,10 +336,15 @@ def native_layout(
     rc = revcomp_keys_np(keys)
     canon = np.minimum(keys, rc)
     orient = canon != keys
-    # single radix argsort on a fused (key, position) 64-bit value — a
-    # two-key np.lexsort measured ~5x slower at 100M entries
-    fused = (canon.astype(np.uint64) << np.uint64(32)) | positions.astype(
-        np.uint64
+    # single radix argsort on a fused (key, orient, position) 64-bit value
+    # — a multi-key np.lexsort measured ~5x slower at 100M entries.  The
+    # orientation sits between key and position so each (key, orientation)
+    # pair is its own contiguous run (see check16).
+    assert positions.max(initial=0) < (1 << 31)
+    fused = (
+        (canon.astype(np.uint64) << np.uint64(32))
+        | (orient.astype(np.uint64) << np.uint64(31))
+        | positions.astype(np.uint64)
     )
     order = np.argsort(fused, kind="stable")
     return _layout_from_sorted(
@@ -356,7 +380,7 @@ def _layout_from_sorted(
         index_gap=index_gap,
         padding=padding,
         max_bucket=int(counts.max(initial=0)),
-        max_run=_max_key_run(ks),
+        max_run=_max_key_run(ks, orient),
     )
 
 
@@ -408,7 +432,12 @@ def build_hash_index(
     canon = np.minimum(keys, rc)
     orient = canon != keys
     del rc, keys
-    fused = (canon.astype(np.uint64) << np.uint64(32)) | pos.astype(np.uint64)
+    assert pos.max(initial=0) < (1 << 31)
+    fused = (
+        (canon.astype(np.uint64) << np.uint64(32))
+        | (orient.astype(np.uint64) << np.uint64(31))
+        | pos.astype(np.uint64)
+    )
     order = np.argsort(fused, kind="stable")
     del fused
     ks = canon[order]

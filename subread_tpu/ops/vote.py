@@ -210,7 +210,7 @@ COMB_W = GROUP + GROUP // 2   # row layout: 16 positions + 8 packed check16 word
 
 
 def gather_hits(
-    probe_keys: jnp.ndarray,    # uint32 [R, P]
+    probe_keys: jnp.ndarray,    # uint32 [R, P] CANONICAL keys
     probe_valid: jnp.ndarray,   # bool [R, P]
     bucket_start: jnp.ndarray,  # int32 [B+1]
     comb_rows: jnp.ndarray,     # uint32 [G, 24]: 16 positions + 8 check words
@@ -220,32 +220,33 @@ def gather_hits(
     sub_lo: jnp.ndarray | None = None,    # int32 sub-bucket directory
     sub_bits: int = 0,
     search_steps: int = 0,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Key-run window fetch via ROW gathers with exact check16 key
-    verification.
+    probe_orient: jnp.ndarray | None = None,  # bool [R, P]: required stored
+    #                                           orientation of matching hits
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(Key, orientation)-run window fetch via ROW gathers with exact
+    check16 verification.
 
     Replaces the reference's in-bucket binary search
     (sorted-hashtable.c:960-981): with B = 2**bucket_bits high-bit buckets
     the average bucket holds about one entry, so the H-wide window
-    [lo, lo+H) covers the probe's whole key run with NO search for any
-    bucket of <= BIG_BUCKET entries.  Repeat-dense buckets (tandem repeats
+    [lo, lo+H) covers the probe's whole run with NO search for any bucket
+    of <= BIG_BUCKET entries.  Repeat-dense buckets (tandem repeats
     concentrate many high-occurrence keys sharing their prefix) can hold
     hundreds of entries, where a head-of-bucket window would miss runs
     entirely — for those the build-time SUB-BUCKET DIRECTORY
     (index.build.build_sub_directory) maps the probe's next `sub_bits`
-    check bits straight to its key run's start: two extra scalar gathers,
+    check bits straight to its run's start: two extra scalar gathers,
     replacing a log2(max_bucket)-trip scalar-gather search loop that
     measured ~11ms per 16K-read dispatch on chr901.  The builder
     guarantees the jump lands exactly on the run start (search_steps=0);
     a residual fixed-trip lower_bound remains only for the pathological
     directory-size-capped case.
 
-    probe_keys are CANONICAL, so one probe serves both strands (bit 15 of
-    check16 carries the stored orientation).  Bits 0-14 hold the full key
-    remainder, so a check match IS a full key match — no aliasing
-    (reads probing with an error in their last bases used to collect
-    false hits at the true position through the old 7-bit checksum,
-    overcounting votes).
+    The check16 is ((key remainder) << 1) | stored_orientation and entries
+    sort by (key, orientation, position), so the probe's full-check
+    equality match returns ONLY entries of its required orientation
+    (probe_orient) — no aliasing, no wrong-strand entries in the window,
+    and the truncation bound is the PER-ORIENTATION run length.
 
     Index entries are stored in COMBINED rows of GROUP=16: row g =
     [pos_{16g..16g+15}, check16s packed into 8 words].  Gathering 2-D
@@ -259,10 +260,10 @@ def gather_hits(
     slots that are read afterwards (slot j reads original index
     j+phase <= (H-1)+15 < NW).
 
-    Returns (hit_pos uint32, hit_valid bool, hit_orient bool) each FLAT
-    [R, C] with C = P*H (candidate-major: probe p's hits at columns
-    p*H..p*H+H-1), plus truncated bool [R, P]: the run extends beyond the
-    H-entry window (callers route such reads to a wider rescue pass).
+    Returns (hit_pos uint32, hit_valid bool) each FLAT [R, C] with
+    C = P*H (candidate-major: probe p's hits at columns p*H..p*H+H-1),
+    plus truncated bool [R, P]: the run extends beyond the H-entry window
+    (callers route such reads to a wider rescue pass).
     """
     R, P = probe_keys.shape
     G = comb_rows.shape[0]
@@ -275,13 +276,16 @@ def gather_hits(
     bucket = (probe_keys >> shift).astype(jnp.int32)
     lo = bucket_start[bucket]
     hi = bucket_start[bucket + 1]
-    # full in-bucket key remainder (<= 15 bits: MIN_BUCKET_BITS)
-    qcheck_p = probe_keys & np.uint32((1 << (32 - bucket_bits)) - 1)  # [R, P]
+    # full in-bucket check: (key remainder << 1) | required orientation
+    rem = probe_keys & np.uint32((1 << (32 - bucket_bits)) - 1)
+    if probe_orient is None:
+        probe_orient = jnp.zeros(probe_keys.shape, bool)
+    qcheck_p = (rem << np.uint32(1)) | probe_orient.astype(jnp.uint32)
 
     if sub_bits and sub_base is not None:
-        # big-bucket jump: directory slot = top sub_bits of the remainder
+        # big-bucket jump: directory slot = top sub_bits of the check
         sb = sub_base[bucket]
-        sub = (qcheck_p >> np.uint32(32 - bucket_bits - sub_bits)).astype(
+        sub = (qcheck_p >> np.uint32(33 - bucket_bits - sub_bits)).astype(
             jnp.int32
         )
         lo2 = sub_lo[jnp.maximum(sb, 0) + sub]
@@ -299,7 +303,7 @@ def gather_hits(
             half = length >> 1
             mid = cur + half
             w = flat[(mid >> 4) * COMB_W + GROUP + ((mid & 15) >> 1)]
-            c = (w >> ((mid.astype(jnp.uint32) & 1) << 4)) & np.uint32(0x7FFF)
+            c = (w >> ((mid.astype(jnp.uint32) & 1) << 4)) & np.uint32(0xFFFF)
             # length <= 0 means cur already IS the lower bound: freeze
             # (otherwise a stray check at cur — e.g. the next bucket's
             # first entry — could push cur past the run start)
@@ -344,13 +348,12 @@ def gather_hits(
     qcheck = jnp.repeat(qcheck_p, H, axis=1)
     hit_valid = (
         (idx < hi_rep)
-        & ((checks & np.uint32(0x7FFF)) == qcheck)
+        & (checks == qcheck)
         & jnp.repeat(probe_valid, H, axis=1)
     )
-    hit_orient = (checks >> np.uint32(15)) != 0
     # run extends past the window iff its last slot still matched
     truncated = hit_valid.reshape(R, P, H)[:, :, H - 1]
-    return hit_pos, hit_valid, hit_orient, truncated
+    return hit_pos, hit_valid, truncated
 
 
 def _vote_merged(
@@ -588,9 +591,10 @@ def vote_batch(
     )                                                           # [2P0]
     P = nprobe
     C = P * H
-    hit_pos, hit_valid, hit_orient, trunc = gather_hits(
+    hit_pos, hit_valid, trunc = gather_hits(
         keys, valid, bucket_start, comb_rows, bucket_bits, params,
         sub_base, sub_lo, sub_bits, search_steps,
+        probe_orient=flip_req,
     )                                                          # each [R, C]
     # expand per-probe quantities to per-candidate columns (repeat H);
     # everything elementwise below runs on the FLAT [R, C] layout so the
@@ -599,8 +603,6 @@ def vote_batch(
         off_r = np.repeat(own_b[0], H)[None, :]                # static numpy
     else:
         off_r = jnp.repeat(own_b, H, axis=1)
-    flipreq_r = jnp.repeat(flip_req, H, axis=1)
-    accept = hit_orient == flipreq_r                           # [R, C]
     strand3_np = np.repeat(is_rev_p.astype(np.uint32), H)[None, :]
     strand3 = jnp.broadcast_to(jnp.asarray(strand3_np), (R, C))
     # own-scan subread id only: _vote_merged shifts the mask bit by
@@ -611,7 +613,7 @@ def vote_batch(
         if isinstance(off_r, np.ndarray) else off_r
     ).astype(jnp.int32)
     kv3 = jnp.where(
-        hit_valid & accept, hit_pos - off3.astype(jnp.uint32), SENTINEL
+        hit_valid, hit_pos - off3.astype(jnp.uint32), SENTINEL
     )                                                          # [R, C]
     # probe scan index within the candidate's own strand scan
     pk3_np = np.repeat(

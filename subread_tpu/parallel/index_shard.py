@@ -113,7 +113,7 @@ def stack_shards(
     sub_bits = max(d[2] for d in dirs)
     dirs = [
         d if d[2] == sub_bits or d[2] == 0
-        else build_sub_directory(s.keys, s.bucket_start, bits, force_bits=sub_bits)
+        else build_sub_directory(s.keys, s.orient, s.bucket_start, bits, force_bits=sub_bits)
         for s, d in zip(shards, dirs)
     ]
     M = max(len(d[1]) for d in dirs)

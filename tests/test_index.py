@@ -64,20 +64,23 @@ def test_hash_index_lookup_roundtrip(chr901_genome, chr901_index):
 
 def test_hash_index_globally_sorted(chr901_index):
     idx = chr901_index
-    # high-bit buckets => entries globally sorted by (full key, position)
-    comb = (idx.keys.astype(np.uint64) << np.uint64(33)) | idx.positions.astype(
-        np.uint64
+    # high-bit buckets => entries globally sorted by (key, orient, position)
+    comb = (
+        (idx.keys.astype(np.uint64) << np.uint64(32))
+        | (idx.orient.astype(np.uint64) << np.uint64(31))
+        | idx.positions.astype(np.uint64)
     )
     assert np.all(np.diff(comb.astype(np.int64)) > 0)
-    # check halfwords round-trip: full key remainder + orientation bit 15
+    # check halfwords round-trip: (key remainder << 1) | orientation
     from subread_tpu.index.build import check16
 
     b = idx.check_words.view(np.uint16)[: idx.n_items]
     assert np.array_equal(b, check16(idx.keys, idx.orient, idx.bucket_bits))
-    # remainder fits 15 bits so a check16 match IS a full key match
+    # remainder fits 15 bits so a check16 match IS a full (key, orient) match
     assert idx.bucket_bits >= 17
     rem = (idx.keys << np.uint32(idx.bucket_bits)) >> np.uint32(idx.bucket_bits)
-    assert np.array_equal(b & 0x7FFF, rem)
+    assert np.array_equal(b >> 1, rem.astype(np.uint16))
+    assert np.array_equal((b & 1) != 0, idx.orient)
 
 
 def test_index_save_load(tmp_path, chr901_genome, chr901_index):
