@@ -106,3 +106,41 @@ def test_pe_position_agreement_with_reference(tmp_path, chr901_genome,
     rate = agree / both
     assert rate >= 0.98, f"PE position agreement {rate:.4f} ({agree}/{both})"
     assert ref_only < 400, f"reference-only mapped: {ref_only}"
+
+
+# --- record-level parity gates (samcompare over the FULL-record fixtures:
+# FLAG/POS/MAPQ/CIGAR/TLEN/NM), ratcheted to the measured rates of the
+# two-grid exact-vote kernel.  Residue at the gates (documented in
+# PROGRESS notes): SE = shared-event indel CIGAR ties (~23 reads) + vote
+# round-2 cases; PE adds pair-selection ties and mate-rescue cases.
+
+SE_FULL = HERE / "data" / "se20k-chr901.ref-full.tsv.gz"
+PE_FULL = HERE / "data" / "pe10k-chr901.ref-full.tsv.gz"
+
+
+def test_se_full_record_parity(tmp_path, chr901_genome, chr901_index):
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+    from subread_tpu.utils.samcompare import load_ref_full, compare_sam_to_ref
+
+    al = Aligner(chr901_genome, chr901_index, aligner_config(batch_reads=2048))
+    out = tmp_path / "se.sam"
+    al.align_file(str(FQ), str(out))
+    st = compare_sam_to_ref(str(out), load_ref_full(str(SE_FULL)))
+    assert st.full_rate >= 0.9975, f"SE full-record parity {st.full_rate:.4f}"
+    assert st.core_rate >= 0.9980, f"SE core parity {st.core_rate:.4f}"
+    assert st.ref_only_mapped <= 40, f"ref-only mapped {st.ref_only_mapped}"
+
+
+def test_pe_full_record_parity(tmp_path, chr901_genome, chr901_index):
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+    from subread_tpu.utils.samcompare import load_ref_full, compare_sam_to_ref
+
+    al = Aligner(chr901_genome, chr901_index, aligner_config(batch_reads=2048))
+    out = tmp_path / "pe.sam"
+    al.align_file_pe(str(PE_R1), str(PE_R2), str(out))
+    st = compare_sam_to_ref(str(out), load_ref_full(str(PE_FULL)))
+    assert st.full_rate >= 0.9900, f"PE full-record parity {st.full_rate:.4f}"
+    assert st.core_rate >= 0.9940, f"PE core parity {st.core_rate:.4f}"
+    assert st.ref_only_mapped <= 40, f"ref-only mapped {st.ref_only_mapped}"
