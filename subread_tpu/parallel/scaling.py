@@ -92,6 +92,56 @@ def measure_weak_scaling(device_counts=(1, 2, 8), per_device_reads=2048,
     return results
 
 
+def measure_sharding_overhead(device_counts=(1, 2, 8), total_reads=16384,
+                              reps: int = 3, devices=None) -> dict:
+    """Constant-TOTAL-work sharding overhead: time the same `total_reads`
+    batch on 1 device and sharded over N.  On hosts whose virtual CPU
+    devices share physical cores (this machine: 4 cores behind 8 virtual
+    devices), per-device-constant weak scaling measures core contention,
+    not the framework — the 1-device step already uses every core via
+    XLA's intra-op threading, so adding virtual devices multiplies work
+    against fixed silicon.  With the total work held constant both
+    configurations run the identical FLOPs on the identical cores, so
+
+        overhead(N) = t(N devices) / t(1 device)
+
+    isolates exactly what sharding adds: SPMD partitioning, collective
+    ops (the rescue-fold compaction all-gathers), and per-device dispatch.
+    Its inverse is the projected pod weak-scaling efficiency, where every
+    chip brings its own compute and only this overhead term remains
+    (BASELINE.json >=0.80 target; thread-pool analog core.c:3379-3461).
+    """
+    import jax
+
+    from subread_tpu.parallel.mesh import make_mesh, sharded_align_step
+
+    if devices is None:
+        devices = jax.devices()
+        if len(devices) < max(device_counts):
+            devices = jax.devices("cpu")
+    results: dict[int, dict] = {}
+    t1 = None
+    aligner, codes, ambig, lens = _setup(total_reads, 1)
+    for n in device_counts:
+        mesh = make_mesh(n, devices=devices[:n])
+        step = sharded_align_step(mesh, aligner)
+        jax.block_until_ready(step(codes, ambig, lens))  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(step(codes, ambig, lens))
+            best = min(best, time.perf_counter() - t0)
+        if t1 is None:
+            t1 = best
+        results[n] = {
+            "reads": total_reads,
+            "step_s": best,
+            "overhead": best / t1,
+            "projected_efficiency": t1 / best,
+        }
+    return results
+
+
 def main(argv=None) -> int:
     import argparse
 
@@ -100,7 +150,27 @@ def main(argv=None) -> int:
     ap.add_argument("--reads", type=int, default=2048,
                     help="reads per device per step")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--total-work", action="store_true",
+                    help="constant-total-work sharding-overhead mode "
+                         "(honest on shared-core virtual meshes)")
     args = ap.parse_args(argv)
+    if args.total_work:
+        counts = tuple(int(x) for x in args.devices.split(","))
+        res = measure_sharding_overhead(counts, args.reads, args.reps)
+        for n, r in res.items():
+            print(
+                f"devices={n:2d}  step={r['step_s'] * 1e3:8.1f} ms  "
+                f"overhead={r['overhead']:.3f}  "
+                f"projected_efficiency={r['projected_efficiency']:.3f}"
+            )
+        print(json.dumps({
+            "metric": "sharding_overhead_projected_efficiency",
+            "value": res[counts[-1]]["projected_efficiency"],
+            "unit": f"t(1)/t({counts[-1]}) at {args.reads} total reads",
+            "per_n": {str(n): r["projected_efficiency"]
+                      for n, r in res.items()},
+        }))
+        return 0
     counts = tuple(int(x) for x in args.devices.split(","))
     res = measure_weak_scaling(counts, args.reads, args.reps)
     for n, r in res.items():

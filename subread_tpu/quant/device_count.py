@@ -250,6 +250,90 @@ class DeviceCounter:
             np.asarray(strands, dtype=np.int32),
         )
 
+    def fragments_from_sam(self, path: str):
+        """PE variant of sections_from_sam: records pair by QNAME (orphan
+        hash, arbitrary order) and each FRAGMENT contributes the union of
+        both ends' sections — the default `-p --countReadPairs` fragment
+        semantics (readSummary.c:2924 PE path, default gates).  Secondary/
+        supplementary records are skipped like the host counter's default
+        path.  Returns the same arrays as sections_from_sam with one row
+        per fragment."""
+        S = self.max_sections
+        pending: dict[str, tuple] = {}
+        starts, ends, gates, strands = [], [], [], []
+
+        def emit(r1, r2):
+            # r = (mapped, nh, chro, secs, strand_bit) or None for a
+            # missing mate (orphan flushed at EOF)
+            ms = [r for r in (r1, r2) if r is not None]
+            if not any(r[0] for r in ms):
+                starts.append([0] * S)
+                ends.append([-1] * S)
+                gates.append(ST_UNMAPPED)
+                strands.append(0)
+                return
+            if any(r[0] and r[1] > 1 for r in ms):
+                starts.append([0] * S)
+                ends.append([-1] * S)
+                gates.append(ST_MULTIMAPPING)
+                strands.append(0)
+                return
+            tbl = 0
+            first = next(r for r in ms if r[0])
+            if self.strand:
+                tbl = first[4] if self.strand == 1 else first[4] ^ 1
+            win = self._windows[tbl]
+            row_s, row_e = [], []
+            for r in ms:
+                if not r[0]:
+                    continue
+                cw = win.get(r[2])
+                if cw is None:
+                    continue
+                for s, e in r[3]:
+                    if s > cw.max_end or len(row_s) >= S:
+                        continue
+                    row_s.append(cw.offset + s)
+                    row_e.append(cw.offset + min(e, cw.max_end))
+            row_s += [0] * (S - len(row_s))
+            row_e += [-1] * (S - len(row_e))
+            starts.append(row_s)
+            ends.append(row_e)
+            gates.append(0)
+            strands.append(tbl)
+
+        with open(path) as f:
+            for line in f:
+                if line.startswith("@"):
+                    continue
+                fds = line.rstrip("\n").split("\t")
+                flag = int(fds[1])
+                if flag & 0x900:       # secondary/supplementary
+                    continue
+                mapped = not (flag & 0x4) and fds[5] != "*"
+                nh = 1
+                for t in fds[11:]:
+                    if t.startswith("NH:i:"):
+                        nh = int(t[5:])
+                        break
+                secs = (
+                    self._cigar_sections(int(fds[3]), fds[5]) if mapped else []
+                )
+                rec = (mapped, nh, fds[2], secs, 1 if (flag & 0x10) else 0)
+                other = pending.pop(fds[0], None)
+                if other is None:
+                    pending[fds[0]] = rec
+                else:
+                    emit(other, rec)
+        for rec in pending.values():
+            emit(rec, None)
+        return (
+            np.asarray(starts, dtype=np.int32).reshape(-1, S),
+            np.asarray(ends, dtype=np.int32).reshape(-1, S),
+            np.asarray(gates, dtype=np.int32),
+            np.asarray(strands, dtype=np.int32),
+        )
+
     def _cigar_sections(self, pos: int, cigar: str):
         """Mirror of featurecounts._sections (same max_mop / D / N
         semantics) on (pos, cigar) directly."""

@@ -75,6 +75,13 @@ def build_parser():
     ap.add_argument("--restrictedlyNoOverlap", action="store_true",
                     help=argparse.SUPPRESS)
     ap.add_argument("--debugCommand", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--deviceCounts", action="store_true",
+                    help="count on the JAX device(s): disjoint-span "
+                         "searchsorted kernel with per-chip psum count "
+                         "merge (readSummary.c:5795 analog); covers the "
+                         "default gene-level unique-counting option subset "
+                         "(SE and -p fragments, -s 0/1/2), SAM input; "
+                         "other options fall back to the host counter")
     # scRNA sub-mode (readSummary.c:7332-7334): BC+UMI parsed from
     # '|'-joined read names; per-sample sparse matrices emitted
     ap.add_argument("--scSampleSheet", default=None,
@@ -85,6 +92,68 @@ def build_parser():
                     help="cell barcode whitelist (one barcode per line)")
     ap.add_argument("input", nargs="+", help="SAM/BAM input file(s)")
     return ap
+
+
+def _try_device_count(fc, ann, path, args) -> bool:
+    """Route one input through the device counting kernel
+    (quant.device_count.DeviceCounter) when the options fall inside its
+    covered subset; returns False to fall back to the host counter.
+    Multi-device processes shard the reads axis over a mesh and
+    psum-merge the per-chip count vectors (readSummary.c:5795 analog)."""
+    o = fc.opts
+    eligible = (
+        not o.feature_level and not o.count_multi and not o.primary_only
+        and o.min_mapq == 0 and not o.allow_multi_overlap
+        and o.min_overlap == 1 and o.frac_overlap == 0
+        and not o.largest_overlap and o.read2pos == 0
+        and o.ext5 == 0 and o.ext3 == 0 and not o.ignore_dup
+        and not o.fraction and not o.split_only and not o.non_split_only
+        and not o.count_junctions and o.read_shift_size == 0
+        and o.non_overlap < 0 and o.non_overlap_feature < 0
+        and o.frac_overlap_feature == 0 and not o.by_read_group
+        and not o.long_reads and o.strand in (0, 1, 2)
+        and (not o.paired or (o.count_read_pairs
+                              and not o.require_both_ends
+                              and not o.check_pe_dist and o.strand == 0))
+    )
+    if not eligible:
+        return False
+    # SAM text input only (the section parser streams SAM)
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head[:2] == b"\x1f\x8b" or head == b"BAM\x01":
+        return False
+
+    import jax
+
+    from ..quant.device_count import DeviceCounter, STATUS_NAMES
+
+    dc = DeviceCounter(
+        ann, strand=o.strand, max_sections=20 if o.paired else 10
+    )
+    if o.paired:
+        ss, se, gate, stbl = dc.fragments_from_sam(path)
+    else:
+        ss, se, gate, stbl = dc.sections_from_sam(path)
+    devs = jax.devices()
+    if len(devs) > 1:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(_np.array(devs), ("reads",))
+        counts, summary, overflow = dc.count_sharded(
+            mesh, ss, se, gate, stbl
+        )
+    else:
+        counts, summary, _, overflow = dc.count(ss, se, gate, stbl)
+    if overflow:
+        return False
+    fc.counts += counts.astype(fc.counts.dtype)
+    for name, v in zip(STATUS_NAMES, summary.tolist()):
+        fc.summary[name] += int(v)
+    print(f"// deviceCounts: {path} counted on {len(devs)} device(s)",
+          file=sys.stderr)
+    return True
 
 
 def main(argv=None) -> int:
@@ -197,6 +266,11 @@ def main(argv=None) -> int:
     for fi, path in enumerate(args.input):
         # -s accepts a comma-separated per-input strand list
         fc.opts.strand = strand_list[min(fi, len(strand_list) - 1)]
+        if args.deviceCounts and sc is None and not args.detail_format:
+            if _try_device_count(fc, ann, path, args):
+                continue
+            print(f"// deviceCounts: falling back to the host counter for "
+                  f"{path}", file=sys.stderr)
         if args.detail_format:
             fmt = "CORE" if args.detail_format == "CORE" else "SAM"
             if args.detail_format == "BAM":

@@ -140,3 +140,53 @@ def test_sharded_counts_match_single_device():
     np.testing.assert_array_equal(s8, summary)
     assert ov8 == ov == 0
     np.testing.assert_array_equal(c8, fc.counts.astype(np.int64))
+
+
+def test_cli_device_counts_byte_identical(tmp_path):
+    """featureCounts --deviceCounts end-to-end: the CLI device path (PE
+    fragments, psum merge over an 8-device CPU mesh) must write
+    byte-identical counts + summary to the host path.  Runs in a
+    JAX_PLATFORMS=cpu subprocess so jax.devices() IS the 8-CPU mesh."""
+    import os
+    import subprocess
+    import sys
+
+    gtf = DATA / "test-minimum.GTF"
+    sam = DATA / "test-minimum.sam"
+    host_out = tmp_path / "host.FC"
+    dev_out = tmp_path / "dev.FC"
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # no tunnel PJRT in subprocesses
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    for extra, out in ((), host_out), (("--deviceCounts",), dev_out):
+        r = subprocess.run(
+            [sys.executable, "-m", "subread_tpu.tools.featurecounts",
+             "-p", "--countReadPairs", *extra, "-a", str(gtf),
+             "-o", str(out), str(sam)],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr
+    assert "counted on 8 device(s)" in r.stderr
+    # identical modulo the header line (embeds the output path)
+    strip = lambda p: "\n".join(open(p).read().splitlines()[1:])
+    assert strip(host_out) == strip(dev_out)
+    assert open(str(host_out) + ".summary").read().replace(
+        str(host_out), "X"
+    ) == open(str(dev_out) + ".summary").read().replace(str(dev_out), "X")
+
+
+def test_cli_device_counts_se(tmp_path):
+    """SE variant (each record its own fragment)."""
+    from subread_tpu.tools.featurecounts import main
+
+    gtf = DATA / "test-minimum.GTF"
+    sam = DATA / "test-minimum.sam"
+    host_out = tmp_path / "host.FC"
+    dev_out = tmp_path / "dev.FC"
+    with jax.default_device(jax.devices("cpu")[0]):
+        assert main(["-a", str(gtf), "-o", str(host_out), str(sam)]) == 0
+        assert main(["--deviceCounts", "-a", str(gtf),
+                     "-o", str(dev_out), str(sam)]) == 0
+    strip = lambda p: "\n".join(open(p).read().splitlines()[1:])
+    assert strip(host_out) == strip(dev_out)
