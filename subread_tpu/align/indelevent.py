@@ -127,6 +127,126 @@ def core_dynamic_align(read: np.ndarray, genome: np.ndarray,
     return moves
 
 
+def dp_align_jobs(jobs, max_indel: int = 16):
+    """Run core_dynamic_align over a batch of windows.
+
+    jobs: [(read_window uint8[m], genome_window uint8[g], expected_offset)].
+    Uses the native batched DP (native/dpalign.cpp — the same cell
+    recurrence compiled; ~100x the pure-python scalar loop on indel-dense
+    chunks) and falls back to the per-window python when no toolchain.
+    Returns one move-list (or None) per job."""
+    if not jobs:
+        return []
+    try:
+        import ctypes
+
+        from ..native import get_lib
+
+        lib = get_lib()
+    except Exception:
+        lib = None
+    if lib is None or not hasattr(lib, "dp_align_batch"):
+        return [
+            core_dynamic_align(r, g, off, max_indel) for (r, g, off) in jobs
+        ]
+    W = len(jobs)
+    Mmax = max(max((len(r) for r, _, _ in jobs), default=1), 1)
+    Rmax = max(max((len(g) for _, g, _ in jobs), default=1), 1)
+    reads = np.zeros((W, Mmax), np.uint8)
+    genomes = np.zeros((W, Rmax), np.uint8)
+    mlens = np.zeros(W, np.int32)
+    glens = np.zeros(W, np.int32)
+    offs = np.zeros(W, np.int32)
+    for k, (r, g, off) in enumerate(jobs):
+        reads[k, : len(r)] = r
+        genomes[k, : len(g)] = g
+        mlens[k] = len(r)
+        glens[k] = len(g)
+        offs[k] = off
+    moves = np.zeros((W, Mmax + Rmax), np.int8)
+    nmoves = np.zeros(W, np.int32)
+    p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    lib.dp_align_batch(
+        p(reads), p(mlens), p(genomes), p(glens), p(offs),
+        ctypes.c_int32(W), ctypes.c_int32(Mmax), ctypes.c_int32(Rmax),
+        ctypes.c_int32(max_indel), p(moves), p(nmoves),
+    )
+    return [
+        None if nmoves[k] < 0 else moves[k, : nmoves[k]].tolist()
+        for k in range(W)
+    ]
+
+
+def dp_events_jobs(jobs, metas, max_indel: int = 16, max_events: int = 8):
+    """jobs as dp_align_jobs; metas: [(chromo_start, read_start)] per job.
+    Returns one event list (or None) per job: [(small_side, len, rcur)].
+    Native end-to-end (DP + movement walk in C, native/dpalign.cpp) with a
+    python fallback."""
+    if not jobs:
+        return []
+    try:
+        import ctypes
+
+        from ..native import get_lib
+
+        lib = get_lib()
+    except Exception:
+        lib = None
+    if lib is None or not hasattr(lib, "dp_events_batch"):
+        out = []
+        for (r, g, off), (gstart, lcb) in zip(jobs, metas):
+            mv = core_dynamic_align(r, g, off, max_indel)
+            out.append(
+                None if mv is None else _events_from_moves(mv, gstart, lcb)
+            )
+        return out
+    W = len(jobs)
+    Mmax = max(max((len(r) for r, _, _ in jobs), default=1), 1)
+    Rmax = max(max((len(g) for _, g, _ in jobs), default=1), 1)
+    reads = np.zeros((W, Mmax), np.uint8)
+    genomes = np.zeros((W, Rmax), np.uint8)
+    mlens = np.zeros(W, np.int32)
+    glens = np.zeros(W, np.int32)
+    offs = np.zeros(W, np.int32)
+    for k, (r, g, off) in enumerate(jobs):
+        reads[k, : len(r)] = r
+        genomes[k, : len(g)] = g
+        mlens[k] = len(r)
+        glens[k] = len(g)
+        offs[k] = off
+    stride = Mmax + Rmax
+    moves = np.zeros((W, stride), np.int8)
+    nmoves = np.zeros(W, np.int32)
+    p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    lib.dp_align_batch(
+        p(reads), p(mlens), p(genomes), p(glens), p(offs),
+        ctypes.c_int32(W), ctypes.c_int32(Mmax), ctypes.c_int32(Rmax),
+        ctypes.c_int32(max_indel), p(moves), p(nmoves),
+    )
+    chro = np.asarray([m[0] for m in metas], np.int64)
+    rstart = np.asarray([m[1] for m in metas], np.int32)
+    ev_small = np.zeros((W, max_events), np.int64)
+    ev_len = np.zeros((W, max_events), np.int32)
+    ev_rcur = np.zeros((W, max_events), np.int32)
+    n_ev = np.zeros(W, np.int32)
+    lib.dp_events_batch(
+        p(moves), p(nmoves), p(chro), p(rstart),
+        ctypes.c_int32(W), ctypes.c_int32(stride),
+        ctypes.c_int32(max_events),
+        p(ev_small), p(ev_len), p(ev_rcur), p(n_ev),
+    )
+    out = []
+    for k in range(W):
+        if n_ev[k] < 0:
+            out.append(None)
+        else:
+            out.append([
+                (int(ev_small[k, t]), int(ev_len[k, t]), int(ev_rcur[k, t]))
+                for t in range(int(n_ev[k]))
+            ])
+    return out
+
+
 def _events_from_moves(moves, chromo_start: int, read_start: int):
     """Walk a movement buffer → [(small_side, indel_len, read_cursor_at)]
     exactly as find_new_indels (core-indel.c:1936-2086); returns None when
@@ -270,6 +390,80 @@ def ref_stats_host(mm_head, mm_tail, L, splits, indels, cs, ce,
     return head, tail, mism, match
 
 
+def ref_stats_batch_np(mm, read_len, split, indel, cs, ce, show_clip=True):
+    """Vectorised (numpy, [N, L]) single-indel version of ref_stats_host —
+    the batched form of ops.extend.ref_clip_stats for the event-placement
+    pass (find_soft_clipping window=5 max_err=1 + final_CIGAR_quality,
+    core-junction.c:2820/:2899).  `mm` is the final-alignment per-base
+    mismatch map the caller builds over the M sections."""
+    N, L = mm.shape
+    j = np.arange(L)[None, :]
+    rl = read_len[:, None].astype(np.int64)
+    ins = np.maximum(-indel, 0)[:, None]
+    single = (indel == 0)[:, None]
+    splitc = np.where(single, rl, split[:, None])
+    sec2_start = np.where(single, 0, splitc + ins)
+    in_sec1 = j < splitc
+    in_sec2 = (j >= sec2_start) & (j < rl)
+    m_sec = in_sec1 | in_sec2
+    mmx = mm & m_sec
+    mt = (~mm) & m_sec
+
+    test1 = splitc
+    c0 = cs[:, None]
+    s0h = np.where(c0 < 0, 0, np.where(c0 >= test1, test1 - 1, c0 + 1))
+    mmh = (mmx & (j <= s0h)).astype(np.int32)
+    win_h = mmh.copy()
+    for d in range(1, 5):
+        win_h[:, :-d] += mmh[:, d:]
+    trip_h = (win_h > 1) & (j <= s0h)
+    tripped_h = trip_h.any(1, keepdims=True)
+    jt_h = np.max(np.where(trip_h, j, -1), axis=1, keepdims=True)
+    lo_h = np.where(tripped_h, jt_h, 0)
+    m_h = mt & (j >= lo_h) & (j <= s0h)
+    has_m_h = m_h.any(1, keepdims=True)
+    lm_h = np.min(np.where(m_h, j, 1 << 20), axis=1, keepdims=True)
+    head = np.where(has_m_h, lm_h, np.where(tripped_h, s0h - 1, test1))
+    head = np.where(head >= test1, 0, head)
+    head = np.maximum(head, 0)
+
+    test2 = rl - sec2_start
+    c1 = ce[:, None] - sec2_start
+    s0t_rel = np.where(c1 < 0, 0, np.where(c1 >= test2, test2 - 1, c1 - 1))
+    s0t = sec2_start + s0t_rel
+    mmt = (mmx & (j >= s0t)).astype(np.int32)
+    win_t = mmt.copy()
+    for d in range(1, 5):
+        win_t[:, d:] += mmt[:, :-d]
+    trip_t = (win_t > 1) & (j >= s0t) & (j < rl)
+    tripped_t = trip_t.any(1, keepdims=True)
+    jt_t = np.min(np.where(trip_t, j, 1 << 20), axis=1, keepdims=True)
+    hi_t = np.where(tripped_t, jt_t, rl - 1)
+    m_t = mt & (j <= hi_t) & (j >= s0t)
+    has_m_t = m_t.any(1, keepdims=True)
+    lm_t = np.max(np.where(m_t, j, -1), axis=1, keepdims=True)
+    tail = np.where(
+        has_m_t, rl - 1 - lm_t, np.where(tripped_t, test2 - s0t_rel, test2)
+    )
+    tail = np.where(tail >= test2, 0, tail)
+    tail = np.maximum(tail, 0)
+
+    if not show_clip:
+        head = np.zeros_like(head)
+        tail = np.zeros_like(tail)
+    else:
+        both_gone = single & (head + tail >= rl - 1)
+        head = np.where(both_gone, 0, head)
+        tail = np.where(both_gone, 0, tail)
+
+    keep = (j >= head) & (j < rl - tail)
+    mism = (mmx & keep).sum(1).astype(np.int64)
+    ins_f = np.maximum(-indel, 0)
+    non_clipped = read_len - head[:, 0] - tail[:, 0]
+    match = non_clipped - mism - ins_f
+    return head[:, 0], tail[:, 0], mism, match
+
+
 def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3):
     """Event-table indel placement for one batch.
 
@@ -316,19 +510,24 @@ def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3):
         return {}, []
 
     # ---- pass 1: propose events via the reference DP ---------------------
+    # window construction first, one batched DP call for the whole chunk
+    # (native/dpalign.cpp), then the event walk per window
     proposals = {}   # i -> [(small_side_abs, len, ins_seq)]
     events = {}      # (small_side_abs, len) -> [support, ins_seq]
+    jobs = []        # (read_window, genome_window, indels)
+    jmeta = []       # (read idx, gstart, lcb, read arrays)
+    read_cache = {}
     for i in cand:
         L = int(batch.lengths[i])
         cl = int(cl_arr[i]) if cl_arr is not None else 0
         vpos = int(pos_arr[i]) - cl          # unclipped voting position
         read = _oriented_codes(batch, i, int(strand_arr[i]))
+        read_cache[i] = read
         secs = _sections_from_probe_kv(pkv[i], vpos)
         if len(secs) < 2:
             continue
         last_correct_subread = secs[0][1]
         last_indel = 0
-        evs_i = []
         for (first_p, last_p, off) in secs[1:]:
             indels = off - last_indel
             if indels != 0 and abs(indels) <= max_indel:
@@ -341,27 +540,28 @@ def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3):
                 fcb = min(fcb + 10, L)
                 gstart = vpos + lcb + last_indel
                 gwin = gcodes[gstart:gstart + (fcb - lcb) + max(0, indels) + 1]
-                moves = core_dynamic_align(
-                    read[lcb:fcb], gwin, indels, max_indel
-                )
-                if moves is not None:
-                    evs = _events_from_moves(moves, gstart, lcb)
-                    if evs:
-                        for (ss, elen, rcur) in evs:
-                            ins_seq = "".join(
-                                "AGCT"[b] for b in read[rcur:rcur - elen]
-                            ) if elen < 0 else ""
-                            evs_i.append((ss, elen, ins_seq))
-                            key = (ss, elen)
-                            e = events.get(key)
-                            if e is None:
-                                events[key] = [1, ins_seq]
-                            else:
-                                e[0] += 1
+                jobs.append((read[lcb:fcb], gwin, indels))
+                jmeta.append((i, gstart, lcb))
             last_correct_subread = last_p
             last_indel = off
-        if evs_i:
-            proposals[i] = evs_i
+    ev_batch = dp_events_jobs(
+        jobs, [(gstart, lcb) for (_i, gstart, lcb) in jmeta], max_indel
+    )
+    for (i, gstart, lcb), evs in zip(jmeta, ev_batch):
+        if not evs:
+            continue
+        read = read_cache[i]
+        for (ss, elen, rcur) in evs:
+            ins_seq = "".join(
+                "AGCT"[b] for b in read[rcur:rcur - elen]
+            ) if elen < 0 else ""
+            proposals.setdefault(i, []).append((ss, elen, ins_seq))
+            key = (ss, elen)
+            e = events.get(key)
+            if e is None:
+                events[key] = [1, ins_seq]
+            else:
+                e[0] += 1
 
     if not events:
         return {}, []
@@ -376,65 +576,108 @@ def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3):
     n_anch = np.asarray(res.get("n_anchors", np.ones(len(pos_arr))), np.int32)
     cs_res = np.asarray(res["cov_start"], np.int32) if "cov_start" in res \
         else None
+    # event choice per read, then one batched stats pass.  Events are
+    # position-sorted per indel length so each read's in-span candidates
+    # come from two searchsorted cuts instead of a full scan (the pass
+    # previously cost ~read_count * event_count python comparisons).
+    ce_res = np.asarray(res["cov_end"], np.int32) if "cov_end" in res else None
+    by_len_sorted = {}
+    for elen, lst in by_len.items():
+        lst.sort(key=lambda t: t[0])
+        by_len_sorted[elen] = (
+            np.asarray([t[0] for t in lst], np.int64),
+            np.asarray([t[1] for t in lst], np.int64),
+            [t[2] for t in lst],
+        )
+    sel = []   # (i, vpos, split, ind, ss, iseq)
     for i in cand:
         L = int(batch.lengths[i])
         cl0 = int(cl_arr[i]) if cl_arr is not None else 0
         vpos = int(pos_arr[i]) - cl0
         ind = int(indel_arr[i])
-        lst = by_len.get(ind)
-        if not lst:
+        ent = by_len_sorted.get(ind)
+        if ent is None:
             continue
-        # events whose boundary lies inside the read's span
-        ok = [(ss, sup, iseq) for (ss, sup, iseq) in lst
-              if vpos <= ss < vpos + L + max(0, ind) - 1]
-        if not ok:
+        ss_arr, sup_arr, iseq_list = ent
+        lo = int(np.searchsorted(ss_arr, vpos, "left"))
+        hi = int(np.searchsorted(ss_arr, vpos + L + max(0, ind) - 1, "left"))
+        if hi <= lo:
             continue
-        own = {(ss, elen) for (ss, elen, _s) in proposals.get(i, ())}
+        sup_s = sup_arr[lo:hi]
+        max_sup = int(sup_s.max())
         # max support; tie → the read's own proposal, then smaller position
-        ok.sort(key=lambda t: (-t[1], (t[0], ind) not in own, t[0]))
-        ss, sup, iseq = ok[0]
+        own = {ss for (ss, elen, _s) in proposals.get(i, ()) if elen == ind}
+        pick = -1
+        for k in range(lo, hi):
+            if int(sup_arr[k]) != max_sup:
+                continue
+            if int(ss_arr[k]) in own:
+                pick = k
+                break
+            if pick < 0:
+                pick = k
+        ss = int(ss_arr[pick])
+        iseq = iseq_list[pick]
         split = ss - vpos + 1
         if split < 1 or split + max(0, -ind) > L - 1:
             continue
-        read = _oriented_codes(batch, i, int(strand_arr[i]))
-        # final-alignment mismatch vector at the event's split
-        mm = np.zeros(L, bool)
-        g_head = gcodes[vpos:vpos + split]
-        mm[:split] = read[:split] != g_head
-        tail_start = split + max(0, -ind)
-        g_tail_pos = vpos + split + max(0, ind)
-        ntail = L - tail_start
-        g_tail = gcodes[g_tail_pos:g_tail_pos + ntail]
-        mm[tail_start:] = read[tail_start:] != g_tail[:ntail]
-        # coverage bounds for the clip scans (vote cluster coverage)
-        if cs_res is not None:
-            cs = int(cs_res[i])
-            ce = int(np.asarray(res["cov_end"], np.int32)[i])
-        else:
-            cs, ce = 0, L
-        head, tail, mism, match = ref_stats_host(
-            mm, None, L, [split], [ind], cs, ce,
+        sel.append((int(i), vpos, split, ind, ss, iseq))
+
+    if sel:
+        # batched final-alignment mismatch maps + reference clip stats
+        N = len(sel)
+        Lmax = int(batch.lengths[[s[0] for s in sel]].max())
+        mm_b = np.zeros((N, Lmax), bool)
+        lens_b = np.zeros(N, np.int64)
+        split_b = np.zeros(N, np.int64)
+        ind_b = np.zeros(N, np.int64)
+        cs_b = np.zeros(N, np.int64)
+        ce_b = np.zeros(N, np.int64)
+        for k, (i, vpos, split, ind, ss, iseq) in enumerate(sel):
+            L = int(batch.lengths[i])
+            read = read_cache.get(i)
+            if read is None:
+                read = _oriented_codes(batch, i, int(strand_arr[i]))
+            g_head = gcodes[vpos:vpos + split]
+            mm_b[k, :split] = read[:split] != g_head
+            tail_start = split + max(0, -ind)
+            g_tail_pos = vpos + split + max(0, ind)
+            ntail = L - tail_start
+            g_tail = gcodes[g_tail_pos:g_tail_pos + ntail]
+            mm_b[k, tail_start:L] = read[tail_start:] != g_tail[:ntail]
+            lens_b[k] = L
+            split_b[k] = split
+            ind_b[k] = ind
+            cs_b[k] = int(cs_res[i]) if cs_res is not None else 0
+            ce_b[k] = int(ce_res[i]) if ce_res is not None else L
+        head_b, tail_b, mism_b, match_b = ref_stats_batch_np(
+            mm_b, lens_b, split_b, ind_b, cs_b, ce_b,
             show_clip=cfg.show_soft_clipping,
         )
-        if mism > anchor_mism_limit or match < 1:
-            continue
-        # in-place: the event CIGAR [hS](split-h)M dD/I mM[tS] is exactly
-        # what the emitters format from (pos, split, indel, clips)
-        done_rows.append(int(i))
-        pos_arr[i] = np.uint32(vpos + head)
-        split_arr[i] = split
-        mism_arr[i] = mism
-        if cl_arr is not None:
-            cl_arr[i] = head
-        if cr_arr is not None:
-            cr_arr[i] = tail
-        mapq_arr[i] = 0 if bool(np.asarray(res["multi"], bool)[i]) else (
-            cfg.mapq_unique // max(1, int(n_anch[i]) + mism)
-        )
-        ck = (ss, ind)
-        sup0, iseq0 = out_events.get(ck, (0, iseq))
-        out_events[ck] = (sup0 + 1, iseq0)
-        mapped_arr[i] = True
+        multi_res = np.asarray(res["multi"], bool)
+        for k, (i, vpos, split, ind, ss, iseq) in enumerate(sel):
+            mism = int(mism_b[k])
+            if mism > anchor_mism_limit or match_b[k] < 1:
+                continue
+            head = int(head_b[k])
+            tail = int(tail_b[k])
+            # in-place: the event CIGAR [hS](split-h)M dD/I mM[tS] is what
+            # the emitters format from (pos, split, indel, clips)
+            done_rows.append(i)
+            pos_arr[i] = np.uint32(vpos + head)
+            split_arr[i] = split
+            mism_arr[i] = mism
+            if cl_arr is not None:
+                cl_arr[i] = head
+            if cr_arr is not None:
+                cr_arr[i] = tail
+            mapq_arr[i] = 0 if bool(multi_res[i]) else (
+                cfg.mapq_unique // max(1, int(n_anch[i]) + mism)
+            )
+            ck = (ss, ind)
+            sup0, iseq0 = out_events.get(ck, (0, iseq))
+            out_events[ck] = (sup0 + 1, iseq0)
+            mapped_arr[i] = True
     if done_rows:
         res["pos"] = pos_arr
         res["split"] = split_arr

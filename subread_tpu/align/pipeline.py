@@ -202,8 +202,10 @@ def write_junction_bed(path: str, junctions: dict) -> None:
 _PACK_CAST = {"mism": np.int16, "clip_l": np.int16, "clip_r": np.int16}
 
 # device-side probe_kv compaction capacity (reads with an indel/multi-indel
-# flag per sub-batch whose [P] section rows ride the packed result buffer)
-PKV_CAP = 1024
+# flag per sub-batch whose [P] section rows ride the packed result buffer;
+# sized for ~12% indel-flagged reads per 16K sub-batch before the full-table
+# fetch fallback kicks in)
+PKV_CAP = 2048
 
 
 def fetch_result(res: dict) -> dict:

@@ -22,7 +22,7 @@ _TRIED = False
 def _build() -> pathlib.Path | None:
     srcs = [
         _HERE / "samtext.cpp", _HERE / "fccount.cpp", _HERE / "pack.cpp",
-        _HERE / "bgzf.cpp", _HERE / "snppile.cpp",
+        _HERE / "bgzf.cpp", _HERE / "snppile.cpp", _HERE / "dpalign.cpp",
     ]
     out = _HERE / "libsamtext.so"
     if out.exists() and all(
@@ -58,6 +58,8 @@ def get_lib():
     lib.bgzf_total_isize.restype = ctypes.c_long
     lib.bgzf_inflate_all.restype = ctypes.c_long
     lib.snp_pileup_bam.restype = ctypes.c_long
+    lib.dp_align_batch.restype = ctypes.c_long
+    lib.dp_events_batch.restype = ctypes.c_long
     lib.fc_count_sam_pe.restype = ctypes.c_long
     lib.fc_count_bam_pe.restype = ctypes.c_long
     lib.fc_bam_split_offsets.restype = ctypes.c_long

@@ -309,3 +309,106 @@ def test_multi_best_reporting(tmp_path, chr901_genome):
         tags = {t.split(":")[0] for t in r[11:]}
         assert {"HI", "NH"} <= tags
         assert int(r[4]) == 0  # MAPQ 0 for multi-mapping
+
+
+def test_native_dp_matches_python_oracle():
+    """native/dpalign.cpp must reproduce core_dynamic_align (itself the
+    reference core-indel.c:4573 port) cell-for-cell on random windows."""
+    import numpy as np
+
+    from subread_tpu.align.indelevent import (
+        core_dynamic_align, dp_align_jobs,
+    )
+    from subread_tpu.native import get_lib
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(5)
+    jobs = []
+    for _ in range(300):
+        m = int(rng.integers(3, 60))
+        off = int(rng.integers(-8, 9))
+        rows = m + off
+        g = rng.integers(0, 4, size=max(rows, 1) + 4).astype(np.uint8)
+        # reads derived from the genome with an actual indel + noise so
+        # the DP exercises all movement codes
+        if off >= 0:
+            r = np.concatenate([g[: m // 2], g[m // 2 + off : m + off]])[:m]
+        else:
+            ins = rng.integers(0, 4, size=-off).astype(np.uint8)
+            r = np.concatenate([g[: m // 2], ins, g[m // 2 :]])[:m]
+        r = r.copy()
+        for _ in range(int(rng.integers(0, 3))):
+            r[int(rng.integers(0, m))] = int(rng.integers(0, 4))
+        jobs.append((r.astype(np.uint8), g, off))
+    batch = dp_align_jobs(jobs, max_indel=16)
+    for (r, g, off), got in zip(jobs, batch):
+        want = core_dynamic_align(r, g, off, 16)
+        assert got == want, (r.tolist(), g.tolist(), off)
+
+
+def test_ref_stats_batch_matches_scalar():
+    """ref_stats_batch_np must agree with ref_stats_host (the reference
+    find_soft_clipping/final_CIGAR_quality port) on random single-event
+    inputs."""
+    import numpy as np
+
+    from subread_tpu.align.indelevent import ref_stats_batch_np, ref_stats_host
+
+    rng = np.random.default_rng(11)
+    N, L = 400, 100
+    mm = rng.random((N, L)) < 0.06
+    split = rng.integers(1, L - 6, size=N).astype(np.int64)
+    ind = rng.integers(-5, 6, size=N).astype(np.int64)
+    ind[ind == 0] = 3   # the caller only places genuine indel events
+    cs = rng.integers(-1, L, size=N).astype(np.int64)
+    ce = rng.integers(0, L + 4, size=N).astype(np.int64)
+    lens = np.full(N, L, np.int64)
+    # zero the inter-section gap exactly as the caller builds mm
+    for k in range(N):
+        mm[k, split[k]: split[k] + max(0, -ind[k])] = False
+    h, t, mi, ma = ref_stats_batch_np(mm, lens, split, ind, cs, ce)
+    for k in range(N):
+        want = ref_stats_host(
+            mm[k], None, L, [int(split[k])], [int(ind[k])],
+            int(cs[k]), int(ce[k]),
+        )
+        got = (int(h[k]), int(t[k]), int(mi[k]), int(ma[k]))
+        assert got == tuple(int(x) for x in want), (k, got, want)
+
+
+def test_native_event_walk_matches_python():
+    import numpy as np
+
+    from subread_tpu.align.indelevent import (
+        _events_from_moves, core_dynamic_align, dp_events_jobs,
+    )
+    from subread_tpu.native import get_lib
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(17)
+    jobs, metas = [], []
+    for _ in range(200):
+        m = int(rng.integers(6, 50))
+        off = int(rng.integers(-6, 7)) or 2
+        g = rng.integers(0, 4, size=m + abs(off) + 4).astype(np.uint8)
+        if off >= 0:
+            r = np.concatenate([g[: m // 2], g[m // 2 + off : m + off]])[:m]
+        else:
+            ins = rng.integers(0, 4, size=-off).astype(np.uint8)
+            r = np.concatenate([g[: m // 2], ins, g[m // 2 :]])[:m]
+        r = r.copy()
+        for _ in range(int(rng.integers(0, 3))):
+            r[int(rng.integers(0, m))] = int(rng.integers(0, 4))
+        jobs.append((r.astype(np.uint8), g, off))
+        metas.append((int(rng.integers(10_000, 20_000)), int(rng.integers(0, 40))))
+    got = dp_events_jobs(jobs, metas, max_indel=16)
+    for (r, g, off), (gs, rs), ev in zip(jobs, metas, got):
+        mv = core_dynamic_align(r, g, off, 16)
+        want = None if mv is None else _events_from_moves(mv, gs, rs)
+        assert ev == want, (off, ev, want)
