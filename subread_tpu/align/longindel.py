@@ -27,6 +27,27 @@ from .. import dna
 from ..index.genome import Genome
 
 
+def left_normalize_codes(gcodes: np.ndarray, pos0: int, ilen: int,
+                         ins: np.ndarray | None):
+    """Left-align an indel event over 2-bit genome codes: rotate the event
+    left while the reference base before it equals its last base (the
+    standard VCF normalization).  Re-anchored long indels otherwise land
+    at rotation-ambiguous breakpoints — head-side and tail-side rescues of
+    the SAME insertion produce shifted keys that would double-report.
+    pos0 = small_side (0-based last reference base before the event);
+    ilen > 0 deletion, < 0 insertion with `ins` codes.  Returns
+    (pos0, ins)."""
+    if ilen > 0:
+        while pos0 >= 0 and gcodes[pos0] == gcodes[pos0 + ilen]:
+            pos0 -= 1
+    elif ins is not None and len(ins):
+        ins = np.asarray(ins, np.uint8).copy()
+        while pos0 >= 0 and gcodes[pos0] == ins[-1]:
+            ins = np.concatenate([[gcodes[pos0]], ins[:-1]])
+            pos0 -= 1
+    return pos0, ins
+
+
 def _best_match(windows: np.ndarray, tail: np.ndarray, max_mm: int) -> int:
     """Index of the window row best matching tail (fewest mismatches,
     ties to the smallest index) if within max_mm, else -1.
@@ -77,6 +98,11 @@ def rescue_long_indels(
     d_lo = short_limit + 1
 
     def add_event(lin_pos0: int, ilen: int, ins: str):
+        ins_codes = dna.encode(ins) if ins else None
+        lin_pos0, ins_codes = left_normalize_codes(
+            gcodes, int(lin_pos0), ilen, ins_codes
+        )
+        ins = dna.decode(ins_codes) if ins_codes is not None else ""
         cidx, coff = genome.linear_to_chro(np.array([lin_pos0], np.int64))
         key = (int(cidx[0]), int(coff[0]), ilen)
         sup, prev = events.get(key, (0, ins))

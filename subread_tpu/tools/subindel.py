@@ -71,6 +71,23 @@ def main(argv=None) -> int:
             chroms[name] = "".join(chunks).upper()
 
     events: dict[tuple[str, int, int, str], int] = {}
+
+    def norm2(chro, pos0, ilen, ins):
+        """Left-align long (>16bp) indel events so rotation-ambiguous
+        placements from different reads share one key (VCF
+        normalization); short events keep the aligner's DP placement."""
+        seq = chroms.get(chro)
+        if seq is None:
+            return pos0, ins
+        if ilen > 0:
+            while pos0 >= 0 and pos0 + ilen < len(seq) \
+                    and seq[pos0] == seq[pos0 + ilen]:
+                pos0 -= 1
+        elif ins:
+            while pos0 >= 0 and seq[pos0] == ins[-1]:
+                ins = seq[pos0] + ins[:-1]
+                pos0 -= 1
+        return pos0, ins
     # soft-clip clusters: (chro, clip_pos0) -> list of clipped tail/head seqs
     right_clips: dict[tuple[str, int], list[str]] = {}
     left_clips: dict[tuple[str, int], list[str]] = {}
@@ -96,12 +113,21 @@ def main(argv=None) -> int:
                 rpos += n
             elif op == "D":
                 if n <= args.max_indel:
-                    key = (f[2], gpos - 1, n, "")
+                    p0, _ins = (
+                        norm2(f[2], gpos - 1, n, "") if n > 16
+                        else (gpos - 1, "")
+                    )
+                    key = (f[2], p0, n, "")
                     events[key] = events.get(key, 0) + 1
                 gpos += n
             elif op == "I":
                 if n <= args.max_indel:
-                    key = (f[2], gpos - 1, -n, f[9][rpos : rpos + n])
+                    ins = f[9][rpos : rpos + n]
+                    p0, ins = (
+                        norm2(f[2], gpos - 1, -n, ins) if n > 16
+                        else (gpos - 1, ins)
+                    )
+                    key = (f[2], p0, -n, ins)
                     events[key] = events.get(key, 0) + 1
                 rpos += n
             elif op == "N":
@@ -132,6 +158,22 @@ def main(argv=None) -> int:
         mm = sum(1 for i in range(n) if a[i] != b[i])
         return mm <= max_mm_frac * n
 
+    def norm(chro, pos0, ilen, ins):
+        """Left-align a reassembled long-indel event (VCF normalization) so
+        head-side and tail-side rescues of one insertion share a key; the
+        CIGAR-derived short events stay at the aligner's DP placement like
+        the reference's."""
+        seq = chroms[chro]
+        if ilen > 0:
+            while pos0 >= 0 and pos0 + ilen < len(seq) \
+                    and seq[pos0] == seq[pos0 + ilen]:
+                pos0 -= 1
+        elif ins:
+            while pos0 >= 0 and seq[pos0] == ins[-1]:
+                ins = seq[pos0] + ins[:-1]
+                pos0 -= 1
+        return pos0, ins
+
     for (chro, bp), tails in right_clips.items():
         if len(tails) < max(args.min_support, 2) or chro not in chroms:
             continue
@@ -146,7 +188,8 @@ def main(argv=None) -> int:
             if q + len(T) > len(seq):
                 break
             if matches(T, seq[q : q + len(T)]):
-                key = (chro, bp - 1, d, "")
+                p0, _ = norm(chro, bp - 1, d, "")
+                key = (chro, p0, d, "")
                 events[key] = events.get(key, 0) + len(tails)
                 found = True
                 break
@@ -154,7 +197,8 @@ def main(argv=None) -> int:
             # insertion: T starts with inserted bases then rejoins at bp
             for k in range(5, min(len(T) - 10, args.max_indel) + 1):
                 if matches(T[k:], seq[bp : bp + len(T) - k]):
-                    key = (chro, bp - 1, -k, T[:k])
+                    p0, ins = norm(chro, bp - 1, -k, T[:k])
+                    key = (chro, p0, -k, ins)
                     events[key] = events.get(key, 0) + len(tails)
                     break
 

@@ -102,3 +102,72 @@ def test_long_deletion_from_two_sided_clips(tmp_path, chr901_genome):
     assert int(rows[0][1]) == 50_000
     assert len(rows[0][3]) - len(rows[0][4]) == 20  # 20bp deletion
     assert "SR=60" in rows[0][7]
+
+
+def test_long_insertion_reassembly_vs_reference(tmp_path, chr901_genome,
+                                                chr901_index):
+    """A 24bp insertion (simulated sample, 40x coverage) must come out of
+    BOTH long-indel surfaces — the aligner's -I 30 third iteration and the
+    subindel SAM caller — as ONE left-normalized event whose inserted
+    sequence matches the reference binary's reassembled event
+    (tests/data/longins24-chr901.ref-indel.vcf, generated with a locally
+    built subread-align -I 30: the binary reports the identical 24 inserted
+    bases, anchored one base left by its reassembly-window edge —
+    finalise_long_insertions, core-indel.c:4389)."""
+    import pathlib
+    import re
+
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+
+    here = pathlib.Path(__file__).parent
+    fq = here / "data" / "longins24-chr901.fq.gz"
+    refvcf = here / "data" / "longins24-chr901.ref-indel.vcf"
+    # the reference binary's inserted bases
+    ref_ins = None
+    for line in open(refvcf):
+        if line.startswith("#"):
+            continue
+        f = line.split("\t")
+        if len(f[4]) - len(f[3]) >= 20:
+            ref_ins = f[4][len(f[3]) - 1 : -1] if f[4].endswith(f[3][-1]) \
+                else f[4][1:]
+            ref_pos = int(f[1])
+    assert ref_ins and len(ref_ins) == 24
+
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        aligner_config(batch_reads=2048), max_indel=30
+    )
+    al = Aligner(chr901_genome, chr901_index, cfg)
+    out = tmp_path / "ours.sam"
+    al.align_file(str(fq), str(out))
+    vcf = str(out) + ".indel.vcf"
+    long_ins = []
+    for line in open(vcf):
+        if line.startswith("#"):
+            continue
+        f = line.split("\t")
+        if len(f[4]) - len(f[3]) >= 20:
+            long_ins.append((int(f[1]), f[4][1:], line))
+    assert len(long_ins) == 1, long_ins   # normalization merged rotations
+    pos, ins, _ = long_ins[0]
+    assert ins == ref_ins, (ins, ref_ins)
+    assert abs(pos - ref_pos) <= 2, (pos, ref_pos)
+
+    # subindel over the emitted SAM reproduces the same single event
+    from subread_tpu.tools.subindel import main as subindel_main
+
+    gpfx = tmp_path / "idx"
+    chr901_genome.save(str(gpfx))
+    chr901_index.save(str(gpfx))
+    out2 = tmp_path / "sub.vcf"
+    assert subindel_main(["-g", "/root/reference/test/chr901.fa",
+                          "-i", str(out), "-o", str(out2),
+                          "-I", "30"]) == 0
+    long2 = [l for l in open(out2)
+             if not l.startswith("#")
+             and len(l.split("\t")[4]) - len(l.split("\t")[3]) >= 20]
+    assert len(long2) == 1, long2
+    assert ref_ins in long2[0]
