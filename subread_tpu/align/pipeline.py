@@ -220,6 +220,22 @@ def fetch_result(res: dict) -> dict:
     return out
 
 
+
+def applied_mismatch_limit(max_mismatches, lens):
+    """The reference's length-scaled mismatch cap: -M applies per 100bp
+    for reads beyond EXON_LONG_READ_LENGTH=160
+    (core-junction.c:3359-3362: ((L+1)<<16)/100 * M >> 16)."""
+    import jax.numpy as _jnp
+
+    L = lens if isinstance(lens, np.ndarray) else lens
+    mod = _jnp if not isinstance(lens, np.ndarray) else np
+    # int32-safe: (1211 << 16) * M < 2^31 for M <= 10
+    scaled = ((((L.astype(mod.int32) + 1) << 16) // 100)
+              * max_mismatches) >> 16
+    return mod.where(L > 160, scaled.astype(mod.int32),
+                     mod.int32(max_mismatches))
+
+
 def uniform_length(lens: np.ndarray) -> int | None:
     """The common read length when every (real) read shares it, else None
     — a static hint that turns reverse-complementing into a static flip."""
@@ -571,7 +587,8 @@ class Aligner:
         score_k, valid_k = sc["score_k"], sc["valid_k"]
         anchor_k, n_anchors = self._anchor_set(sc, cfg.min_votes)
         # CORE_TOO_MANY_MISMATCHES + final_MATCH>0 gate (core.c:2689,2749)
-        cand_ok = anchor_k & (sc["mism_k"] <= cfg.max_mismatches) & (
+        mlim = applied_mismatch_limit(cfg.max_mismatches, lens)[:, None]
+        cand_ok = anchor_k & (sc["mism_k"] <= mlim) & (
             sc["match_k"] >= 1
         )
         score_m = jnp.where(cand_ok, score_k, -1)
@@ -1122,10 +1139,12 @@ class Aligner:
 
         # realignment success per candidate (CORE_TOO_MANY_MISMATCHES +
         # final_MATCH > 0)
-        ok1 = anchor1 & (sc1["mism_k"] <= cfg.max_mismatches) & (
+        mlim1 = applied_mismatch_limit(cfg.max_mismatches, lens1)[:, None]
+        ok1 = anchor1 & (sc1["mism_k"] <= mlim1) & (
             sc1["match_k"] >= 1
         )
-        ok2 = anchor2 & (sc2["mism_k"] <= cfg.max_mismatches) & (
+        mlim2 = applied_mismatch_limit(cfg.max_mismatches, lens2)[:, None]
+        ok2 = anchor2 & (sc2["mism_k"] <= mlim2) & (
             sc2["match_k"] >= 1
         )
         has1 = jnp.any(ok1, axis=1)
@@ -1585,7 +1604,13 @@ class Aligner:
         # later transfers ride under the still-running FIFO queue (measured:
         # a device-side concat into one buffer is ~25% SLOWER end-to-end)
         items, seg_len = self._res_layout(pending_comp[0], bs)
+        # per-scan probe table width follows the batch read length
+        # (applied_subreads: >160bp reads probe more): read it off the
+        # packed rows rather than assuming total_subreads
         P = self.vote_params.total_subreads * max(self.index.index_gap, 1)
+        for k, dt, off, nb, was_bool, shape in items:
+            if k == "pkv_rows":
+                P = shape[1]
         parts = []
         if len(bufs) == 1 and n_sub > 1:
             whole = np.array(jax.device_get(bufs[0]))
@@ -1649,7 +1674,10 @@ class Aligner:
         # are rare so a 256-row kernel amortises fine
         RB = min(self.cfg.batch_reads, 256)
         Lp = max(self.cfg.pad_read_len, batch.max_len)
-        P = self.vote_params.total_subreads * max(self.index.index_gap, 1)
+        if "probe_kv" in out:
+            P = out["probe_kv"].shape[1]
+        else:
+            P = self.vote_params.total_subreads * max(self.index.index_gap, 1)
         for s in range(0, len(idx), RB):
             ii = idx[s : s + RB]
             codes = np.zeros((RB, Lp), np.uint8)
@@ -2057,6 +2085,12 @@ class Aligner:
     def collect_batch_pe(self, state):
         bufs, bs, R, n_sub, b1, b2 = state
         P = self.vote_params.total_subreads * max(self.index.index_gap, 1)
+        if bufs:
+            for k, dt, off, nb, was_bool, shape in self._res_layout(
+                bufs[0][4], bs
+            )[0]:
+                if k == "pkv_rows":
+                    P = shape[1]
         parts1, parts2 = [], []
         layout = None
         for j in range(n_sub):
@@ -2095,10 +2129,11 @@ class Aligner:
             out = {k: np.concatenate([p[k] for p in parts])[:R]
                    for k in parts[0] if k != "probe_kv"}
             if any("probe_kv" in p for p in parts):
-                P = self.vote_params.total_subreads * max(self.index.index_gap, 1)
+                Pm = next(p["probe_kv"].shape[1] for p in parts
+                          if "probe_kv" in p)
                 out["probe_kv"] = np.concatenate([
                     p.get("probe_kv",
-                          np.full((len(p["pos"]), P), 0xFFFFFFFF, np.uint32))
+                          np.full((len(p["pos"]), Pm), 0xFFFFFFFF, np.uint32))
                     for p in parts
                 ])[:R]
             return out
@@ -2794,10 +2829,11 @@ def refine_multi_indels(
         # probe walk in read order: sections of equal delta.  kv for
         # reverse-strand clusters was computed at the mirrored offset
         # o' = L - KMER - o in the oriented (revcomp) read.
-        P = pkv.shape[1]
+        # probe_kv rows are already the winner's OWN strand scan (the
+        # two-grid probes read the reversed read at the same offset grid),
+        # so the offsets apply without mirroring
         po = _probe_offsets_host(L, vote_params)
-        if strand == 1:
-            po = L - KMER - po
+        P = min(pkv.shape[1], len(po))
         pairs = [
             (int(po[p]), int(delta[r, p]))
             for p in range(P)
@@ -2898,14 +2934,11 @@ def refine_multi_indels(
 
 
 def _probe_offsets_host(L: int, params: VoteParams) -> np.ndarray:
-    """Host mirror of ops.vote.subread_offsets for one read length."""
-    S = params.total_subreads
-    gap = params.index_gap
-    step_fx = max(gap << 16, ((L - 15 - gap) << 16) // max(S - 1, 1))
-    base = (np.arange(S) * step_fx) >> 16
-    if gap > 1:
-        base = (base[:, None] + np.arange(gap)[None, :]).ravel()
-    return np.minimum(base, max(L - 16, 0)).astype(np.int64)
+    """Host mirror of ops.vote.static_offsets for one read length
+    (includes the >160bp applied-subread ladder)."""
+    from ..ops.vote import static_offsets
+
+    return static_offsets(L, params).astype(np.int64)
 
 
 def _genome_codes(genome: Genome, start: int, n: int) -> np.ndarray:

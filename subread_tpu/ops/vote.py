@@ -81,29 +81,58 @@ class VoteResult(NamedTuple):
     #                          hit (the within-row tie order above)
 
 
-def subread_offsets(read_len: jnp.ndarray, params: VoteParams) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Probe start offsets per read: [R, P] int32, plus probe→subread id [P].
+def applied_subreads(read_len: int, params: VoteParams) -> int:
+    """The reference's per-length probe count (core.c:3116-3129): reads
+    up to EXON_LONG_READ_LENGTH=160 spread `total_subreads` probes; longer
+    reads probe every 6bp, capped at 63 probes."""
+    L = int(read_len)
+    gap = params.index_gap
+    if L < KMER:
+        return 1
+    cr = (L - 15 - gap) << 16
+    if L <= 160:
+        S = params.total_subreads
+        step = max(cr // max(S - 1, 1) if S > 1 else cr, gap << 16)
+    else:
+        step = 6 << 16
+        if cr // step > 62:
+            step = cr // 62
+    return 1 + cr // max(step, 1)
+
+
+def subread_offsets(read_len: jnp.ndarray, params: VoteParams,
+                    n_sub: int) -> tuple[jnp.ndarray, np.ndarray]:
+    """Probe start offsets per read: [R, n_sub*gap] int32, plus
+    probe→subread id (numpy [P]).
 
     Mirrors the spacing rule in do_voting (core.c:3115-3184): 16.16
-    fixed-point step = max(index_gap, (L-15-index_gap)/(S-1)); with a gapped
-    index every nominal offset is probed at all `index_gap` phases.
-    """
+    fixed-point step = max(index_gap, (L-15-index_gap)/(S-1)) for reads
+    <= 160, 6bp (capped at 63 probes) beyond; with a gapped index every
+    nominal offset is probed at all `index_gap` phases.  n_sub (static)
+    bounds the probe count — applied_subreads of the longest read."""
     S = params.total_subreads
     gap = params.index_gap
     L = read_len.astype(jnp.int32)[:, None]  # [R, 1]
-    step_fx = jnp.maximum(
+    # 16.16 fixed point is int32-safe here: (1210-15-3)<<16 < 2^31 and
+    # k*step <= 62 * ((L<<16)/62) < 2^31
+    cr = (L - 15 - gap) << 16
+    short_fx = jnp.maximum(
         gap << 16,
-        jnp.where(S > 1, ((L - 15 - gap) << 16) // jnp.maximum(S - 1, 1), 0),
-    )  # [R, 1]
-    s_idx = np.arange(S, dtype=np.int32)[None, :]  # [1, S]
-    base = (s_idx * step_fx) >> 16  # [R, S]
+        jnp.where(S > 1, cr // jnp.maximum(S - 1, 1), jnp.maximum(cr, 1)),
+    )
+    long_fx = jnp.where(cr // (6 << 16) > 62, cr // 62, 6 << 16)
+    step_fx = jnp.where(L <= 160, short_fx, long_fx)
+    s_idx = np.arange(n_sub, dtype=np.int32)[None, :]  # [1, n_sub]
+    base = (s_idx * step_fx) >> 16  # [R, n_sub]
     if gap == 1:
         offsets = base
-        sub_id = np.arange(S, dtype=np.int32)
+        sub_id = np.arange(n_sub, dtype=np.int32)
     else:
         phases = np.arange(gap, dtype=np.int32)
-        offsets = (base[:, :, None] + phases[None, None, :]).reshape(base.shape[0], S * gap)
-        sub_id = np.repeat(np.arange(S, dtype=np.int32), gap)
+        offsets = (base[:, :, None] + phases[None, None, :]).reshape(
+            base.shape[0], n_sub * gap
+        )
+        sub_id = np.repeat(np.arange(n_sub, dtype=np.int32), gap)
     offsets = jnp.minimum(offsets, jnp.maximum(L - KMER, 0))
     # sub_id stays a numpy array: a jax.Array constant would be embedded in
     # the lowered module via a device->host fetch, which costs minutes over
@@ -113,14 +142,21 @@ def subread_offsets(read_len: jnp.ndarray, params: VoteParams) -> tuple[jnp.ndar
 
 def static_offsets(read_len: int, params: VoteParams) -> np.ndarray:
     """numpy mirror of subread_offsets for a single static read length:
-    int32 [P].  Used when every read in the batch shares one length — the
-    per-probe key extraction then becomes static column slices (no
-    gather)."""
+    int32 [applied*gap].  Used when every read in the batch shares one
+    length — the per-probe key extraction then becomes static column
+    slices (no gather)."""
     S = params.total_subreads
     gap = params.index_gap
     L = int(read_len)
-    step_fx = max(gap << 16, ((L - 15 - gap) << 16) // max(S - 1, 1) if S > 1 else 0)
-    base = (np.arange(S, dtype=np.int64) * step_fx) >> 16
+    cr = (L - 15 - gap) << 16
+    if L <= 160:
+        step_fx = max(gap << 16, cr // max(S - 1, 1) if S > 1 else cr)
+    else:
+        step_fx = 6 << 16
+        if cr // step_fx > 62:
+            step_fx = cr // 62
+    n = 1 + cr // max(step_fx, 1)
+    base = (np.arange(n, dtype=np.int64) * step_fx) >> 16
     if gap == 1:
         offsets = base
     else:
@@ -360,6 +396,7 @@ def _vote_merged(
     kv: jnp.ndarray,        # uint32 [R, C] candidate positions (SENTINEL = invalid)
     payload: jnp.ndarray,   # uint32 [R, C]: off | strand<<12 | sub_id<<13 | pk<<19
     params: VoteParams,
+    n_sub: int | None = None,
 ) -> tuple[jnp.ndarray, ...]:
     """Sort ALL candidates (both strands in ONE stream) by kv and compute
     the reference's ANCHORED cluster votes (sorted-hashtable.c:1007-1060):
@@ -369,49 +406,62 @@ def _vote_merged(
 
     On the sorted stream this becomes, per element e:
       - membership: |kv_w - kv_e| <= tol, same strand
-      - votes(e)  : popcount of the distinct-subread mask over that window
+      - votes(e)  : popcount of the distinct-subread mask over the members
+        ASSIGNED to e's slot (first-match assignment, see below)
       - anchor(e) : no same-strand member has a smaller (probe, kv) pair —
         i.e. e is the hit the sequential reference scan would have created
         the cluster at.  Non-anchors get votes=0 so top-K never picks the
         same cluster twice or from a shifted window (which overcounts).
 
-    Each index hit belongs to exactly one strand (its stored orientation
-    either matches the probe's canonicalisation flip or not), so merging
-    halves the sort + window work vs per-strand streams of the same width
-    where half the slots are sentinels.  The windowed OR accumulates a
-    2S-bit mask (subread s of strand t = bit s + S*t); a candidate's vote
-    count is the popcount of its own strand's half.  Coverage min/max are
-    NOT accumulated here — they are computed for just the K selected
-    anchors in vote_batch (one [R, K, C] pass instead of W loop steps).
+    Each index hit belongs to exactly one strand (the orientation-split
+    index returns only the probe's required orientation), so merging
+    halves the sort + window work vs per-strand streams.  The per-slot
+    distinct-subread mask keys on ((kv << 1) | strand) — positions are
+    < 2^31 — and holds one bit per subread: one uint32 word for <= 32
+    probes per scan, two words for the >160bp ladder (up to 63 probes,
+    core.c:3118-3129).  Coverage min/max are NOT accumulated here — they
+    are computed for just the K selected anchors in vote_batch.
 
-    Returns sorted (kv, votes, strand, off, acc_mask) each [R, C].
+    Returns sorted (kv, votes, strand, pk) each [R, C].
     """
     R, C = kv.shape
-    S = params.total_subreads
+    S = params.total_subreads if n_sub is None else n_sub
     kv_s, pay_s = jax.lax.sort((kv, payload), dimension=-1, num_keys=1)
     off_s = (pay_s & np.uint32(0xFFF)).astype(jnp.int32)
     strand_su = (pay_s >> np.uint32(12)) & np.uint32(1)
     strand_s = strand_su.astype(jnp.int32)
-    bit = ((pay_s >> np.uint32(13)) & np.uint32(0x3F)) + np.uint32(S) * strand_su
-    mask_s = jnp.uint32(1) << bit
+    sub_s = (pay_s >> np.uint32(13)) & np.uint32(0x3F)
+    dual = S > 32
+    if dual:
+        mask_s = jnp.where(
+            sub_s < 32, jnp.uint32(1) << sub_s, np.uint32(0)
+        )
+        mask_hi_s = jnp.where(
+            sub_s >= 32, jnp.uint32(1) << (sub_s - np.uint32(32)),
+            np.uint32(0),
+        )
+    else:
+        mask_s = jnp.uint32(1) << sub_s
+        mask_hi_s = None
     # anchor-ordering key: probe scan index in the oriented read's own scan
     # (reverse-strand probes scan the RC read left-to-right), lower = earlier.
-    # Packed with the strand in bit 7 (spk = pk | strand<<7): XORing a
-    # window element's spk with the center's strand<<7 yields pk for
-    # same-strand members and pk+128 for the other strand, so one int16
+    # Packed with the strand in bit 8 (spk = pk | strand<<8): XORing a
+    # window element's spk with the center's strand<<8 yields pk for
+    # same-strand members and pk+256 for the other strand, so one int16
     # min replaces the separate strand compare — the window loop then
-    # slices 3 arrays per step instead of 4.
-    pk_s = ((pay_s >> np.uint32(19)) & np.uint32(0x3F)).astype(jnp.int16)
-    spk_s = pk_s | (strand_su.astype(jnp.int16) << np.int16(7))
+    # slices 2 arrays per step instead of 4.
+    pk_s = ((pay_s >> np.uint32(19)) & np.uint32(0xFF)).astype(jnp.int16)
+    spk_s = pk_s | (strand_su.astype(jnp.int16) << np.int16(8))
 
     W = min(params.window, C)
     tol = np.uint32(params.indel_tolerance)
     tol2 = np.uint32(2 * params.indel_tolerance)
     BIGPK = jnp.int16(0x7FFF)
-    sflip = strand_su.astype(jnp.int16) << np.int16(7)
+    sflip = strand_su.astype(jnp.int16) << np.int16(8)
     pad2 = lambda a, v: jnp.pad(a, ((0, 0), (W, W)), constant_values=v)
     pad_kv = pad2(kv_s, np.uint32(0xFFFFFFFF))
     pad_mask = pad2(mask_s, np.uint32(0))
+    pad_mask_hi = pad2(mask_hi_s, np.uint32(0)) if dual else None
     pad_spk = pad2(spk_s, 0x3FFF)
 
     # in-window test: kd - kv_s in [-tol, tol] <=> kd - kv_s + tol <= 2*tol
@@ -444,7 +494,7 @@ def _vote_merged(
 
     # e is its cluster's creation hit iff nothing in-window scans earlier:
     # no same-strand member with smaller probe anywhere (minpk includes
-    # self; other-strand members carry +128 via the spk XOR), and no LEFT
+    # self; other-strand members carry +256 via the spk XOR), and no LEFT
     # member (smaller kv) sharing its probe index
     is_anchor = (minpk == pk_s) & (leftpk > pk_s) & (kv_s != SENTINEL)
 
@@ -477,21 +527,45 @@ def _vote_merged(
     )
     assigned = jnp.where(kv_s == SENTINEL, SENTINEL - np.uint32(1), assigned)
 
-    # pass B — per-slot distinct-subread accumulation over assigned members
-    pad_asg = pad2(assigned, np.uint32(0xFFFFFFFE))
-
-    def body_acc(d, acc):
-        ad = jax.lax.dynamic_slice_in_dim(pad_asg, d, C, axis=1)
-        md = jax.lax.dynamic_slice_in_dim(pad_mask, d, C, axis=1)
-        return acc | jnp.where(ad == kv_s, md, 0)
-
-    acc_mask = jax.lax.fori_loop(
-        0, 2 * W + 1, body_acc, jnp.zeros_like(mask_s)
+    # pass B — per-slot distinct-subread accumulation over assigned
+    # members.  The slot key carries the strand in its LSB (positions are
+    # < 2^31) so opposite-strand slots at one kv never mix.
+    asg_key = jnp.where(
+        kv_s == SENTINEL,
+        np.uint32(0xFFFFFFFD),
+        (assigned << np.uint32(1)) | strand_su,
     )
+    own_key = (kv_s << np.uint32(1)) | strand_su
+    pad_asg = pad2(asg_key, np.uint32(0xFFFFFFFE))
 
-    lowhalf = np.uint32((1 << S) - 1)
-    half = jnp.where(strand_s == 1, lowhalf << np.uint32(S), lowhalf)
-    votes = jax.lax.population_count(acc_mask & half).astype(jnp.int32)
+    if dual:
+        def body_acc(d, carry):
+            acc, acc_hi = carry
+            ad = jax.lax.dynamic_slice_in_dim(pad_asg, d, C, axis=1)
+            hit = ad == own_key
+            md = jax.lax.dynamic_slice_in_dim(pad_mask, d, C, axis=1)
+            mh = jax.lax.dynamic_slice_in_dim(pad_mask_hi, d, C, axis=1)
+            return (acc | jnp.where(hit, md, 0),
+                    acc_hi | jnp.where(hit, mh, 0))
+
+        acc_mask, acc_hi = jax.lax.fori_loop(
+            0, 2 * W + 1, body_acc,
+            (jnp.zeros_like(mask_s), jnp.zeros_like(mask_s)),
+        )
+        votes = (
+            jax.lax.population_count(acc_mask)
+            + jax.lax.population_count(acc_hi)
+        ).astype(jnp.int32)
+    else:
+        def body_acc(d, acc):
+            ad = jax.lax.dynamic_slice_in_dim(pad_asg, d, C, axis=1)
+            md = jax.lax.dynamic_slice_in_dim(pad_mask, d, C, axis=1)
+            return acc | jnp.where(ad == own_key, md, 0)
+
+        acc_mask = jax.lax.fori_loop(
+            0, 2 * W + 1, body_acc, jnp.zeros_like(mask_s)
+        )
+        votes = jax.lax.population_count(acc_mask).astype(jnp.int32)
     votes = jnp.where(is_anchor, votes, 0)
     return kv_s, votes, strand_s, pk_s.astype(jnp.int32), acc_mask
 
@@ -527,7 +601,13 @@ def vote_batch(
     H = params.max_hits
     S = params.total_subreads
     gap = max(params.index_gap, 1)
-    P0 = S * gap                     # probes per strand scan
+    # probes per strand scan: the reference's per-length applied_subreads
+    # (>160bp reads probe every 6bp up to 63 probes, core.c:3116-3129)
+    n_sub = applied_subreads(
+        static_len if static_len is not None and static_len >= KMER else L,
+        params,
+    )
+    P0 = n_sub * gap
 
     # TWO probe grids, one per strand scan, exactly as the reference runs
     # them (do_voting, core.c:3110-3186: all forward-read probes, then all
@@ -558,7 +638,7 @@ def vote_batch(
         ownoff_np = np.concatenate([offs_f, offs_f])           # [2P0]
         own_b = ownoff_np[None, :]
     else:
-        offsets_f, sub_id0 = subread_offsets(read_len, params)  # [R, P0]
+        offsets_f, sub_id0 = subread_offsets(read_len, params, n_sub)
         extract = jnp.concatenate(
             [offsets_f,
              jnp.maximum(read_len[:, None] - KMER - offsets_f, 0)],
@@ -586,8 +666,8 @@ def vote_batch(
         own_b = jnp.concatenate([offsets_f, offsets_f], axis=1)  # [R, 2P0]
 
     sn_np = np.tile(
-        np.repeat(np.arange(S, dtype=np.int32), gap) if gap > 1
-        else np.arange(S, dtype=np.int32), 2
+        np.repeat(np.arange(n_sub, dtype=np.int32), gap) if gap > 1
+        else np.arange(n_sub, dtype=np.int32), 2
     )                                                           # [2P0]
     P = nprobe
     C = P * H
@@ -625,7 +705,7 @@ def vote_batch(
         | (subid_r << np.uint32(13))
         | (jnp.asarray(pk3_np) << np.uint32(19))
     )
-    kv_s, votes, strand_s, pk_s, _ = _vote_merged(kv3, payload, params)
+    kv_s, votes, strand_s, pk_s, _ = _vote_merged(kv3, payload, params, n_sub)
 
     # --- top-K selection (both strands live in the one stream) ------------
     # Reference simple-list order (core-junction.c:2262-2310): vote count

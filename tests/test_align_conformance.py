@@ -144,3 +144,45 @@ def test_pe_full_record_parity(tmp_path, chr901_genome, chr901_index):
     assert st.full_rate >= 0.9900, f"PE full-record parity {st.full_rate:.4f}"
     assert st.core_rate >= 0.9940, f"PE core parity {st.core_rate:.4f}"
     assert st.ref_only_mapped <= 40, f"ref-only mapped {st.ref_only_mapped}"
+
+
+FQ250 = HERE / "data" / "sim8k-250bp-chr901.fq.gz"
+REF250 = HERE / "data" / "sim8k-250bp-chr901.ref-align.tsv.gz"
+
+
+def test_250bp_position_agreement_with_reference(tmp_path, chr901_genome,
+                                                 chr901_index):
+    """>160bp reads probe the 6bp ladder (applied_subreads, core.c:3118-3129;
+    40 probes at 250bp) and the -M mismatch cap scales per 100bp
+    (core-junction.c:3359-3362).  Fixture: the reference binary on 8k
+    simulated 250bp reads at 1% error (VERDICT round-2 task 9)."""
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+
+    al = Aligner(chr901_genome, chr901_index,
+                 aligner_config(batch_reads=2048, pad_read_len=256))
+    out = tmp_path / "ours.sam"
+    summary = al.align_file(str(FQ250), str(out))
+
+    ref = {}
+    with gzip.open(REF250, "rt") as f:
+        for line in f:
+            q, flag, rname, pos, _mq, _cig = line.rstrip("\n").split("\t")
+            ref[q] = (int(flag) & 0x4, rname, int(pos))
+    both = agree = ref_only = 0
+    for line in open(out):
+        if line.startswith("@"):
+            continue
+        fds = line.split("\t")
+        r = ref.get(fds[0])
+        if r is None or r[0]:
+            continue
+        if int(fds[1]) & 0x4:
+            ref_only += 1
+            continue
+        both += 1
+        if r[1] == fds[2] and abs(r[2] - int(fds[3])) <= 5:
+            agree += 1
+    assert both > 7500, both
+    assert agree / both >= 0.99, f"{agree}/{both}"
+    assert ref_only < 80, ref_only
