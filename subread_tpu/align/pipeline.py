@@ -1182,13 +1182,45 @@ class Aligner:
             tl_sc = jnp.zeros_like(tl_sc)  # no TLEN preference with -B
         pair_ok = ok1[:, :, None] & ok2[:, None, :]
         primary = jnp.where(pair_ok, primary, -1)
-        # lexicographic max (primary, tl_sc), tie → first in k1-major order
+        # lexicographic max (primary, tl_sc); ties resolve in the
+        # reference's scan-2 iteration order, which walks the per-end
+        # BIGTABLE entries — stored in combo-score order with position
+        # dedup (core-junction.c:2405-2436; comb merge_sort + reversed
+        # storage loop) — r1-entry-major (core.c:2799-2906)
+        def storage_rank(tk, top_ok, pos):
+            BIGR = jnp.int32(9)
+            rank = jnp.full(pos.shape, BIGR, jnp.int32)
+            cursor = jnp.zeros(pos.shape[0], jnp.int32)
+            seen: list = []
+            kcol = jnp.arange(K, dtype=jnp.int32)[None, :]
+            for c in range(tk.shape[1]):
+                kc = tk[:, c]
+                okc = top_ok[:, c]
+                pc = jnp.take_along_axis(pos, kc[:, None], axis=1)[:, 0]
+                dup = jnp.zeros_like(okc)
+                for (pp, oo) in seen:
+                    dup = dup | ((pp == pc) & oo)
+                new = okc & ~dup
+                assign = (kcol == kc[:, None]) & new[:, None] & (rank == BIGR)
+                rank = jnp.where(assign, cursor[:, None], rank)
+                cursor = cursor + new.astype(jnp.int32)
+                seen.append((pc, okc))
+            return rank
+
+        r1_rank = storage_rank(tk1, top_ok, p1)
+        r2_rank = storage_rank(tk2, top_ok, p2)
+        # SE-fallback anchor order = candidate order
+        kcol = jnp.arange(K, dtype=jnp.int32)[None, :]
+        r1_rank = jnp.where(any_combo[:, None], r1_rank, kcol)
+        r2_rank = jnp.where(any_combo[:, None], r2_rank, kcol)
         best_p = jnp.max(primary.reshape(R, KK), axis=1)
         at_p = primary == best_p[:, None, None]
         tl_m = jnp.where(at_p, tl_sc, -1)
         best_t = jnp.max(tl_m.reshape(R, KK), axis=1)
         at_best = at_p & (tl_m == best_t[:, None, None])
-        bi = jnp.argmax(at_best.reshape(R, KK), axis=1)
+        rp = r1_rank[:, :, None] * 16 + r2_rank[:, None, :]
+        rp_m = jnp.where(at_best, rp, jnp.int32(0x7FFF))
+        bi = jnp.argmin(rp_m.reshape(R, KK), axis=1)
         bk1 = (bi // K).astype(jnp.int32)
         bk2 = (bi % K).astype(jnp.int32)
         paired = has1 & has2 & (best_p >= 0)
