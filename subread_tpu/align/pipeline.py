@@ -297,15 +297,16 @@ class Aligner:
         )
         self.rescue_tiers = []
         if self.rescue_fold_cap:
-            mid = 96
+            mid = 48
             if self.rescue_hits > mid + 32:
                 self.rescue_tiers.append((
                     self.rescue_vote_params._replace(max_hits=mid),
                     self.rescue_fold_cap,
                 ))
-                # chr901 measurement: 1179 of 2701 tier-1 reads re-saturate
-                # at H=96 (runs > 96 are common in its repeat families), so
-                # the full-width tier needs half the tier-1 capacity
+                # chr901 measurement (orientation-split runs): about half
+                # the tier-1 reads re-saturate at the mid width, so the
+                # full-width tier runs at half the tier-1 capacity
+                # (overflow routes to the host pass; measured 0)
                 self.rescue_tiers.append((
                     self.rescue_vote_params,
                     max(self.rescue_fold_cap // 2, 256),
