@@ -119,6 +119,30 @@ def collect_junctions(res: dict, batch, genome, table: dict) -> dict | None:
     return donor_of
 
 
+def collect_seed_junctions(res: dict, genome, table: dict) -> None:
+    """Seed-only junction events (find_new_junctions seeding inside repeat
+    duplications, core-junction.c:3836 + the 3-slot big-margin record
+    :789): entered with support 0 so they drive scan-2 rescue but only
+    reach .junction.bed once a supporter is counted."""
+    for pfx in ("seed", "seed2"):
+        if f"{pfx}_ok" not in res:
+            continue
+        sel = np.flatnonzero(np.asarray(res[f"{pfx}_ok"], bool))
+        if len(sel) == 0:
+            continue
+        lin_l = np.asarray(res[f"{pfx}_left"], np.int64)
+        lin_r = np.asarray(res[f"{pfx}_right"], np.int64)
+        donor = np.asarray(res[f"{pfx}_donor"], np.int64)
+        cidx, coff_l = genome.linear_to_chro(lin_l)
+        _, coff_r = genome.linear_to_chro(lin_r)
+        for i in sel:
+            key = (
+                genome.names[int(cidx[i])], int(coff_l[i]), int(coff_r[i]),
+                int(donor[i]),
+            )
+            table.setdefault(key, (0, 0, 0))
+
+
 def known_junctions_from_annotation(ann) -> dict:
     """-a exon annotation -> preloaded junction events
     (load_known_junctions, core-indel.c:1313 + add_annotation_to_junctions
@@ -753,7 +777,9 @@ class Aligner:
         the plain alignment when it explains the read with fewer mismatches
         (the RNA-seq mismatch-dominant score, core.c:2731-2739).
         """
-        from ..ops.junction import junction_split_scan, pick_junction_pair
+        from ..ops.junction import (
+            junction_split_scan, pick_junction_pair, pick_seed_junction,
+        )
 
         cfg = self.cfg
         base = self._select_se(lens, sc)
@@ -761,6 +787,24 @@ class Aligner:
         oriented = oriented_read(codes, lens, base["strand"], uniform_len)
         jr = junction_split_scan(
             genome_u32, oriented, lens, pair["head_pos"], pair["gap"], pair["valid"]
+        )
+        # Event seeding independent of the read's own final alignment
+        # (find_new_junctions runs per stored candidate with the 3-slot
+        # big-margin gate, core-junction.c:3836/:789; the seeded event then
+        # resolves repeat-tied reads in scan 2).  The seed anchor can be a
+        # non-best candidate, so it gets its own split scan.
+        mlim = applied_mismatch_limit(cfg.max_mismatches, lens)
+        seed_cand_ok = sc["valid_k"] & (sc["mism_k"] <= mlim[:, None])
+        seed = pick_seed_junction(v, sc, cfg.max_indel, lens, seed_cand_ok)
+        oriented_s = oriented_read(codes, lens, seed["strand"], uniform_len)
+        jr_s = junction_split_scan(
+            genome_u32, oriented_s, lens, seed["head_pos"], seed["gap"],
+            seed["valid"],
+        )
+        oriented_s2 = oriented_read(codes, lens, seed["strand2"], uniform_len)
+        jr_s2 = junction_split_scan(
+            genome_u32, oriented_s2, lens, seed["head_pos2"], seed["gap2"],
+            seed["valid2"],
         )
         # soft-clip fold for the plain alignment (the reference subjunc
         # clips noisy ends and applies the mismatch limit to the unclipped
@@ -809,6 +853,48 @@ class Aligner:
         out["junc_donor_strand"] = jr["donor_strand"]
         out["clip_l"] = jnp.where(use, jr["clip_l"], base["clip_l"])
         out["clip_r"] = jnp.where(use, jr["clip_r"], base["clip_r"])
+        # seed-event export: left/right junction edges (linear, uint32) for
+        # the shared event table; support stays 0 until scan-2 supporters
+        # are counted (write_junction_final_results final_counted_reads>=1)
+        # seeds only matter for reads that cannot carry the junction on
+        # their own record (vote-tied repeat copies: unmapped break-even or
+        # big-margin-suppressed); unambiguous reads keep the direct `use`
+        # path, which already feeds the table via collect_junctions
+        seed_tied = ~base["mapped"] if cfg.seed_tied_junctions else (
+            base["mapped"] & False
+        )
+        seed_ok = seed_tied & seed["valid"] & jr_s["ok"] & (
+            jr_s["mism"] <= cfg.max_mismatches
+        )
+        s_left = seed["head_pos"] + jr_s["split"].astype(jnp.uint32) - np.uint32(1)
+        out["seed_ok"] = seed_ok
+        out["seed_left"] = s_left
+        out["seed_right"] = s_left + seed["gap"].astype(jnp.uint32) + np.uint32(1)
+        out["seed_donor"] = jr_s["donor_strand"].astype(jnp.int8)
+        seed_ok2 = seed_tied & seed["valid2"] & jr_s2["ok"] & (
+            jr_s2["mism"] <= cfg.max_mismatches
+        )
+        s_left2 = seed["head_pos2"] + jr_s2["split"].astype(jnp.uint32) - np.uint32(1)
+        out["seed2_ok"] = seed_ok2
+        out["seed2_left"] = s_left2
+        out["seed2_right"] = s_left2 + seed["gap2"].astype(jnp.uint32) + np.uint32(1)
+        out["seed2_donor"] = jr_s2["donor_strand"].astype(jnp.int8)
+        # alternate anchor for scan-2 rescue: break-even repeat copies are
+        # re-explained at BOTH tied locations (explain_read runs per
+        # candidate, core.c:2486); export the best same-strand candidate at
+        # a different position
+        pos_k, strand_k = sc["pos_k"], sc["strand_k"]
+        alt_valid = (
+            sc["valid_k"]
+            & (pos_k != base["pos"][:, None])
+            & (strand_k == base["strand"].astype(strand_k.dtype)[:, None])
+            & (sc["mism_k"] <= mlim[:, None])
+        )
+        alt_score = jnp.where(alt_valid, sc["score_k"], -1)
+        k2 = jnp.argmax(alt_score, axis=1)
+        take2 = lambda a: jnp.take_along_axis(a, k2[:, None], axis=1)[:, 0]
+        out["alt2_pos"] = take2(pos_k)
+        out["alt2_ok"] = (take2(alt_score) >= 0) & cfg.seed_tied_junctions
         if self.cfg.all_junctions:
             # export the vote clusters for host-side fusion detection
             # (align/fusion.py; write_fusion_final_results analog)
@@ -853,6 +939,20 @@ class Aligner:
             res["pos"] != np.uint32(0xFFFFFFFF),
             res["pos"] - clip_l.astype(np.uint32), res["pos"],
         )
+        # deterministic funnel for vote-tied repeat copies: try the
+        # smaller-position copy first so a tie family consolidates on ONE
+        # seeded event instead of splitting support across twin copies
+        if "alt2_pos" in res:
+            tied0 = (
+                np.asarray(res["alt2_ok"], bool)
+                & ~np.asarray(res["mapped"], bool)
+                & (res["alt2_pos"] != np.uint32(0xFFFFFFFF))
+            )
+            alt_lo = np.minimum(res["alt2_pos"], pos_p[:R])
+            alt_hi = np.maximum(res["alt2_pos"], pos_p[:R])
+            pos_p[:R] = np.where(tied0, alt_lo, pos_p[:R])
+            res = dict(res)
+            res["alt2_pos"] = np.where(tied0, alt_hi, res["alt2_pos"])
         strand_p = np.zeros(n, np.int32)
         strand_p[:R] = res["strand"]
         bs = cfg.batch_reads
@@ -875,7 +975,56 @@ class Aligner:
             & (rj["mism"] <= cfg.max_mismatches)
             & ((rj["mism"] + 1 < plain_cost) | ~res["mapped"].astype(bool))
         )
+        # second arm: break-even repeat copies re-explained at the OTHER
+        # tied location (the reference's scan-2 explain_read runs per
+        # candidate; the copy holding the seeded event wins uniquely)
+        if "alt2_pos" in res:
+            alt_ok = np.asarray(res["alt2_ok"], bool)
+            tied = alt_ok & (
+                ~np.asarray(res["mapped"], bool)
+                | np.asarray(res.get("multi", np.zeros(R, bool)), bool)
+            ) & ~np.asarray(res["junc"], bool)
+            if tied.any():
+                pos2 = np.full(n, 0xFFFFFFFF, np.uint32)
+                pos2[:R] = np.where(tied, res["alt2_pos"], np.uint32(0xFFFFFFFF))
+                parts2 = []
+                for i in range(0, n, bs):
+                    sl = slice(i, i + bs)
+                    r2 = self._junction_rescue_step(
+                        jnp.asarray(codes[sl]), jnp.asarray(lens[sl]),
+                        self.d_genome, jnp.asarray(pos2[sl]),
+                        jnp.asarray(strand_p[sl]), d_left, d_right,
+                    )
+                    parts2.append(jax.device_get(r2))
+                rj2 = {k: np.concatenate([p[k] for p in parts2])[:R]
+                       for k in parts2[0]}
+                accept2 = (
+                    rj2["ok"] & tied & ~accept
+                    & (rj2["mism"] <= cfg.max_mismatches)
+                    & ((rj2["mism"] + 1 < plain_cost)
+                       | ~res["mapped"].astype(bool))
+                )
+                for k in ("mism", "split", "gap", "pos", "ok"):
+                    rj[k] = np.where(accept2, rj2[k], rj[k])
+                accept = accept | accept2
         out = dict(res)
+        # an event-table explanation resolves a vote-level tie: only the
+        # copy holding the seeded event explains the read, so the read is
+        # unique after scan 2 (reference MAPQ = 40/(Nc+Nmm),
+        # doc/SubreadUsersGuide.tex:580-592 — Nc counts the candidates)
+        was_tied = np.asarray(res.get("multi", np.zeros(R, bool)), bool)
+        untied = accept & (was_tied | ~res["mapped"].astype(bool)) & bool(
+            cfg.seed_tied_junctions
+        )
+        if "multi" in res and cfg.seed_tied_junctions:
+            out["multi"] = np.where(accept, False, was_tied)
+        if "mapq" in res and "n_anchors" in res:
+            nc = np.asarray(res["n_anchors"], np.int64)
+            out["mapq"] = np.where(
+                untied,
+                cfg.mapq_unique // np.maximum(nc + rj["mism"], 1),
+                res["mapq"],
+            ).astype(res["mapq"].dtype)
         out["junc"] = np.where(accept, True, res["junc"]).astype(bool)
         out["split"] = np.where(accept, rj["split"], res["split"])
         out["junc_gap"] = np.where(accept, rj["gap"], res["junc_gap"])
@@ -2644,6 +2793,8 @@ class Aligner:
                     prelim.update(junctions)
                     collect_junctions(r1, pair[0], self.genome, prelim)
                     collect_junctions(r2, pair[1], self.genome, prelim)
+                    collect_seed_junctions(r1, self.genome, prelim)
+                    collect_seed_junctions(r2, self.genome, prelim)
                     ev_l, ev_r, donor = junction_event_arrays(
                         self.genome, prelim
                     )
@@ -2775,6 +2926,7 @@ class Aligner:
                     prelim = dict(getattr(self, "annot_junctions", None) or {})
                     prelim.update(junctions)
                     collect_junctions(res, batch, self.genome, prelim)
+                    collect_seed_junctions(res, self.genome, prelim)
                     ev_l, ev_r, donor = junction_event_arrays(
                         self.genome, prelim
                     )

@@ -228,6 +228,137 @@ def pick_junction_pair(v, sc, max_indel: int, best=None, read_len=None):
     )
 
 
+def big_margin_ambiguous(v, read_len):
+    """Per-candidate `is_ambiguous_voting` with the reference's 3-slot
+    big-margin record (core-junction.c:789 insert_big_margin_record,
+    :3522 is_ambiguous_voting; big_margin_record_size=9 -> 3 records).
+
+    The reference inserts every top-tier vote location in vote-table scan
+    order, placing an equal-vote newcomer BEFORE existing records, so with
+    capacity 3 the kept set is the top-3 clusters by (votes, recency).  A
+    junction read tied across two repeat copies (2 copies x 2 half-spans =
+    4 tied clusters) therefore keeps one half-span as a singleton record,
+    whose result sees encounter==1 -> NOT ambiguous.  This is how the
+    reference still seeds junction events inside segmental duplications
+    while suppressing ordinary repeat reads (encounter>1).
+
+    Returns [R, K] bool: True = candidate k is voting-ambiguous.
+    """
+    R, K = v.votes.shape
+    SEN = jnp.asarray(np.uint32(0xFFFFFFFF))
+    alive = v.pos != SEN
+    votes = jnp.where(alive, v.votes.astype(jnp.int32), -1)
+    # forward-read coordinate spans (is_ambiguous_voting flips negative)
+    L = read_len[:, None]
+    cs_f = jnp.where(v.strand == 1, L - v.cov_end, v.cov_start)
+    ce_f = jnp.where(v.strand == 1, L - v.cov_start, v.cov_end)
+
+    # kept records = top-3 by (votes, recency): equal-vote inserts displace
+    # earlier ones, so higher k wins among ties
+    karr = np.arange(K, dtype=np.int32)[None, :]
+    keep_key = votes * K + karr
+    order = jnp.argsort(-keep_key, axis=1)[:, :3]          # [R, 3]
+    rv = jnp.take_along_axis(votes, order, axis=1)         # [R, 3]
+    rcs = jnp.take_along_axis(cs_f, order, axis=1)
+    rce = jnp.take_along_axis(ce_f, order, axis=1)
+
+    # encounter: records with votes >= cand-1 and directional span match +-4
+    vk = votes[:, :, None]                                 # [R, K, 1]
+    vj = rv[:, None, :]                                    # [R, 1, 3]
+    csk, cek = cs_f[:, :, None], ce_f[:, :, None]
+    csj, cej = rcs[:, None, :], rce[:, None, :]
+    inside = (csj >= csk - 4) & (cej <= cek + 4)
+    contains = (csj <= csk + 4) & (cej >= cek - 4)
+    span_match = jnp.where(vk >= vj, inside, contains)
+    enc = jnp.sum(
+        (vj >= vk - 1) & (vj > 0) & span_match, axis=2
+    )
+    return (enc > 1) & alive
+
+
+def pick_seed_junction(v, sc, max_indel: int, read_len, cand_ok):
+    """Junction event seeding: the reference calls find_new_junctions once
+    per stored candidate result (core-junction.c:3836), gated per-result by
+    the 3-slot is_ambiguous_voting; the first candidate that passes the
+    gate AND has a compatible minor half seeds a junction event — even
+    when the read's own final alignment ends up elsewhere (scan 2 decides
+    per-read against the event table).
+
+    Returns dict(head_pos, gap, valid, strand, disc_k) for the seeding
+    (major, minor) pair per read."""
+    R, K = v.votes.shape
+    amb = big_margin_ambiguous(v, read_len)
+    SEN = jnp.asarray(np.uint32(0xFFFFFFFF))
+    alive = v.pos != SEN
+
+    # pairwise minor compatibility: [R, Kmajor, Kminor]
+    pos = v.pos.astype(jnp.int64)
+    same_strand = v.strand[:, :, None] == v.strand[:, None, :]
+    diff = pos[:, None, :] - pos[:, :, None]               # minor - major
+    not_self = ~jnp.eye(K, dtype=bool)[None]
+    minor_is_tail = v.cov_start[:, None, :] > v.cov_start[:, :, None]
+    expected_sign = jnp.where(minor_is_tail, 1, -1)
+    gap_abs = jnp.abs(diff)
+    non_overlap = (
+        (v.cov_start[:, None, :] >= v.cov_end[:, :, None] - 8)
+        | (v.cov_end[:, None, :] <= v.cov_start[:, :, None] + 8)
+    )
+    ok = (
+        same_strand & not_self & (v.votes[:, None, :] >= 1) & non_overlap
+        & (gap_abs > max_indel) & (gap_abs <= MAX_INTRON)
+        & (jnp.sign(diff) == expected_sign)
+        & alive[:, None, :] & alive[:, :, None]
+    )
+    pairable = jnp.any(ok, axis=2)                          # [R, K]
+
+    seedable = cand_ok & ~amb & pairable
+
+    def one_seed(seedable_k):
+        disc_k = jnp.argmax(seedable_k, axis=1).astype(jnp.int32)  # first True
+        found = jnp.any(seedable_k, axis=1)
+        take_m = lambda a: jnp.take_along_axis(a, disc_k[:, None], axis=1)[:, 0]
+        d_pos = take_m(pos)
+        d_strand = take_m(v.strand)
+        # minor for the seeding major: most votes, proximity tie-break
+        ok_d = jnp.take_along_axis(ok, disc_k[:, None, None], axis=1)[:, 0]
+        gap_d = jnp.take_along_axis(gap_abs, disc_k[:, None, None], axis=1)[:, 0]
+        minor_score = jnp.where(
+            ok_d,
+            v.votes.astype(jnp.int32) * jnp.int32(1 << 20)
+            - gap_d.astype(jnp.int32),
+            jnp.int32(-1),
+        )
+        minor_k = jnp.argmax(minor_score, axis=1)
+        take_n = lambda a: jnp.take_along_axis(a, minor_k[:, None], axis=1)[:, 0]
+        m_pos = take_n(pos)
+        m_is_tail = m_pos > d_pos
+        head_pos = jnp.where(m_is_tail, d_pos, m_pos)
+        tail_pos = jnp.where(m_is_tail, m_pos, d_pos)
+        gap = (tail_pos - head_pos).astype(jnp.int32)
+        return dict(
+            head_pos=head_pos.astype(jnp.uint32),
+            gap=gap,
+            valid=found & (gap > 0),
+            strand=d_strand,
+            disc_k=disc_k,
+        ), disc_k, d_pos
+
+    first, disc1, d_pos1 = one_seed(seedable)
+    # second seed: the next seedable candidate at a DIFFERENT position —
+    # inside a duplication both copies pass the 3-slot gate and the copy
+    # with the intact donor motif may not come first (find_new_junctions
+    # runs per stored result, so the reference tries each in turn)
+    seedable2 = seedable & (pos != d_pos1[:, None]) & (
+        np.arange(K, dtype=np.int32)[None, :] != disc1[:, None]
+    )
+    second, _, _ = one_seed(seedable2)
+    first["head_pos2"] = second["head_pos"]
+    first["gap2"] = second["gap"]
+    first["valid2"] = second["valid"]
+    first["strand2"] = second["strand"]
+    return first
+
+
 def junction_rescue(
     genome_u32: jnp.ndarray,
     oriented: jnp.ndarray,    # [R, L] read codes in genome orientation
