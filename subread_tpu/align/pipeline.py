@@ -119,11 +119,23 @@ def collect_junctions(res: dict, batch, genome, table: dict) -> dict | None:
     return donor_of
 
 
-def collect_seed_junctions(res: dict, genome, table: dict) -> None:
+def collect_seed_junctions(res: dict, genome, table: dict,
+                           pending: dict | None = None,
+                           min_proposers: int = 2) -> None:
     """Seed-only junction events (find_new_junctions seeding inside repeat
     duplications, core-junction.c:3836 + the 3-slot big-margin record
     :789): entered with support 0 so they drive scan-2 rescue but only
-    reach .junction.bed once a supporter is counted."""
+    reach .junction.bed once a supporter is counted.
+
+    The reference seeds at most one event per tie family (only the
+    stored candidate whose half-span is the singleton record passes the
+    gate); we seed per read, so demand >=min_proposers DISTINCT reads
+    proposing the same edges before an event becomes live — real
+    duplication families have 5-18 tied proposers, while wrong-minor
+    pairings are mostly singletons (`pending` carries counts across
+    chunks)."""
+    if pending is None:
+        pending = {}
     for pfx in ("seed", "seed2"):
         if f"{pfx}_ok" not in res:
             continue
@@ -140,7 +152,10 @@ def collect_seed_junctions(res: dict, genome, table: dict) -> None:
                 genome.names[int(cidx[i])], int(coff_l[i]), int(coff_r[i]),
                 int(donor[i]),
             )
-            table.setdefault(key, (0, 0, 0))
+            n = pending.get(key, 0) + 1
+            pending[key] = n
+            if n >= min_proposers:
+                table.setdefault(key, (0, 0, 0))
 
 
 def known_junctions_from_annotation(ann) -> dict:
@@ -2740,6 +2755,7 @@ class Aligner:
             rg_id=self.cfg.rg_id, rg_extra=list(self.cfg.rg_extra) or None,
         )
         junctions: dict | None = {} if self.cfg.detect_junctions else None
+        seed_pending: dict = {}
         indel_events: dict = {}
 
         def read_pair():
@@ -2793,8 +2809,10 @@ class Aligner:
                     prelim.update(junctions)
                     collect_junctions(r1, pair[0], self.genome, prelim)
                     collect_junctions(r2, pair[1], self.genome, prelim)
-                    collect_seed_junctions(r1, self.genome, prelim)
-                    collect_seed_junctions(r2, self.genome, prelim)
+                    collect_seed_junctions(r1, self.genome, prelim,
+                                           seed_pending)
+                    collect_seed_junctions(r2, self.genome, prelim,
+                                           seed_pending)
                     ev_l, ev_r, donor = junction_event_arrays(
                         self.genome, prelim
                     )
@@ -2842,6 +2860,7 @@ class Aligner:
             rg_extra=list(self.cfg.rg_extra) or None,
         )
         junctions: dict | None = {} if self.cfg.detect_junctions else None
+        seed_pending: dict = {}
         indel_events: dict = {}
         breakpoints: dict | None = {} if self.cfg.all_junctions else None
         try:
@@ -2926,7 +2945,8 @@ class Aligner:
                     prelim = dict(getattr(self, "annot_junctions", None) or {})
                     prelim.update(junctions)
                     collect_junctions(res, batch, self.genome, prelim)
-                    collect_seed_junctions(res, self.genome, prelim)
+                    collect_seed_junctions(res, self.genome, prelim,
+                                           seed_pending)
                     ev_l, ev_r, donor = junction_event_arrays(
                         self.genome, prelim
                     )
