@@ -73,6 +73,8 @@ class CoordSortBamWriter:
         self._records.append((sortkey, pos, blob, max(span, 1)))
 
     def close(self) -> None:
+        from ..utils.cleanup import unregister
+
         self._records.sort(key=lambda r: (r[0], r[1]))
 
         # header block(s)
@@ -151,6 +153,7 @@ class CoordSortBamWriter:
                     v = linear[r].get(w, last)
                     last = v
                     bf.write(struct.pack("<Q", v))
+        unregister(self.path)
 
     def __enter__(self):
         return self

@@ -73,6 +73,7 @@ class SamWriter:
         version: str = "0.1.0",
         sorted_by_coord: bool = False,
     ):
+        self.path = path
         self._f = open(path, "w", buffering=1 << 20)
         so = "coordinate" if sorted_by_coord else "unsorted"
         self._f.write(f"@HD\tVN:1.0\tSO:{so}\n")
@@ -100,6 +101,9 @@ class SamWriter:
 
     def close(self) -> None:
         self._f.close()
+        from ..utils.cleanup import unregister
+
+        unregister(self.path)
 
     def __enter__(self):
         return self
@@ -131,6 +135,7 @@ class BamRecordWriter:
             path, list(contig_names), [int(x) for x in contig_lengths],
             header_text="\n".join(header) + "\n",
         )
+        self.path = path
         self._rg_id = rg_id
 
     def write(self, rec: "SamRecord") -> None:
@@ -143,6 +148,9 @@ class BamRecordWriter:
 
     def close(self) -> None:
         self._w.close()
+        from ..utils.cleanup import unregister
+
+        unregister(self.path)
 
     def __enter__(self):
         return self
@@ -153,6 +161,12 @@ class BamRecordWriter:
 
 def make_writer(path, contig_names, contig_lengths, sam_output: bool,
                 sort_by_coordinates: bool = False, **kw):
+    # in-flight outputs are removed on SIGINT/SIGTERM/crash (reference
+    # SIGINT_hook semantics, index-builder.c:996); each writer's close()
+    # unregisters the path, marking the artifact valid
+    from ..utils.cleanup import register
+
+    register(path)
     if sort_by_coordinates and not sam_output:
         from .bamsort import CoordSortBamWriter
 

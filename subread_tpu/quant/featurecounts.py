@@ -824,9 +824,15 @@ class FeatureCounter:
             if spill_dir is None:
                 import tempfile
 
+                from ..utils.cleanup import register
+
                 spill_dir = tempfile.TemporaryDirectory(
                     prefix="fc_orphans_"
                 )
+                # orphan spill survives only while pairing runs; a signal
+                # or crash removes it (reference deletes its temp BAM
+                # blocks the same way, SIGINT_hook analog)
+                register(spill_dir.name)
                 spill_fps = [
                     open(f"{spill_dir.name}/b{b:02d}.sam", "a+")
                     for b in range(N_BUCKETS)
@@ -876,6 +882,9 @@ class FeatureCounter:
                     self._assign([_parse_rec(fields, keep_raw)])
                 fp.close()
             spill_dir.cleanup()
+            from ..utils.cleanup import unregister
+
+            unregister(spill_dir.name)
             return
         # leftover singletons (mate never seen)
         for fields in pending.values():

@@ -69,25 +69,38 @@ def main(argv=None) -> int:
     genome = build_genome(contigs)
     gap = 3 if args.gapped else 1
     index = build_hash_index(genome, index_gap=gap, repeat_threshold=args.threshold)
-    genome.save(args.output)
+    # partial index artifacts are removed on SIGINT/SIGTERM, ENOSPC or
+    # any crash (reference SIGINT_hook index-builder.c:996, installed
+    # :1256-1257: a half-written index must never be used)
+    from ..utils.cleanup import guard
+
+    with guard(args.output + ".genome.npz", args.output + ".reads",
+               what="index"):
+        genome.save(args.output)
     if args.one_block:
-        index.save(args.output)
+        with guard(args.output + ".hash.npz", what="index"):
+            index.save(args.output)
     else:
         from ..index.build import split_index_blocks
 
         blocks = split_index_blocks(index, args.memory)
         if len(blocks) == 1:
-            index.save(args.output)
+            with guard(args.output + ".hash.npz", what="index"):
+                index.save(args.output)
         else:
-            for b, blk in enumerate(blocks):
-                blk.save(f"{args.output}.{b:02d}")
+            with guard(*[f"{args.output}.{b:02d}.hash.npz"
+                         for b in range(len(blocks))], what="index"):
+                for b, blk in enumerate(blocks):
+                    blk.save(f"{args.output}.{b:02d}")
             print(f"// index split into {len(blocks)} blocks (-M {args.memory})",
                   file=sys.stderr)
     if args.reference_format:
         from ..index.interop import write_reference_index
 
-        write_reference_index(genome, args.output, index_gap=gap,
-                              repeat_threshold=args.threshold)
+        with guard(args.output + ".tab", args.output + ".array",
+                   what="index"):
+            write_reference_index(genome, args.output, index_gap=gap,
+                                  repeat_threshold=args.threshold)
     with open(args.output + ".log", "w") as f:
         f.write(
             f"contigs={len(genome.names)} bases={int(genome.lengths.sum())} "
