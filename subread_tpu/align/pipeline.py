@@ -121,22 +121,17 @@ def collect_junctions(res: dict, batch, genome, table: dict) -> dict | None:
 
 def collect_seed_junctions(res: dict, genome, table: dict,
                            pending: dict | None = None,
-                           min_proposers: int = 2) -> None:
-    """Seed-only junction events (find_new_junctions seeding inside repeat
-    duplications, core-junction.c:3836 + the 3-slot big-margin record
-    :789): entered with support 0 so they drive scan-2 rescue but only
-    reach .junction.bed once a supporter is counted.
-
-    The reference seeds at most one event per tie family (only the
-    stored candidate whose half-span is the singleton record passes the
-    gate); we seed per read, so demand >=min_proposers DISTINCT reads
-    proposing the same edges before an event becomes live — real
-    duplication families have 5-18 tied proposers, while wrong-minor
-    pairings are mostly singletons (`pending` carries counts across
-    chunks)."""
+                           min_proposers: int = 1) -> None:
+    """Seed-only junction events (find_new_junctions seeding once per
+    stored candidate result, core.c:3249-3278 + core-junction.c:3836,
+    gated by the 3-slot big-margin record :789): entered with support 0
+    so they drive scan-2 rescue but only reach .junction.bed once a
+    supporter is counted — exactly the reference's event lifecycle
+    (events exist from scan 1; write_junction_final_results only emits
+    final_counted_reads >= 1)."""
     if pending is None:
         pending = {}
-    for pfx in ("seed", "seed2"):
+    for pfx in ("seed", "seed2", "seed3"):
         if f"{pfx}_ok" not in res:
             continue
         sel = np.flatnonzero(np.asarray(res[f"{pfx}_ok"], bool))
@@ -146,8 +141,13 @@ def collect_seed_junctions(res: dict, genome, table: dict,
         lin_r = np.asarray(res[f"{pfx}_right"], np.int64)
         donor = np.asarray(res[f"{pfx}_donor"], np.int64)
         cidx, coff_l = genome.linear_to_chro(lin_l)
-        _, coff_r = genome.linear_to_chro(lin_r)
+        cidx_r, coff_r = genome.linear_to_chro(lin_r)
         for i in sel:
+            # events are bounded within one chromosome (the reference
+            # keys them by a single chro); a pair straddling a contig
+            # boundary would seed a bogus cross-contig event
+            if int(cidx[i]) != int(cidx_r[i]):
+                continue
             key = (
                 genome.names[int(cidx[i])], int(coff_l[i]), int(coff_r[i]),
                 int(donor[i]),
@@ -726,6 +726,10 @@ class Aligner:
             out["alt_indel"] = takek(sc["indel_k"]).astype(jnp.int8)
             out["alt_split"] = takek(sc["split_k"]).astype(jnp.int16)
             out["alt_eq"] = takek(eq)
+            out["alt_votes"] = takek(sc["votes_k"]).astype(jnp.int8)
+            out["alt_clip"] = jnp.minimum(
+                takek(cl_k) + takek(cr_k), 255
+            ).astype(jnp.uint8)
         return out
 
     def _scan2(self, codes, ambig, lens, genome_u32, v: VoteResult,
@@ -793,7 +797,8 @@ class Aligner:
         (the RNA-seq mismatch-dominant score, core.c:2731-2739).
         """
         from ..ops.junction import (
-            junction_split_scan, pick_junction_pair, pick_seed_junction,
+            big_margin_ambiguous, junction_split_scan, pick_junction_pair,
+            pick_stored_seed_junctions,
         )
 
         cfg = self.cfg
@@ -801,26 +806,10 @@ class Aligner:
         pair = pick_junction_pair(v, sc, cfg.max_indel, read_len=lens)
         oriented = oriented_read(codes, lens, base["strand"], uniform_len)
         jr = junction_split_scan(
-            genome_u32, oriented, lens, pair["head_pos"], pair["gap"], pair["valid"]
+            genome_u32, oriented, lens, pair["head_pos"], pair["gap"],
+            pair["valid"], pair["guess_lo"], pair["guess_hi"],
         )
-        # Event seeding independent of the read's own final alignment
-        # (find_new_junctions runs per stored candidate with the 3-slot
-        # big-margin gate, core-junction.c:3836/:789; the seeded event then
-        # resolves repeat-tied reads in scan 2).  The seed anchor can be a
-        # non-best candidate, so it gets its own split scan.
         mlim = applied_mismatch_limit(cfg.max_mismatches, lens)
-        seed_cand_ok = sc["valid_k"] & (sc["mism_k"] <= mlim[:, None])
-        seed = pick_seed_junction(v, sc, cfg.max_indel, lens, seed_cand_ok)
-        oriented_s = oriented_read(codes, lens, seed["strand"], uniform_len)
-        jr_s = junction_split_scan(
-            genome_u32, oriented_s, lens, seed["head_pos"], seed["gap"],
-            seed["valid"],
-        )
-        oriented_s2 = oriented_read(codes, lens, seed["strand2"], uniform_len)
-        jr_s2 = junction_split_scan(
-            genome_u32, oriented_s2, lens, seed["head_pos2"], seed["gap2"],
-            seed["valid2"],
-        )
         # soft-clip fold for the plain alignment (the reference subjunc
         # clips noisy ends and applies the mismatch limit to the unclipped
         # region, exactly like subread-align — find_soft_clipping).  The
@@ -842,10 +831,19 @@ class Aligner:
         # contributes no junction — repeat regions otherwise spray
         # consistent false junctions
         # big-margin junction filter (is_ambiguous_voting,
-        # core-junction.c:3522 via find_new_junctions :3856): another
-        # similarly-voted DISTINCT location covering the SAME read span
-        # (computed in pick_junction_pair) suppresses the read's junction
-        not_ambiguous = ~pair["ambiguous"]
+        # core-junction.c:3522 via find_new_junctions :3856): the EXACT
+        # 3-slot big-margin record semantics (insert_big_margin_record
+        # :789) — a candidate whose forward-read span matches >1 of the
+        # kept records is ambiguous.  Inside a segmental duplication the
+        # 3-slot capacity drops one tied half-span, so its twin survives
+        # as a singleton and still carries/seeds the junction — the
+        # capacity quirk that lets the reference find junctions in
+        # repeats while suppressing ordinary repeat reads.
+        amb_k = big_margin_ambiguous(v, lens, cfg.min_votes_second)
+        best_k_j = jnp.argmax(sc["score_k"], axis=1)
+        not_ambiguous = ~jnp.take_along_axis(
+            amb_k, best_k_j[:, None], axis=1
+        )[:, 0]
         use = pair["valid"] & jr["ok"] & (junc_cost < plain_cost) & (
             jr["mism"] <= cfg.max_mismatches
         ) & not_ambiguous
@@ -868,48 +866,68 @@ class Aligner:
         out["junc_donor_strand"] = jr["donor_strand"]
         out["clip_l"] = jnp.where(use, jr["clip_l"], base["clip_l"])
         out["clip_r"] = jnp.where(use, jr["clip_r"], base["clip_r"])
-        # seed-event export: left/right junction edges (linear, uint32) for
-        # the shared event table; support stays 0 until scan-2 supporters
-        # are counted (write_junction_final_results final_counted_reads>=1)
-        # seeds only matter for reads that cannot carry the junction on
-        # their own record (vote-tied repeat copies: unmapped break-even or
-        # big-margin-suppressed); unambiguous reads keep the direct `use`
-        # path, which already feeds the table via collect_junctions
-        seed_tied = ~base["mapped"] if cfg.seed_tied_junctions else (
-            base["mapped"] & False
-        )
-        seed_ok = seed_tied & seed["valid"] & jr_s["ok"] & (
-            jr_s["mism"] <= cfg.max_mismatches
-        )
-        s_left = seed["head_pos"] + jr_s["split"].astype(jnp.uint32) - np.uint32(1)
-        out["seed_ok"] = seed_ok
-        out["seed_left"] = s_left
-        out["seed_right"] = s_left + seed["gap"].astype(jnp.uint32) + np.uint32(1)
-        out["seed_donor"] = jr_s["donor_strand"].astype(jnp.int8)
-        seed_ok2 = seed_tied & seed["valid2"] & jr_s2["ok"] & (
-            jr_s2["mism"] <= cfg.max_mismatches
-        )
-        s_left2 = seed["head_pos2"] + jr_s2["split"].astype(jnp.uint32) - np.uint32(1)
-        out["seed2_ok"] = seed_ok2
-        out["seed2_left"] = s_left2
-        out["seed2_right"] = s_left2 + seed["gap2"].astype(jnp.uint32) + np.uint32(1)
-        out["seed2_donor"] = jr_s2["donor_strand"].astype(jnp.int8)
-        # alternate anchor for scan-2 rescue: break-even repeat copies are
-        # re-explained at BOTH tied locations (explain_read runs per
-        # candidate, core.c:2486); export the best same-strand candidate at
-        # a different position
-        pos_k, strand_k = sc["pos_k"], sc["strand_k"]
-        alt_valid = (
-            sc["valid_k"]
-            & (pos_k != base["pos"][:, None])
-            & (strand_k == base["strand"].astype(strand_k.dtype)[:, None])
-            & (sc["mism_k"] <= mlim[:, None])
-        )
-        alt_score = jnp.where(alt_valid, sc["score_k"], -1)
-        k2 = jnp.argmax(alt_score, axis=1)
-        take2 = lambda a: jnp.take_along_axis(a, k2[:, None], axis=1)[:, 0]
-        out["alt2_pos"] = take2(pos_k)
-        out["alt2_ok"] = (take2(alt_score) >= 0) & cfg.seed_tied_junctions
+        if cfg.detect_junctions:
+            # Event seeding once per STORED candidate (find_new_junctions
+            # runs per stored alignment result with the 3-slot big-margin
+            # gate, core.c:3249-3278 + core-junction.c:3836/:789; the
+            # seeded event then resolves repeat-tied reads in scan 2).
+            # Stored candidates can be non-best, so each gets its own
+            # split scan.  Plain subread-align batches (detect_junctions
+            # off) never pay the three extra split scans or the
+            # O(R*K^2) pairwise-compatibility tensor.
+            seed = pick_stored_seed_junctions(
+                v, sc, cfg.max_indel, lens, sc["valid_k"],
+                min_votes=cfg.min_votes,
+                min_votes_second=cfg.min_votes_second,
+            )
+            for s, pfx in enumerate(("seed", "seed2", "seed3")):
+                oriented_s = oriented_read(
+                    codes, lens, seed["strand"][:, s], uniform_len
+                )
+                jr_s = junction_split_scan(
+                    genome_u32, oriented_s, lens, seed["head_pos"][:, s],
+                    seed["gap"][:, s], seed["valid"][:, s],
+                    seed["guess_lo"][:, s], seed["guess_hi"][:, s],
+                )
+                seed_ok = seed["valid"][:, s] & jr_s["ok"] & (
+                    jr_s["mism"] <= cfg.max_mismatches
+                )
+                s_left = (
+                    seed["head_pos"][:, s]
+                    + jr_s["split"].astype(jnp.uint32) - np.uint32(1)
+                )
+                out[f"{pfx}_ok"] = seed_ok
+                out[f"{pfx}_left"] = s_left
+                out[f"{pfx}_right"] = (
+                    s_left + seed["gap"][:, s].astype(jnp.uint32)
+                    + np.uint32(1)
+                )
+                out[f"{pfx}_donor"] = jr_s["donor_strand"].astype(jnp.int8)
+            # alternate anchor for scan-2 rescue: break-even repeat copies
+            # are re-explained at BOTH tied locations (explain_read runs
+            # per candidate, core.c:2486); export the best same-strand
+            # candidate at a different position.  The best candidate is
+            # excluded by INDEX (base["pos"] is soft-clip-advanced, so a
+            # raw-position comparison would let the best candidate itself
+            # through for clipped reads)
+            pos_k, strand_k = sc["pos_k"], sc["strand_k"]
+            K = pos_k.shape[1]
+            not_best = (
+                jnp.arange(K, dtype=jnp.int32)[None, :]
+                != base["best_k"].astype(jnp.int32)[:, None]
+            )
+            alt_valid = (
+                sc["valid_k"]
+                & not_best
+                & (pos_k != base["pos"][:, None])
+                & (strand_k == base["strand"].astype(strand_k.dtype)[:, None])
+                & (sc["mism_k"] <= mlim[:, None])
+            )
+            alt_score = jnp.where(alt_valid, sc["score_k"], -1)
+            k2 = jnp.argmax(alt_score, axis=1)
+            take2 = lambda a: jnp.take_along_axis(a, k2[:, None], axis=1)[:, 0]
+            out["alt2_pos"] = take2(pos_k)
+            out["alt2_ok"] = take2(alt_score) >= 0
         if self.cfg.all_junctions:
             # export the vote clusters for host-side fusion detection
             # (align/fusion.py; write_fusion_final_results analog)
@@ -954,20 +972,23 @@ class Aligner:
             res["pos"] != np.uint32(0xFFFFFFFF),
             res["pos"] - clip_l.astype(np.uint32), res["pos"],
         )
-        # deterministic funnel for vote-tied repeat copies: try the
-        # smaller-position copy first so a tie family consolidates on ONE
-        # seeded event instead of splitting support across twin copies
+        # vote-tied repeat copies: an unanchored read with a valid alt2
+        # funnels the alt anchor into arm 1 (otherwise it has no anchor at
+        # all); anchored reads keep their own anchor for arm 1 and try the
+        # alternate copy in arm 2 — the event table decides which copy
+        # explains the read, exactly like the reference's per-candidate
+        # scan-2 explain_read (no smaller-copy preference)
         if "alt2_pos" in res:
             tied0 = (
                 np.asarray(res["alt2_ok"], bool)
-                & ~np.asarray(res["mapped"], bool)
+                & (pos_p[:R] == np.uint32(0xFFFFFFFF))
                 & (res["alt2_pos"] != np.uint32(0xFFFFFFFF))
             )
-            alt_lo = np.minimum(res["alt2_pos"], pos_p[:R])
-            alt_hi = np.maximum(res["alt2_pos"], pos_p[:R])
-            pos_p[:R] = np.where(tied0, alt_lo, pos_p[:R])
+            pos_p[:R] = np.where(tied0, res["alt2_pos"], pos_p[:R])
             res = dict(res)
-            res["alt2_pos"] = np.where(tied0, alt_hi, res["alt2_pos"])
+            res["alt2_pos"] = np.where(
+                tied0, np.uint32(0xFFFFFFFF), res["alt2_pos"]
+            )
         strand_p = np.zeros(n, np.int32)
         strand_p[:R] = res["strand"]
         bs = cfg.batch_reads
@@ -982,13 +1003,20 @@ class Aligner:
             parts.append(jax.device_get(rj))
         rj = {k: np.concatenate([p[k] for p in parts])[:R] for k in parts[0]}
 
-        anchored = res["pos"] != np.uint32(0xFFFFFFFF)
-        # plain cost in matched-bases space: clipped bases are unmatched
+        # anchored on the FUNNELED anchor: an unanchored read whose valid
+        # alt2 was funneled into pos_p is rescuable at that anchor (the
+        # original res["pos"] is the sentinel for those reads)
+        anchored = pos_p[:R] != np.uint32(0xFFFFFFFF)
+        # costs in matched-bases space: clipped bases are unmatched
         plain_cost = np.asarray(res["mism"]).astype(np.int64) + clip_l + clip_r
+        rj_cost = (
+            np.asarray(rj["mism"]).astype(np.int64)
+            + np.asarray(rj["clip_l"]) + np.asarray(rj["clip_r"])
+        )
         accept = (
             rj["ok"] & anchored & ~res["junc"].astype(bool)
             & (rj["mism"] <= cfg.max_mismatches)
-            & ((rj["mism"] + 1 < plain_cost) | ~res["mapped"].astype(bool))
+            & ((rj_cost + 1 < plain_cost) | ~res["mapped"].astype(bool))
         )
         # second arm: break-even repeat copies re-explained at the OTHER
         # tied location (the reference's scan-2 explain_read runs per
@@ -1013,13 +1041,18 @@ class Aligner:
                     parts2.append(jax.device_get(r2))
                 rj2 = {k: np.concatenate([p[k] for p in parts2])[:R]
                        for k in parts2[0]}
+                rj2_cost = (
+                    np.asarray(rj2["mism"]).astype(np.int64)
+                    + np.asarray(rj2["clip_l"]) + np.asarray(rj2["clip_r"])
+                )
                 accept2 = (
                     rj2["ok"] & tied & ~accept
                     & (rj2["mism"] <= cfg.max_mismatches)
-                    & ((rj2["mism"] + 1 < plain_cost)
+                    & ((rj2_cost + 1 < plain_cost)
                        | ~res["mapped"].astype(bool))
                 )
-                for k in ("mism", "split", "gap", "pos", "ok"):
+                for k in ("mism", "split", "gap", "pos", "ok",
+                          "clip_l", "clip_r"):
                     rj[k] = np.where(accept2, rj2[k], rj[k])
                 accept = accept | accept2
         out = dict(res)
@@ -1028,10 +1061,8 @@ class Aligner:
         # unique after scan 2 (reference MAPQ = 40/(Nc+Nmm),
         # doc/SubreadUsersGuide.tex:580-592 — Nc counts the candidates)
         was_tied = np.asarray(res.get("multi", np.zeros(R, bool)), bool)
-        untied = accept & (was_tied | ~res["mapped"].astype(bool)) & bool(
-            cfg.seed_tied_junctions
-        )
-        if "multi" in res and cfg.seed_tied_junctions:
+        untied = accept & (was_tied | ~res["mapped"].astype(bool))
+        if "multi" in res:
             out["multi"] = np.where(accept, False, was_tied)
         if "mapq" in res and "n_anchors" in res:
             nc = np.asarray(res["n_anchors"], np.int64)
@@ -1046,13 +1077,20 @@ class Aligner:
         out["mism"] = np.where(accept, rj["mism"], res["mism"])
         out["indel"] = np.where(accept, 0, res["indel"])
         out["mapped"] = res["mapped"] | accept
-        # a junction explanation covers the whole read: pos comes from the
-        # rescue (the mirrored right-anchor arm moves it to the LEFT exon
-        # start) and the clips vanish
-        out["pos"] = np.where(accept, rj["pos"], res["pos"])
+        # rescued junction records: pos advances past the noisy clipped
+        # head (the CIGAR is clS (split-cl)M gapN ... crS) and split is
+        # stored relative to the clipped region, like the direct path
+        out["pos"] = np.where(
+            accept,
+            np.asarray(rj["pos"]) + np.asarray(rj["clip_l"]).astype(np.uint32),
+            res["pos"],
+        )
+        out["split"] = np.where(
+            accept, rj["split"] - rj["clip_l"], out["split"]
+        )
         if "clip_l" in res:
-            out["clip_l"] = np.where(accept, 0, res["clip_l"])
-            out["clip_r"] = np.where(accept, 0, res["clip_r"])
+            out["clip_l"] = np.where(accept, rj["clip_l"], res["clip_l"])
+            out["clip_r"] = np.where(accept, rj["clip_r"], res["clip_r"])
         # donor strand of a rescued read comes from the event table
         if "junc_donor_strand" in res and hasattr(self, "_ev_donor"):
             le = out["pos"].astype(np.int64) + out["split"].astype(np.int64) - 1
@@ -1504,7 +1542,7 @@ class Aligner:
         oriented = oriented_read(codes, lens, res["strand"], uniform_len)
         jr = junction_split_scan(
             genome_u32, oriented, lens, pair["head_pos"], pair["gap"],
-            pair["valid"],
+            pair["valid"], pair["guess_lo"], pair["guess_hi"],
         )
         no_ind = res["indel"] == 0
         cl_w = res.get("clip_l", jnp.zeros_like(res["mism"]))
@@ -1532,6 +1570,40 @@ class Aligner:
         else:
             out["clip_l"] = jnp.where(use, jr["clip_l"], 0)
             out["clip_r"] = jnp.where(use, jr["clip_r"], 0)
+        # per-end stored-candidate event seeding, like _select_se_junc
+        # (find_new_junctions runs per stored result per END; the PE
+        # simple list is uncapped at our K — max_vote_simples=64,
+        # core.c:4077 — so the big-margin record sees every candidate)
+        from ..ops.junction import pick_stored_seed_junctions
+
+        seed = pick_stored_seed_junctions(
+            v, sc, cfg.max_indel, lens, sc["valid_k"],
+            min_votes=cfg.min_votes_second,
+            min_votes_second=cfg.min_votes_second,
+            max_simples=64,
+        )
+        for s, pfx in enumerate(("seed", "seed2", "seed3")):
+            oriented_s = oriented_read(
+                codes, lens, seed["strand"][:, s], uniform_len
+            )
+            jr_s = junction_split_scan(
+                genome_u32, oriented_s, lens, seed["head_pos"][:, s],
+                seed["gap"][:, s], seed["valid"][:, s],
+                seed["guess_lo"][:, s], seed["guess_hi"][:, s],
+            )
+            seed_ok = seed["valid"][:, s] & jr_s["ok"] & (
+                jr_s["mism"] <= cfg.max_mismatches
+            )
+            s_left = (
+                seed["head_pos"][:, s]
+                + jr_s["split"].astype(jnp.uint32) - np.uint32(1)
+            )
+            out[f"{pfx}_ok"] = seed_ok
+            out[f"{pfx}_left"] = s_left
+            out[f"{pfx}_right"] = (
+                s_left + seed["gap"][:, s].astype(jnp.uint32) + np.uint32(1)
+            )
+            out[f"{pfx}_donor"] = jr_s["donor_strand"].astype(jnp.int8)
         return out
 
     def _device_align_pe(
@@ -1780,10 +1852,11 @@ class Aligner:
         if drop_bestk:
             out.pop("best_k", None)
         if bool_keys:
-            assert len(bool_keys) <= 8
-            bits = jnp.zeros(res[bool_keys[0]].shape, jnp.uint8)
+            assert len(bool_keys) <= 16
+            bt = jnp.uint8 if len(bool_keys) <= 8 else jnp.uint16
+            bits = jnp.zeros(res[bool_keys[0]].shape, bt)
             for i, k in enumerate(bool_keys):
-                bits = bits | (out.pop(k).astype(jnp.uint8) << np.uint8(i))
+                bits = bits | (out.pop(k).astype(bt) << bt(i))
             out["bflags"] = bits
         flag = res["indel"] != 0
         if "multi_indel" in res:

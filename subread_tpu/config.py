@@ -30,13 +30,6 @@ class AlignConfig:
     # experiment
     is_rna_seq: bool = True           # -t 0=RNA 1=DNA (aligner requires -t)
     detect_junctions: bool = False    # subjunc: True (do_breakpoint_detection)
-    # seed junction events from vote-tied repeat-copy reads (the reference's
-    # 3-slot big-margin loophole, core-junction.c:789/:3522) and resolve the
-    # ties in scan 2.  Measured on junction-reads-A: recall 0.950->0.972,
-    # mapped 0.917->0.931, but precision 0.963->0.90 (spurious seeded events
-    # gather rescue support) — default off until the seed-side filtering
-    # matches the reference's stored-candidate order; see PROGRESS notes r3.
-    seed_tied_junctions: bool = False
     all_junctions: bool = False       # --allJunctions (fusions too)
 
     # paired-end
