@@ -477,6 +477,129 @@ class BatchBarcodeMatcher(BarcodeMatcher):
         return out
 
 
+class AnnotationWeights:
+    """Exonic-region candidate weighting (reference cell-counts.c:944-959
+    bitmap build; :1535-1570 `cellCounts_calculate_pos_weight`): a
+    candidate whose mapped span overlaps an annotated exon carries weight
+    10,000,000; within +-100bp of an exon, 13; elsewhere, 10.  The final
+    alignment score is matched*1e6/(1+mismatches) * weight
+    (`cellCounts_explain_one_read`, cell-counts.c:2612-2620), so
+    equal-vote repeat-copy ties deterministically resolve to the
+    annotated copy — which is why the reference assigns reads inside
+    segmental duplications that plain vote-tie-breaking loses.
+
+    The reference's two 512MB 1-bit-per-base bitmaps become merged,
+    sorted linear-coordinate interval arrays + a searchsorted overlap
+    test — O(log F) per candidate, vectorised over the [R, K] candidate
+    tables the aligner exports with cfg.multi_best > 1."""
+
+    EXONIC = 10_000_000  # SCORING_MAX_QUALITY_MAPPING, cell-counts.c:1533
+    NEAR = 13
+    BASE = 10
+
+    def __init__(self, ann, genome, chro_aliases=None, pad=100):
+        aliases = chro_aliases or {}
+        name_to_idx = {n: i for i, n in enumerate(genome.names)}
+        starts, ends = [], []
+        for i in range(len(ann.feat_start)):
+            chro = ann.feat_chro[i]
+            chro = aliases.get(chro, chro)
+            ci = name_to_idx.get(chro)
+            if ci is None:
+                continue
+            lin0 = genome.chro_to_linear(ci, 0)
+            starts.append(lin0 + int(ann.feat_start[i]))
+            ends.append(lin0 + int(ann.feat_end[i]))
+        self.exon_lo, self.exon_hi = self._merge(starts, ends)
+        self.near_lo, self.near_hi = self._merge(
+            [s - pad for s in starts], [e + pad for e in ends]
+        )
+
+    @staticmethod
+    def _merge(starts, ends):
+        if not starts:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        order = np.argsort(starts, kind="stable")
+        s = np.asarray(starts, np.int64)[order]
+        e = np.asarray(ends, np.int64)[order]
+        lo, hi = [s[0]], [e[0]]
+        for i in range(1, len(s)):
+            if s[i] <= hi[-1] + 1:
+                hi[-1] = max(hi[-1], e[i])
+            else:
+                lo.append(s[i])
+                hi.append(e[i])
+        return np.asarray(lo, np.int64), np.asarray(hi, np.int64)
+
+    @staticmethod
+    def _overlaps(lo, hi, a, b):
+        if not len(lo):
+            return np.zeros(np.shape(a), bool)
+        idx = np.searchsorted(lo, b, side="right") - 1
+        return (idx >= 0) & (hi[np.clip(idx, 0, len(hi) - 1)] >= a)
+
+    def weight(self, a, b):
+        """Weight of candidate spans [a, b] (linear, inclusive)."""
+        w = np.full(np.shape(a), self.BASE, np.int64)
+        w[self._overlaps(self.near_lo, self.near_hi, a, b)] = self.NEAR
+        w[self._overlaps(self.exon_lo, self.exon_hi, a, b)] = self.EXONIC
+        return w
+
+
+def select_annotated_candidates(res, lengths, weights: AnnotationWeights,
+                                vote_diff: int = 2):
+    """Re-pick each mapped read's reported alignment by the reference
+    cellCounts score (`cellCounts_select_and_write_alignments`,
+    cell-counts.c:2648-2698): every candidate within `vote_diff` votes of
+    the top (maxDiffToTopVotes, default 2, cell-counts.c:524) scores
+    matched*1e6/(1+mismatches) * annotation weight; the best score wins.
+    Mutates res["pos"/"strand"/"multi"] in place and returns it.
+
+    The reported position is only replaced when the winning candidate is
+    a different locus (>64bp away) — same-locus refinements (soft-clip
+    advance, junction split) from the main pipeline are kept."""
+    if "alt_pos" not in res:
+        return res
+    SEN = np.uint32(0xFFFFFFFF)
+    alt = np.asarray(res["alt_pos"])
+    R, K = alt.shape
+    mism = np.asarray(res["alt_mism"], np.int64)
+    votes = np.asarray(res["alt_votes"], np.int64)
+    clip = np.asarray(res["alt_clip"], np.int64)
+    L = np.asarray(lengths, np.int64)[:R, None]
+    valid = alt != SEN
+    top_votes = np.max(np.where(valid, votes, 0), axis=1, keepdims=True)
+    eligible = valid & (votes >= top_votes - vote_diff)
+    matched = np.maximum(L - clip - mism, 0)
+    base = matched * 1_000_000 // (1 + mism)
+    lin = alt.astype(np.int64)
+    w = weights.weight(lin + 1, lin + L)
+    score = np.where(eligible, base * w, -1)
+    best = np.argmax(score, axis=1)
+    rows = np.arange(R)
+    new_pos = alt[rows, best]
+    mapped = np.asarray(res["mapped"], bool)[:R]
+    cur = np.asarray(res["pos"])[:R].astype(np.int64)
+    take = (
+        mapped & eligible[rows, best]
+        & (np.abs(new_pos.astype(np.int64) - cur) > 64)
+    )
+    pos = np.asarray(res["pos"]).copy()
+    pos[:R][take] = new_pos[take]
+    res["pos"] = pos
+    strand = np.asarray(res["strand"]).copy()
+    strand[:R][take] = np.asarray(res["alt_strand"])[rows, best][take]
+    res["strand"] = strand
+    # a weight-resolved tie is unique in the reference's eyes (the
+    # score sort leaves one top candidate)
+    if "multi" in res:
+        n_top = (score == score[rows, best][:, None]).sum(axis=1)
+        multi = np.asarray(res["multi"], bool).copy()
+        multi[:R][take & (n_top == 1)] = False
+        res["multi"] = multi
+    return res
+
+
 def assign_genes_batch(fcview, chro_names, cidx: np.ndarray,
                        start: np.ndarray, end: np.ndarray,
                        mapped: np.ndarray, max_cand: int = 4) -> np.ndarray:

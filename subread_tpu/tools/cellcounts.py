@@ -14,7 +14,7 @@ import sys
 
 
 def _count_batches(aligner, genome, fcview, counter, batch_pairs,
-                   writer=None, gene_names=None):
+                   writer=None, gene_names=None, ann_weights=None):
     """Run alignment + gene assignment + cell/UMI accumulation over
     (R1, R2) ReadBatch pairs (cellCounts_run_mapping/_run_counting,
     cell-counts.c:3425/4837).  With `writer`, also emits the cDNA
@@ -31,6 +31,9 @@ def _count_batches(aligner, genome, fcview, counter, batch_pairs,
         if b1 is None or b2 is None or len(b2) == 0:
             continue
         res = aligner.align_batch(b2)
+        if ann_weights is not None:
+            from ..quant.cellcounts import select_annotated_candidates
+            select_annotated_candidates(res, b2.lengths, ann_weights)
         lin = res["pos"].astype(np.int64)
         cidx, coff = genome.linear_to_chro(lin)
         if writer is None and hasattr(counter, "add_batch"):
@@ -178,10 +181,16 @@ def main(argv=None) -> int:
                 a, b = line.split(",", 1)
                 aliases[a] = b
     fcview = FeatureCounter(ann, FCOptions(), chro_aliases=aliases)
+    from ..quant.cellcounts import AnnotationWeights
+    ann_weights = AnnotationWeights(ann, genome, chro_aliases=aliases)
     # cellCounts reports a read's top location even on score ties (its
     # SampleTable counts them mapped; reportedAlignmentsPerRead=1 keeps
     # the first-best) — unlike subread-align's break-even drop
-    overrides = dict(batch_reads=2048, report_multi_mapping=True)
+    # multi_best=8 exports the candidate table so the annotation-weighted
+    # rescoring (cellCounts_calculate_pos_weight, cell-counts.c:1535) can
+    # re-resolve repeat-copy ties to the annotated copy
+    overrides = dict(batch_reads=2048, report_multi_mapping=True,
+                     multi_best=8)
     if args.subreadsPerRead is not None:
         overrides["total_subreads"] = args.subreadsPerRead
     if args.minVotesPerRead is not None:
@@ -210,7 +219,8 @@ def main(argv=None) -> int:
                     return
                 yield b1, b2
 
-        _count_batches(aligner, genome, fcview, counter, pairs())
+        _count_batches(aligner, genome, fcview, counter, pairs(),
+                       ann_weights=ann_weights)
         r1.close()
         r2.close()
         if args.sampleSheetFile:
@@ -291,6 +301,7 @@ def main(argv=None) -> int:
         )
         try:
             _count_batches(aligner, genome, fcview, counter, [(b1, b2)],
+                           ann_weights=ann_weights,
                            writer=bam, gene_names=ann.gene_names)
         finally:
             bam.close()
