@@ -63,6 +63,8 @@ def get_lib():
     lib.fc_count_sam_pe.restype = ctypes.c_long
     lib.fc_count_bam_pe.restype = ctypes.c_long
     lib.fc_bam_split_offsets.restype = ctypes.c_long
+    lib.fc_read_sections_sam.restype = ctypes.c_long
+    lib.fc_read_sections_bam.restype = ctypes.c_long
     _LIB = lib
     return _LIB
 
@@ -478,3 +480,92 @@ def pack_reads_2bit(codes: np.ndarray, ambig: np.ndarray | None):
         None, None, ctypes.c_int64(A),
     )
     return words, None
+
+
+def _chrom_blob(chrom_names: list[str]):
+    blob = "".join(chrom_names).encode()
+    off = np.zeros(len(chrom_names) + 1, np.int64)
+    np.cumsum([len(n.encode()) for n in chrom_names], out=off[1:])
+    return blob, off
+
+
+def fc_read_sections_sam(sam_bytes: bytes, chrom_names: list[str],
+                         S: int, max_mop: int = 10):
+    """Per-record section extraction for the device counter: returns
+    (chrom_idx, nsec, sec_s[R,S], sec_e[R,S] local 1-based, flag, nh,
+    qname_hash) numpy arrays, or None when the native lib is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    blob, off = _chrom_blob(chrom_names)
+    cap = max(sam_bytes.count(b"\n") + 16, 1024)
+    while True:
+        chrom_idx = np.zeros(cap, np.int32)
+        nsec = np.zeros(cap, np.int32)
+        sec_s = np.zeros((cap, S), np.int32)
+        sec_e = np.zeros((cap, S), np.int32)
+        flag = np.zeros(cap, np.int32)
+        nh = np.zeros(cap, np.int32)
+        qh = np.zeros(cap, np.int64)
+        n = lib.fc_read_sections_sam(
+            sam_bytes, ctypes.c_long(len(sam_bytes)),
+            blob, off.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int32(len(chrom_names)),
+            ctypes.c_int32(S), ctypes.c_int32(max_mop),
+            chrom_idx.ctypes.data_as(ctypes.c_void_p),
+            nsec.ctypes.data_as(ctypes.c_void_p),
+            sec_s.ctypes.data_as(ctypes.c_void_p),
+            sec_e.ctypes.data_as(ctypes.c_void_p),
+            flag.ctypes.data_as(ctypes.c_void_p),
+            nh.ctypes.data_as(ctypes.c_void_p),
+            qh.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_long(cap),
+        )
+        if n == -2:
+            cap *= 2
+            continue
+        if n < 0:
+            return None
+        return (chrom_idx[:n], nsec[:n], sec_s[:n], sec_e[:n],
+                flag[:n], nh[:n], qh[:n])
+
+
+def fc_read_sections_bam(bam_records: bytes, ref2chrom: np.ndarray,
+                         S: int, max_mop: int = 10, start: int = 0):
+    """BAM variant of fc_read_sections_sam over decompressed records."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ref2chrom = np.ascontiguousarray(ref2chrom, np.int32)
+    base = ctypes.cast(ctypes.c_char_p(bam_records), ctypes.c_void_p).value
+    cap = max(len(bam_records) // 64, 1024)
+    while True:
+        chrom_idx = np.zeros(cap, np.int32)
+        nsec = np.zeros(cap, np.int32)
+        sec_s = np.zeros((cap, S), np.int32)
+        sec_e = np.zeros((cap, S), np.int32)
+        flag = np.zeros(cap, np.int32)
+        nh = np.zeros(cap, np.int32)
+        qh = np.zeros(cap, np.int64)
+        n = lib.fc_read_sections_bam(
+            ctypes.c_void_p(base + start),
+            ctypes.c_long(len(bam_records) - start),
+            ref2chrom.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int32(len(ref2chrom)),
+            ctypes.c_int32(S), ctypes.c_int32(max_mop),
+            chrom_idx.ctypes.data_as(ctypes.c_void_p),
+            nsec.ctypes.data_as(ctypes.c_void_p),
+            sec_s.ctypes.data_as(ctypes.c_void_p),
+            sec_e.ctypes.data_as(ctypes.c_void_p),
+            flag.ctypes.data_as(ctypes.c_void_p),
+            nh.ctypes.data_as(ctypes.c_void_p),
+            qh.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_long(cap),
+        )
+        if n == -2:
+            cap *= 2
+            continue
+        if n < 0:
+            return None
+        return (chrom_idx[:n], nsec[:n], sec_s[:n], sec_e[:n],
+                flag[:n], nh[:n], qh[:n])

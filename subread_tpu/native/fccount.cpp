@@ -854,3 +854,235 @@ extern "C" long fc_bam_split_offsets(
     }
     return written;
 }
+
+// ---------------------------------------------------------------------------
+// Device-count section extraction: turn a SAM/BAM stream into per-record
+// arrays (chrom index, CIGAR ref-sections, flag, NH, qname hash) that the
+// host maps into the DeviceCounter's window coordinates and the TPU kernel
+// consumes.  Replaces the per-line Python parser (the end-to-end
+// bottleneck of --deviceCounts).  Sections follow the engine's
+// M/D/N/maxMOp semantics (readSummary.c process_line_buffer analog).
+
+static inline uint64_t qname_hash64(const char *s, long n) {
+    uint64_t h = 1469598103934665603ull;        // FNV-1a
+    for (long i = 0; i < n; i++) {
+        h ^= (uint8_t)s[i];
+        h *= 1099511628211ull;
+    }
+    return h;
+}
+
+extern "C" long fc_read_sections_sam(
+    const char *buf, long buflen,
+    const char *chrom_blob, const int64_t *chrom_off, int32_t n_chroms,
+    int32_t S, int32_t max_mop,
+    int32_t *chrom_idx, int32_t *nsec,
+    int32_t *sec_s, int32_t *sec_e,
+    int32_t *flag_out, int32_t *nh_out, int64_t *qhash,
+    long max_rows)
+{
+    int last_chrom = -1;
+    const char *last_name = nullptr;
+    long last_name_len = -1;
+    const char *p = buf;
+    const char *end = buf + buflen;
+    long row = 0;
+
+    while (p < end) {
+        const char *line_end = (const char *)memchr(p, '\n', end - p);
+        if (!line_end) line_end = end;
+        if (*p == '@' || line_end == p) { p = line_end + 1; continue; }
+        if (row >= max_rows) return -2;   // caller grows and retries
+
+        const char *f[12];
+        int nf = 0;
+        f[nf++] = p;
+        for (const char *q = p; q < line_end && nf < 12; q++)
+            if (*q == '\t') f[nf++] = q + 1;
+        if (nf < 6) return -1;
+
+        long flag = strtol(f[1], nullptr, 10);
+        qhash[row] = (int64_t)qname_hash64(f[0], (f[1] - 1) - f[0]);
+        flag_out[row] = (int32_t)flag;
+        nsec[row] = 0;
+        chrom_idx[row] = -1;
+        nh_out[row] = 1;
+
+        bool mapped = !(flag & 0x4) && *f[5] != '*';
+        if (mapped) {
+            // chromosome id (cached: SAM clusters by chromosome)
+            const char *rn = f[2];
+            long rn_len = (f[3] - 1) - rn;
+            int ci = -1;
+            if (last_name && str_eq(rn, rn_len, last_name, last_name_len)) {
+                ci = last_chrom;
+            } else {
+                for (int c = 0; c < n_chroms; c++) {
+                    const char *nm = chrom_blob + chrom_off[c];
+                    long nl = chrom_off[c + 1] - chrom_off[c];
+                    if (str_eq(rn, rn_len, nm, nl)) { ci = c; break; }
+                }
+                last_chrom = ci; last_name = rn; last_name_len = rn_len;
+            }
+            chrom_idx[row] = ci;
+
+            // NH tag
+            if (nf >= 12) {
+                const char *t = f[11];
+                while (t < line_end) {
+                    const char *te = (const char *)memchr(t, '\t', line_end - t);
+                    if (!te) te = line_end;
+                    if (te - t > 5 && t[0]=='N' && t[1]=='H' && t[2]==':'
+                        && t[3]=='i' && t[4]==':')
+                        { nh_out[row] = (int32_t)strtol(t + 5, nullptr, 10); break; }
+                    t = te + 1;
+                }
+            }
+
+            // CIGAR ref sections (split at N, D merges, max_mop M cap)
+            long pos = strtol(f[3], nullptr, 10);
+            long cur = pos, sec_start = -1, n_m = 0, k = 0;
+            const char *c = f[5];
+            long ln = 0;
+            while (c < line_end && *c != '\t') {
+                char ch = *c++;
+                if (ch >= '0' && ch <= '9') { ln = ln * 10 + (ch - '0'); continue; }
+                if (ch == 'M' || ch == '=' || ch == 'X') {
+                    if (++n_m > max_mop) { ln = 0; break; }
+                    if (sec_start < 0) sec_start = cur;
+                    cur += ln;
+                } else if (ch == 'D') {
+                    cur += ln;
+                } else if (ch == 'N') {
+                    if (sec_start >= 0 && k < S) {
+                        sec_s[row * S + k] = (int32_t)sec_start;
+                        sec_e[row * S + k] = (int32_t)(cur - 1);
+                        k++;
+                    }
+                    sec_start = -1;
+                    cur += ln;
+                }
+                ln = 0;
+            }
+            if (sec_start >= 0 && k < S) {
+                sec_s[row * S + k] = (int32_t)sec_start;
+                sec_e[row * S + k] = (int32_t)(cur - 1);
+                k++;
+            }
+            nsec[row] = (int32_t)k;
+        }
+        row++;
+        p = line_end + 1;
+    }
+    return row;
+}
+
+extern "C" long fc_read_sections_bam(
+    const uint8_t *buf, long buflen,
+    const int32_t *ref2chrom, int32_t n_refs,
+    int32_t S, int32_t max_mop,
+    int32_t *chrom_idx, int32_t *nsec,
+    int32_t *sec_s, int32_t *sec_e,
+    int32_t *flag_out, int32_t *nh_out, int64_t *qhash,
+    long max_rows)
+{
+    const uint8_t *p = buf;
+    const uint8_t *end = buf + buflen;
+    long row = 0;
+    auto rd_i32 = [](const uint8_t *q) { int32_t v; memcpy(&v, q, 4); return v; };
+    auto rd_u32 = [](const uint8_t *q) { uint32_t v; memcpy(&v, q, 4); return v; };
+    auto rd_u16 = [](const uint8_t *q) { uint16_t v; memcpy(&v, q, 2); return v; };
+
+    while (p + 4 <= end) {
+        int32_t block = rd_i32(p);
+        const uint8_t *rec = p + 4;
+        p = rec + block;
+        if (p > end || block < 32) break;
+        if (row >= max_rows) return -2;
+
+        int32_t ref_id = rd_i32(rec);
+        int32_t pos0 = rd_i32(rec + 4);
+        uint8_t l_qname = rec[8];
+        uint16_t n_cigar = rd_u16(rec + 12);
+        uint16_t flag = rd_u16(rec + 14);
+        int32_t l_seq = rd_i32(rec + 16);
+        const uint8_t *cig = rec + 32 + l_qname;
+        const uint8_t *seqp = cig + 4 * n_cigar;
+        const uint8_t *tagp = seqp + (l_seq + 1) / 2 + l_seq;
+
+        qhash[row] = (int64_t)qname_hash64((const char *)rec + 32,
+                                           l_qname > 0 ? l_qname - 1 : 0);
+        flag_out[row] = flag;
+        nsec[row] = 0;
+        nh_out[row] = 1;
+        chrom_idx[row] = (ref_id >= 0 && ref_id < n_refs)
+                             ? ref2chrom[ref_id] : -1;
+
+        bool mapped = !(flag & 0x4) && n_cigar > 0 && chrom_idx[row] >= 0;
+        if (mapped) {
+            // NH tag (binary walk, same as fc_count_bam_simple)
+            const uint8_t *t = tagp;
+            while (t + 3 <= rec + block) {
+                char c1 = t[0], c2 = t[1], typ = t[2];
+                long vlen = 0, nh = -1;
+                switch (typ) {
+                    case 'A': case 'c': nh = (typ=='c') ? (int8_t)t[3] : -1; vlen = 1; break;
+                    case 'C': nh = t[3]; vlen = 1; break;
+                    case 's': { int16_t v; memcpy(&v, t+3, 2); nh = v; vlen = 2; break; }
+                    case 'S': { uint16_t v; memcpy(&v, t+3, 2); nh = v; vlen = 2; break; }
+                    case 'i': { int32_t v; memcpy(&v, t+3, 4); nh = v; vlen = 4; break; }
+                    case 'I': { uint32_t v; memcpy(&v, t+3, 4); nh = (long)v; vlen = 4; break; }
+                    case 'f': vlen = 4; break;
+                    case 'Z': case 'H': {
+                        const uint8_t *z = t + 3;
+                        while (z < rec + block && *z) z++;
+                        vlen = z - (t + 3) + 1;
+                        break;
+                    }
+                    case 'B': {
+                        if (t + 8 > rec + block) { vlen = -1; break; }
+                        uint8_t st = t[3];
+                        uint32_t cnt = rd_u32(t + 4);
+                        long esz = (st=='c'||st=='C') ? 1 : (st=='s'||st=='S') ? 2 : 4;
+                        vlen = 5 + (long)cnt * esz;
+                        break;
+                    }
+                    default: vlen = -1;
+                }
+                if (vlen < 0) break;
+                if (c1 == 'N' && c2 == 'H' && nh >= 0) { nh_out[row] = (int32_t)nh; break; }
+                t += 3 + vlen;
+            }
+
+            long cur = pos0 + 1, sec_start = -1, n_m = 0, k = 0;
+            for (int i = 0; i < n_cigar; i++) {
+                uint32_t cv = rd_u32(cig + 4 * i);
+                long ln = cv >> 4;
+                int op = cv & 0xf;       // MIDNSHP=X
+                if (op == 0 || op == 7 || op == 8) {
+                    if (++n_m > max_mop) break;
+                    if (sec_start < 0) sec_start = cur;
+                    cur += ln;
+                } else if (op == 2) {
+                    cur += ln;
+                } else if (op == 3) {
+                    if (sec_start >= 0 && k < S) {
+                        sec_s[row * S + k] = (int32_t)sec_start;
+                        sec_e[row * S + k] = (int32_t)(cur - 1);
+                        k++;
+                    }
+                    sec_start = -1;
+                    cur += ln;
+                }
+            }
+            if (sec_start >= 0 && k < S) {
+                sec_s[row * S + k] = (int32_t)sec_start;
+                sec_e[row * S + k] = (int32_t)(cur - 1);
+                k++;
+            }
+            nsec[row] = (int32_t)k;
+        }
+        row++;
+    }
+    return row;
+}

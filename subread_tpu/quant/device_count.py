@@ -441,6 +441,195 @@ class DeviceCounter:
         summary = jnp.zeros(6, dtype=jnp.int32).at[status].add(1)[:5]
         return counts, summary, status, overflow
 
+    # ------------------------------------------------------------------
+    # native-parsed fast input path
+
+    def _chrom_universe(self):
+        u = []
+        seen = set()
+        for win in self._windows:
+            for n in win:
+                if n not in seen:
+                    seen.add(n)
+                    u.append(n)
+        return u
+
+    def _window_arrays(self, chrom_names):
+        """Per-table (offset, max_end) vectors over the chrom universe
+        (offset -1 = chromosome absent from that table)."""
+        outs = []
+        for win in self._windows:
+            off = np.full(len(chrom_names) + 1, -1, np.int64)
+            me = np.zeros(len(chrom_names) + 1, np.int64)
+            for i, n in enumerate(chrom_names):
+                cw = win.get(n)
+                if cw is not None:
+                    off[i] = cw.offset
+                    me[i] = cw.max_end
+            outs.append((off, me))
+        return outs
+
+    def _map_sections(self, ci, nsec, ss, se, tbl, offs):
+        """Local 1-based sections -> global window coordinates (empty
+        slots become (0, -1); sections past the table's max_end drop)."""
+        R, S = ss.shape
+        ci_s = np.where(ci >= 0, ci, len(offs[0][0]) - 1)
+        off = np.stack([o[ci_s] for o, _ in offs])     # [T, R]
+        me = np.stack([m[ci_s] for _, m in offs])      # [T, R]
+        off_r = np.take_along_axis(off, tbl[None, :], axis=0)[0]
+        me_r = np.take_along_axis(me, tbl[None, :], axis=0)[0]
+        slot = np.arange(S, dtype=np.int32)[None, :]
+        ok = (
+            (slot < nsec[:, None]) & (off_r[:, None] >= 0)
+            & (ss <= me_r[:, None])
+        )
+        g_s = np.where(ok, ss + off_r[:, None], 0).astype(np.int32)
+        g_e = np.where(
+            ok, np.minimum(se, me_r[:, None]) + off_r[:, None], -1
+        ).astype(np.int32)
+        return g_s, g_e
+
+    def sections_from_file(self, path: str):
+        """SE sections via the native record parser (SAM text, BAM, or
+        BGZF-compressed BAM; fc_read_sections_sam/_bam) with vectorised
+        window mapping — the end-to-end fast path for --deviceCounts.
+        Falls back to sections_from_sam when the native library is
+        unavailable (SAM only).  Gate note: a flag-mapped record with
+        CIGAR '*' gates as NoFeatures here (the slow path says
+        Unassigned_Unmapped); such records are malformed SAM."""
+        arrays = self._native_records(path)
+        if arrays is None:
+            return self.sections_from_sam(path)
+        ci, nsec, ss, se, flag, nh, _qh = arrays
+        chroms = self._chrom_universe()
+        offs = self._window_arrays(chroms)
+        R = len(ci)
+        strand_bit = ((flag >> 4) & 1).astype(np.int32)
+        tbl = np.zeros(R, dtype=np.int32)
+        if self.strand:
+            tbl = strand_bit if self.strand == 1 else strand_bit ^ 1
+        gate = np.zeros(R, dtype=np.int32)
+        unmapped = (flag & 4) != 0
+        gate[unmapped] = ST_UNMAPPED
+        gate[~unmapped & (nh > 1)] = ST_MULTIMAPPING
+        live = gate == 0
+        nsec = np.where(live, nsec, 0)
+        tbl = np.where(live, tbl, 0)       # gated rows report table 0
+        g_s, g_e = self._map_sections(ci, nsec, ss, se, tbl, offs)
+        return g_s, g_e, gate, tbl
+
+    def fragments_from_file(self, path: str):
+        """PE fragments via the native record parser: records pair by
+        qname hash (sorted by (hash, arrival), consecutive pairs — the
+        orphan-hash pop order of fragments_from_sam), each fragment
+        unioning both ends' sections up to max_sections."""
+        arrays = self._native_records(path)
+        if arrays is None:
+            return self.fragments_from_sam(path)
+        ci, nsec, ss, se, flag, nh, qh = arrays
+        S = self.max_sections
+        keep = (flag & 0x900) == 0          # drop secondary/supplementary
+        ci, nsec, ss, se = ci[keep], nsec[keep], ss[keep], se[keep]
+        flag, nh, qh = flag[keep], nh[keep], qh[keep]
+        R = len(ci)
+        order = np.argsort(qh, kind="stable")
+        runs = np.concatenate([[True], qh[order][1:] != qh[order][:-1]])
+        run_id = np.cumsum(runs) - 1
+        # rank within run
+        run_start = np.zeros(len(runs), np.int64)
+        first_of_run = np.flatnonzero(runs)
+        pos_in_sorted = np.arange(R)
+        rank = pos_in_sorted - first_of_run[run_id]
+        frag_of_sorted = np.cumsum(rank % 2 == 0) - 1
+        F = int(frag_of_sorted[-1]) + 1 if R else 0
+        is_first = (rank % 2) == 0
+
+        mapped = ((flag & 4) == 0)
+        # fragment gates (emit(), fragments_from_sam)
+        any_mapped = np.zeros(F, bool)
+        any_multi = np.zeros(F, bool)
+        np.logical_or.at(any_mapped, frag_of_sorted, mapped[order])
+        np.logical_or.at(
+            any_multi, frag_of_sorted, mapped[order] & (nh[order] > 1)
+        )
+        gate = np.where(
+            ~any_mapped, ST_UNMAPPED, np.where(any_multi, ST_MULTIMAPPING, 0)
+        ).astype(np.int32)
+
+        # fragment strand table = first mapped end in arrival order:
+        # prefer the first-arrival record when mapped, else the second
+        strand_bit = ((flag >> 4) & 1).astype(np.int32)
+        tbl = np.zeros(F, np.int32)
+        if self.strand:
+            sb = np.full(F, -1, np.int32)
+            # second arrival first, then first arrival overwrites if mapped
+            sel2 = ~is_first & mapped[order]
+            sb[frag_of_sorted[sel2]] = strand_bit[order][sel2]
+            sel1 = is_first & mapped[order]
+            sb[frag_of_sorted[sel1]] = strand_bit[order][sel1]
+            sb = np.maximum(sb, 0)
+            tbl = sb if self.strand == 1 else sb ^ 1
+            tbl = np.where(gate == 0, tbl, 0)
+
+        # map each record's sections with its OWN chromosome but the
+        # FRAGMENT's strand table (emit() does exactly this per end),
+        # then union into the fragment row: first arrival's sections lead
+        chroms = self._chrom_universe()
+        offs = self._window_arrays(chroms)
+        live = gate == 0
+        tbl_rec = tbl[frag_of_sorted]
+        nsec_k = np.where(live[frag_of_sorted] & mapped[order],
+                          nsec[order], 0).astype(np.int64)
+        g_s_rec, g_e_rec = self._map_sections(
+            ci[order], nsec_k.astype(np.int32), ss[order], se[order],
+            tbl_rec, offs
+        )
+        # dropped sections (past max_end / absent chrom) leave empty
+        # slots; compact the survivor count per record
+        slot_ok = g_e_rec >= g_s_rec
+        n1 = np.zeros(F, np.int64)
+        np.add.at(n1, frag_of_sorted[is_first], slot_ok[is_first].sum(1))
+        base = np.where(is_first, 0, n1[frag_of_sorted])
+        out_s = np.zeros((F, S), np.int32)
+        out_e = np.full((F, S), -1, np.int32)
+        rows_k, slots_k = np.nonzero(slot_ok)
+        within = (
+            np.cumsum(slot_ok.reshape(-1))
+            .reshape(slot_ok.shape)[rows_k, slots_k]
+        )
+        first_flat = np.zeros(R, np.int64)
+        if R:
+            row_counts = slot_ok.sum(1)
+            first_flat[1:] = np.cumsum(row_counts)[:-1]
+        within = within - 1 - first_flat[rows_k]
+        dst = base[rows_k] + within
+        ok = dst < S
+        out_s[frag_of_sorted[rows_k[ok]], dst[ok]] = g_s_rec[rows_k[ok], slots_k[ok]]
+        out_e[frag_of_sorted[rows_k[ok]], dst[ok]] = g_e_rec[rows_k[ok], slots_k[ok]]
+        return out_s, out_e, gate, tbl
+
+    def _native_records(self, path: str):
+        from .. import native
+
+        S = self.max_sections
+        with open(path, "rb") as f:
+            head = f.read(4)
+        chroms = self._chrom_universe()
+        if head[:2] == b"\x1f\x8b" or head == b"BAM\x01":
+            from ..io.bam import BamReader
+
+            rd = BamReader(path)
+            name_to_ci = {n: i for i, n in enumerate(chroms)}
+            ref2chrom = np.asarray(
+                [name_to_ci.get(n, -1) for n in rd.ref_names], np.int32
+            )
+            return native.fc_read_sections_bam(
+                rd._data, ref2chrom, S, start=rd._off
+            )
+        return native.fc_read_sections_sam(
+            open(path, "rb").read(), chroms, S
+        )
+
     def count(self, sec_start, sec_end, gate, strand_tbl=None):
         """Single-device jitted count.  Returns numpy
         (counts[n_genes], summary[5], status[R], overflow)."""

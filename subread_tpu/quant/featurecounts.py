@@ -4,8 +4,10 @@ Reference: readSummary.c — annotation load (:975), sorted per-chromosome
 feature blocks (:1509-1680), record gates (process_line_buffer
 :2924-3211), overlap scoring/voting (vote_and_add_count :4611-5050),
 summary categories (:7207).  This is the host-side engine; the hot
-interval-assignment loop has a device (jnp.searchsorted-based) twin for
-large BAM streams (quant/device_assign.py, later round).
+interval-assignment loop has a device (jnp.searchsorted-based) twin in
+quant/device_count.py (--deviceCounts), fed by the native record parser
+(native/fccount.cpp fc_read_sections_sam/_bam) and psum-merged across
+chips/hosts.
 
 Gate order (process_line_buffer): unmapped → read-type → singleton (-B) →
 MAPQ (-Q) → chimera (-C) → fragment length (-P -d -D) → duplicate

@@ -114,14 +114,9 @@ def _try_device_count(fc, ann, path, args) -> bool:
         and not o.long_reads and o.strand in (0, 1, 2)
         and (not o.paired or (o.count_read_pairs
                               and not o.require_both_ends
-                              and not o.check_pe_dist and o.strand == 0))
+                              and not o.check_pe_dist))
     )
     if not eligible:
-        return False
-    # SAM text input only (the section parser streams SAM)
-    with open(path, "rb") as f:
-        head = f.read(4)
-    if head[:2] == b"\x1f\x8b" or head == b"BAM\x01":
         return False
 
     import jax
@@ -131,10 +126,11 @@ def _try_device_count(fc, ann, path, args) -> bool:
     dc = DeviceCounter(
         ann, strand=o.strand, max_sections=20 if o.paired else 10
     )
+    # native record parser covers SAM text, BAM and BGZF-BAM
     if o.paired:
-        ss, se, gate, stbl = dc.fragments_from_sam(path)
+        ss, se, gate, stbl = dc.fragments_from_file(path)
     else:
-        ss, se, gate, stbl = dc.sections_from_sam(path)
+        ss, se, gate, stbl = dc.sections_from_file(path)
     devs = jax.devices()
     if len(devs) > 1:
         import numpy as _np
