@@ -67,12 +67,23 @@ def rescue_long_indels(
     short_limit: int = 16,
     min_clip: int = 12,
     max_mm_frac: float = 0.12,
+    piles: dict | None = None,
 ) -> tuple[dict, dict, int]:
     """Re-anchor large soft-clips as long indels.
 
     Returns (overrides {i: (cigar, mism, nm)}, events
     {(cidx, pos0, ilen): (support, ins_seq)}, n_rescued).  Mutates
     res["pos"] for head-side rescues (the alignment start moves upstream).
+
+    `piles` (optional dict, carried across chunks) collects the clipped
+    fragments of reads whose single-read rescue FAILED — insertions
+    longer than the clip itself — keyed by the linear breakpoint:
+    piles[b] = {"pre": [tail-clip codes...], "suf": [head-clip codes...]}.
+    assemble_insertion_piles() later reconstructs the full inserted
+    sequence across reads (finalise_long_insertions analog,
+    core-indel.c:4389: the reference re-votes a 350bp window over all
+    local reads; a prefix/suffix overlap assembly of the same clip piles
+    reaches the same insertions up to clip_l+clip_r-overlap bases).
     """
     if "clip_l" not in res or max_indel <= short_limit:
         return {}, {}, 0
@@ -155,6 +166,10 @@ def rescue_long_indels(
                 overrides[i] = (cig, int(mm), int(mm + k))
                 add_event(q0 - 1, -k, dna.decode(tail[:k]))
                 continue
+            if piles is not None and cr >= min_clip + 8:
+                piles.setdefault(int(q0), {"pre": [], "suf": []})[
+                    "pre"
+                ].append(np.asarray(tail, np.uint8))
 
         if cl >= min_clip:
             head = oc[:cl]
@@ -202,7 +217,106 @@ def rescue_long_indels(
                 overrides[i] = (cig, int(mm), int(mm + k))
                 new_pos[i] = q
                 add_event(p - 1, -k, dna.decode(head[cl - k : cl]))
+            elif piles is not None and cl >= min_clip + 8:
+                piles.setdefault(int(p), {"pre": [], "suf": []})[
+                    "suf"
+                ].append(np.asarray(head, np.uint8))
 
     if overrides:
         res["pos"] = new_pos.astype(res["pos"].dtype)
     return overrides, events, len(overrides)
+
+
+def assemble_insertion_piles(
+    genome: Genome,
+    piles: dict,
+    max_indel: int,
+    short_limit: int = 16,
+    min_overlap: int = 12,
+    tol: int = 4,
+) -> dict:
+    """Cross-read long-insertion reassembly (finalise_long_insertions
+    analog, core-indel.c:4389 + core-indel.h:93-122).
+
+    Reads whose clip could not be re-anchored single-read pile up at the
+    breakpoint b: tail-clips carry [insertion + right-genome] fragments
+    starting AT b, head-clips carry [left-genome + insertion] fragments
+    ending AT b.  For each candidate insertion length K the fragments
+    decompose deterministically — a prefix fragment P of length > K must
+    continue as genome[b:] after its first K bases, a suffix fragment S
+    of length > K must begin as genome[:b] before its last K bases — so
+    scanning K over (short_limit, max_indel] and validating both sides
+    against the genome recovers the full inserted sequence even when no
+    single read spans it.  Both sides must agree on the inserted bases
+    (<=1 mismatch).  Returns events {(cidx, pos0, -K): (support,
+    ins_seq)} left-normalized like the single-read rescues."""
+    events: dict = {}
+    if not piles:
+        return events
+    gcodes = genome.codes
+    G = len(gcodes)
+    keys = sorted(piles)
+    used = set()
+    for b in keys:
+        if b in used:
+            continue
+        pre, suf, members = [], [], []
+        for b2 in keys:
+            if abs(b2 - b) <= tol:
+                members.append(b2)
+                pre += [(b2, f) for f in piles[b2]["pre"]]
+                suf += [(b2, f) for f in piles[b2]["suf"]]
+        if not pre or not suf:
+            continue
+        for m in members:
+            used.add(m)
+        bp, P = max(pre, key=lambda t: len(t[1]))
+        bs, S = max(suf, key=lambda t: len(t[1]))
+        best = None
+        for K in range(short_limit + 1, max_indel + 1):
+            # prefix side: P starts at bp; P[K:] must continue as genome
+            pt = len(P) - K
+            p_ok = ins_p = None
+            if pt >= 4 and bp + pt <= G:
+                mm = int((P[K:] != gcodes[bp : bp + pt]).sum())
+                if mm <= max(1, pt // 10):
+                    p_ok, ins_p = True, P[:K]
+            # suffix side: S ends at bs; S[:-K] must match genome before bs
+            st = len(S) - K
+            s_ok = ins_s = None
+            if st >= 4 and bs - st >= 0:
+                mm = int((S[:st] != gcodes[bs - st : bs]).sum())
+                if mm <= max(1, st // 10):
+                    s_ok, ins_s = True, S[st:]
+            if p_ok and s_ok:
+                agree = int((ins_p != ins_s).sum())
+                if agree <= 1:
+                    best = (K, ins_p)
+                    break
+            elif p_ok or s_ok:
+                # one-sided genome validation: require the OTHER fragment
+                # to agree over >=min_overlap bases of the insertion
+                ins = ins_p if p_ok else ins_s
+                other = S if p_ok else P
+                if p_ok:
+                    o = min(len(other), K)      # S tail vs ins tail
+                    mm = int((other[-o:] != ins[K - o : K]).sum())
+                else:
+                    o = min(len(other), K)      # P head vs ins head
+                    mm = int((other[:o] != ins[:o]).sum())
+                if o >= min_overlap and mm <= 1:
+                    best = (K, ins)
+                    break
+        if best is None:
+            continue
+        K, ins_codes = best
+        pos0, ins_codes2 = left_normalize_codes(
+            gcodes, int(bp) - 1, -K, np.asarray(ins_codes, np.uint8)
+        )
+        ins = dna.decode(np.asarray(ins_codes2, np.uint8))
+        cidx, coff = genome.linear_to_chro(np.array([pos0], np.int64))
+        key = (int(cidx[0]), int(coff[0]), -K)
+        sup = len(pre) + len(suf)
+        s0, p0 = events.get(key, (0, ins))
+        events[key] = (s0 + sup, p0)
+    return events

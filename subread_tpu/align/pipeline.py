@@ -119,6 +119,39 @@ def collect_junctions(res: dict, batch, genome, table: dict) -> dict | None:
     return donor_of
 
 
+def _calc_tlen_cigar(cigar: str, Ps: int, Pb: int, Lbig: int,
+                     Lsm: int) -> int:
+    """Literal calc_tlen walk (core.c:1718) over a CIGAR string: S and M
+    consume chro+read, I consumes read, D/N consume chro; at every
+    I/D/N boundary and at the end, if section_end >= Pb the walk stops
+    with read_cursor + Pb - section_end + Lbig."""
+    chro = Ps
+    read = 0
+    section_end = 0
+    num = 0
+    ops = []
+    for ch in cigar:
+        if ch.isdigit():
+            num = num * 10 + ord(ch) - 48
+        else:
+            ops.append((num, ch))
+            num = 0
+    for j, (n, op) in enumerate(ops):
+        if op in "MS=X":
+            chro += n
+            read += n
+            section_end = chro
+        last = j == len(ops) - 1
+        if op in "NDI" or last:
+            if op in "ND":
+                chro += n
+            if section_end >= Pb:
+                return read + Pb - section_end + Lbig
+        if op == "I":
+            read += n
+    return Pb - section_end + Lbig + Lsm
+
+
 def collect_seed_junctions(res: dict, genome, table: dict,
                            pending: dict | None = None,
                            min_proposers: int = 1) -> None:
@@ -330,30 +363,39 @@ class Aligner:
         # have runs <= 96 (chr901: ~75%), so the expensive full-width pass
         # runs on a quarter of the rows.  Zero tiers when the narrow
         # window already covers every run (no read can saturate).
+        import os as _os
+
+        _tier_env = _os.environ.get("SUBREAD_RESCUE_TIER_CAP")
         self.rescue_fold_cap = (
             0 if max_run < cfg.max_hits_per_probe
             else min(4096, cfg.batch_reads)
         )
+        if _tier_env is not None:
+            self.rescue_fold_cap = min(
+                int(_tier_env), self.rescue_fold_cap
+            )
         self.rescue_tiers = []
         if self.rescue_fold_cap:
-            mid = 48
-            if self.rescue_hits > mid + 32:
-                self.rescue_tiers.append((
-                    self.rescue_vote_params._replace(max_hits=mid),
-                    self.rescue_fold_cap,
-                ))
-                # chr901 measurement (orientation-split runs): about half
-                # the tier-1 reads re-saturate at the mid width, so the
-                # full-width tier runs at half the tier-1 capacity
-                # (overflow routes to the host pass; measured 0)
-                self.rescue_tiers.append((
-                    self.rescue_vote_params,
-                    max(self.rescue_fold_cap // 2, 256),
-                ))
-            else:
-                self.rescue_tiers.append(
-                    (self.rescue_vote_params, self.rescue_fold_cap)
-                )
+            # mixed-width tier: saturated reads re-vote with the NARROW
+            # window on every probe plus up to 8 wide windows on their
+            # saturated probes (vote_batch wide_slots) — a saturated read
+            # has 1-8 truncated probes in the common case (chr901 16K
+            # batch: median 3, 94% <= 8), so this moves ~2.6x less gather
+            # volume than re-voting whole reads at the wide width.  Reads
+            # with more truncated probes than slots, or whose wide window
+            # still truncates, chain into a small full-wide tier; any
+            # residue routes to the host pass (measured 0).
+            self.rescue_tiers.append((
+                self.vote_params._replace(
+                    wide_slots=8, wide_hits=self.rescue_hits,
+                    window=self.rescue_vote_params.window,
+                ),
+                self.rescue_fold_cap,
+            ))
+            self.rescue_tiers.append((
+                self.rescue_vote_params,
+                max(self.rescue_fold_cap // 8, 256),
+            ))
         # device-resident index blocks (replicated single-chip); each block
         # carries its sub-bucket directory (repeat-dense bucket jump table,
         # index.build.build_sub_directory) + its static (sub_bits, steps)
@@ -2493,10 +2535,14 @@ class Aligner:
         s2 = np.asarray(res2["strand"], np.int32)
 
         # ---- calc_tlen (core.c:1718): signed fragment length from the
-        # smaller-POS record's CIGAR walk.  Closed form for our cigar
-        # shapes: TLEN = Pbig - Psmall + L_larger, adjusted by the smaller
-        # record's indel/junction gap when the larger record starts beyond
-        # the smaller's first M section (S consumes chro in the walk).
+        # smaller-POS record's CIGAR walk.  Exact closed form for our
+        # single-event CIGAR shapes [clS] aM [event] bM [crS]: in the
+        # reference walk S consumes BOTH chro and read cursors, so the
+        # first section boundary sits at POS + cl + a; if it reaches the
+        # larger record's head, TLEN = consumed_read + Pbig - section_end
+        # + L_larger, else the walk runs to the end (section_end =
+        # POS + Lsm - insertions + deletions + junction gap) and the
+        # never-hit fallback equals the end-boundary value.
         def tlen_walk():
             P1p = o1 + 1
             P2p = o2 + 1
@@ -2505,40 +2551,46 @@ class Aligner:
             Pb = np.where(r1_small, P2p, P1p)
             Lsm = np.where(r1_small, L1, L2)
             Lbig = np.where(r1_small, L2, L1)
-            ind_s = np.where(
-                r1_small, np.asarray(res1["indel"], np.int32),
-                np.asarray(res2["indel"], np.int32),
+            pick = lambda a1, a2: np.where(
+                r1_small, np.asarray(a1, np.int64), np.asarray(a2, np.int64)
             )
-            spl_s = np.where(
-                r1_small, np.asarray(res1["split"], np.int32),
-                np.asarray(res2["split"], np.int32),
-            )
-            cl_s = np.where(
-                r1_small,
-                np.asarray(res1.get("clip_l", z), np.int32),
-                np.asarray(res2.get("clip_l", z), np.int32),
-            )
+            ind_s = pick(res1["indel"], res2["indel"])
+            spl_s = pick(res1["split"], res2["split"])
+            cl_s = pick(res1.get("clip_l", z), res2.get("clip_l", z))
+            junc_s = pick(
+                res1.get("junc", z), res2.get("junc", z)
+            ).astype(bool)
             gap_s = np.zeros(R, np.int64)
             if "junc_gap" in res1:
-                g1j = np.asarray(res1["junc_gap"], np.int64)
-                g2j = np.asarray(res2["junc_gap"], np.int64)
-                gap_s = np.where(r1_small, g1j, g2j)
-            # chro consumed by the smaller's first M section (pos is the
-            # CLIPPED start; leading S consumes chro in calc_tlen's walk,
-            # so the boundary sits at unclipped_pos + split = pos-cl+split)
-            first_sec_end = Ps + (spl_s - cl_s).astype(np.int64)
-            boundary_hit = first_sec_end >= Pb
-            adj = np.where(
-                ind_s > 0, -ind_s,
-                np.where(ind_s < 0, -ind_s, 0),
-            ).astype(np.int64)  # del: -d; ins: +i
-            adj = adj - gap_s
+                gap_s = np.where(
+                    junc_s,
+                    pick(res1["junc_gap"], res2["junc_gap"]), 0,
+                )
             has_event = (ind_s != 0) | (gap_s > 0)
-            t = (Pb - Ps) + Lbig + np.where(
-                has_event & ~boundary_hit, adj, 0
-            )
+            ins = np.maximum(-ind_s, 0)
+            dele = np.maximum(ind_s, 0)
+            gap_dn = gap_s + dele
+            sec1_end = Ps + cl_s + spl_s
+            hit1 = has_event & (sec1_end >= Pb)
+            t_hit1 = (cl_s + spl_s) + (Pb - sec1_end) + Lbig
+            sec_final = Ps + Lsm - ins + gap_dn
+            t_final = Lsm + (Pb - sec_final) + Lbig
+            t = np.where(hit1, t_hit1, t_final)
             t = np.where(P1p == P2p, np.maximum(L1, L2), t)
-            # sign: smaller-POS record positive; tie → R1's strand decides
+            # multi-event CIGARs (host overrides) get the literal walk
+            for res_x, other_first in ((res1, True), (res2, False)):
+                ov = res_x.get("cigar_override") or {}
+                for i, cig in ov.items():
+                    if i >= R:
+                        continue
+                    small_is_x = (P1p[i] <= P2p[i]) == other_first
+                    if not small_is_x:
+                        continue
+                    t[i] = _calc_tlen_cigar(
+                        str(cig), int(Ps[i]), int(Pb[i]), int(Lbig[i]),
+                        int(Lsm[i]),
+                    )
+            # sign: smaller-POS record positive; tie -> R1's strand decides
             tie = P1p == P2p
             neg1 = np.where(tie, s1 == 1, P1p > P2p)
             t1 = np.where(neg1, -t, t)
@@ -2997,8 +3049,11 @@ class Aligner:
                     # iteration three: long indels via soft-clip re-anchoring
                     from .longindel import rescue_long_indels
 
+                    if not hasattr(self, "_ins_piles"):
+                        self._ins_piles = {}
                     ov2, ev2, _ = rescue_long_indels(
-                        self.genome, batch, res, self.cfg.max_indel
+                        self.genome, batch, res, self.cfg.max_indel,
+                        piles=self._ins_piles,
                     )
                     if ov2:
                         cur = res.get("cigar_override") or {}
@@ -3056,6 +3111,17 @@ class Aligner:
             write_breakpoints_vcf(
                 out_sam + ".breakpoints.vcf", self.genome, breakpoints
             )
+        if getattr(self, "_ins_piles", None):
+            # cross-read reassembly of insertions longer than any single
+            # read's clip (finalise_long_insertions, core-indel.c:4389)
+            from .longindel import assemble_insertion_piles
+
+            for k, (sup, ins) in assemble_insertion_piles(
+                self.genome, self._ins_piles, self.cfg.max_indel
+            ).items():
+                s0, p0 = indel_events.get(k, (0, ins))
+                indel_events[k] = (s0 + sup, p0)
+            self._ins_piles = {}
         write_indel_vcf(out_sam + ".indel.vcf", self.genome, indel_events)
         return summary
 

@@ -47,6 +47,10 @@ class VoteParams(NamedTuple):
     #                               peak at 16 within +-tol)
     top_k: int = 4                # candidate clusters kept per read
     index_gap: int = 1            # 1 = full index (-F), 3 = gapped
+    wide_slots: int = 0           # mixed rescue: per-read count of
+    #                               saturated probes re-gathered at
+    #                               wide_hits width (0 = plain pass)
+    wide_hits: int = 0
 
 
 class VoteResult(NamedTuple):
@@ -676,6 +680,73 @@ def vote_batch(
         sub_base, sub_lo, sub_bits, search_steps,
         probe_orient=flip_req,
     )                                                          # each [R, C]
+    # mixed-width rescue (wide_slots > 0): re-gather ONLY the saturated
+    # probes at wide_hits width.  A saturated read typically has 1-8
+    # truncated probes out of 2*P0 (chr901 16K batch: median 3), so
+    # re-voting the whole read at the wide width — the old two-tier
+    # rescue — moved ~1.6x the main pass's gather volume to fix ~15% of
+    # the probes.  Here the wide block adds E*wide_hits columns for the
+    # E compacted saturated probes; duplicate (kv, subread) hits from
+    # the overlapping narrow window collapse in the distinct-subread
+    # vote mask, so the union is exact.
+    E = params.wide_slots
+    trunc_w = None
+    if E:
+        HW = params.wide_hits
+        # first E truncated probe columns per read (stable over probe idx)
+        sel = jnp.argsort(~trunc, axis=1, stable=True)[:, :E]  # [R, E]
+        take_p = lambda a: jnp.take_along_axis(a, sel, axis=1)
+        sel_trunc = take_p(trunc)
+        keys_w = take_p(keys)
+        flip_w = take_p(flip_req)
+        params_w = params._replace(max_hits=HW)
+        hitp_w, hitv_w, trunc_ww = gather_hits(
+            keys_w, sel_trunc, bucket_start, comb_rows, bucket_bits,
+            params_w, sub_base, sub_lo, sub_bits, search_steps,
+            probe_orient=flip_w,
+        )                                                      # [R, E*HW]
+        # residual saturation: a wide window still truncated, or more
+        # truncated probes than wide slots
+        trunc_w = jnp.any(trunc_ww, axis=1) | (
+            jnp.sum(trunc.astype(jnp.int32), axis=1) > E
+        )
+        # per-column metadata for the wide block (dynamic: per-read probes)
+        if isinstance(own_b, np.ndarray) and own_b.shape[0] == 1:
+            own_full = jnp.broadcast_to(
+                jnp.asarray(ownoff_np.astype(np.int32))[None, :], (R, nprobe)
+            )
+        else:
+            own_full = own_b.astype(jnp.int32)
+        off_w = jnp.repeat(take_p(own_full), HW, axis=1)       # [R, E*HW]
+        strand_full = jnp.broadcast_to(
+            jnp.asarray(is_rev_p.astype(np.uint32))[None, :], (R, nprobe)
+        )
+        strand_w = jnp.repeat(take_p(strand_full), HW, axis=1)
+        sub_full = jnp.broadcast_to(
+            jnp.asarray(
+                np.tile(
+                    np.repeat(np.arange(n_sub, dtype=np.uint32), gap)
+                    if gap > 1 else np.arange(n_sub, dtype=np.uint32), 2
+                )
+            )[None, :], (R, nprobe)
+        )
+        sub_w = jnp.repeat(take_p(sub_full), HW, axis=1)
+        pk_full = jnp.broadcast_to(
+            jnp.asarray(
+                np.concatenate([np.arange(P0), np.arange(P0)])
+                .astype(np.uint32)
+            )[None, :], (R, nprobe)
+        )
+        pk_w = jnp.repeat(take_p(pk_full), HW, axis=1)
+        kv_w = jnp.where(
+            hitv_w, hitp_w - off_w.astype(jnp.uint32), SENTINEL
+        )
+        payload_w = (
+            off_w.astype(jnp.uint32)
+            | (strand_w << np.uint32(12))
+            | (sub_w << np.uint32(13))
+            | (pk_w << np.uint32(19))
+        )
     # expand per-probe quantities to per-candidate columns (repeat H);
     # everything elementwise below runs on the FLAT [R, C] layout so the
     # VPU's 128-lane tiles are full
@@ -705,6 +776,13 @@ def vote_batch(
         | (subid_r << np.uint32(13))
         | (jnp.asarray(pk3_np) << np.uint32(19))
     )
+    C0 = C
+    if E:
+        kv3 = jnp.concatenate([kv3, kv_w], axis=1)
+        payload = jnp.concatenate([payload, payload_w], axis=1)
+        strand3 = jnp.concatenate([strand3, strand_w], axis=1)
+        off3 = jnp.concatenate([off3, off_w.astype(jnp.int32)], axis=1)
+        C = kv3.shape[1]
     kv_s, votes, strand_s, pk_s, _ = _vote_merged(kv3, payload, params, n_sub)
 
     # --- top-K selection (both strands live in the one stream) ------------
@@ -786,11 +864,27 @@ def vote_batch(
     )
 
     # per-probe member kv (the indel_recorder analog): per-probe min over
-    # each H-wide block of the same membership mask
+    # each H-wide block of the same membership mask; wide-block columns
+    # fold into their OWN probe's slot via the compacted probe indices
+    masked_kv = jnp.where(member, kv3_m, SENTINEL)
     sel_pkv = jnp.min(
-        jnp.where(member, kv3_m, SENTINEL).reshape(R, K, P, H),
-        axis=-1,
+        masked_kv[:, :, :C0].reshape(R, K, P, H), axis=-1
     )
+    if E:
+        wide_min = jnp.min(
+            masked_kv[:, :, C0:].reshape(R, K, E, params.wide_hits), axis=-1
+        )                                                      # [R, K, E]
+        oh = (
+            sel[:, :, None]
+            == jnp.arange(P, dtype=jnp.int32)[None, None, :]
+        )                                                      # [R, E, P]
+        contrib = jnp.min(
+            jnp.where(
+                oh[:, None, :, :], wide_min[:, :, :, None], SENTINEL
+            ),
+            axis=2,
+        )                                                      # [R, K, P]
+        sel_pkv = jnp.minimum(sel_pkv, contrib)
 
     empty = sel_votes <= 0
     return VoteResult(
@@ -802,7 +896,8 @@ def vote_batch(
         cov_start=jnp.where(empty, 0, sel_covmin),
         cov_end=jnp.where(empty, 0, sel_covmax + KMER),
         probe_kv=jnp.where(empty[:, :, None], SENTINEL, sel_pkv),
-        saturated=jnp.any(trunc, axis=1),
+        saturated=(trunc_w if trunc_w is not None
+                   else jnp.any(trunc, axis=1)),
         apk=jnp.where(empty, 1 << 29, sel_apk),
     )
 
