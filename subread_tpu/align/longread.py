@@ -48,18 +48,95 @@ class LongReadHit:
     votes: int = 0
 
 
-def _chain_to_cigar(wins: np.ndarray, gpos: np.ndarray, L: int, strand: int):
+def banded_align(read_seg: np.ndarray, gen_seg: np.ndarray,
+                 extra_band: int = 24) -> list[tuple[int, str]]:
+    """Banded global alignment of a read segment against its genome
+    segment, unit costs (match 0 / mismatch 1 / gap 1) — the
+    between-anchor refinement of the reference long-read mapper
+    (longread-one/longread-mapping.c:529-660 runs the same job with its
+    banded iterative extension).  Returns merged CIGAR ops covering the
+    whole read_seg.  numpy row-rolling DP: O(n * band) cells."""
+    n, m = len(read_seg), len(gen_seg)
+    if n == 0:
+        return [(m, "D")] if m else []
+    if m == 0:
+        return [(n, "I")]
+    band = abs(n - m) + extra_band
+    BIG = 1 << 20
+    # dp[j] over genome positions for current read row; parent ops tracked
+    prev = np.arange(m + 1, dtype=np.int32)            # row 0: j deletions
+    ops_tbl = np.zeros((n + 1, m + 1), np.int8)        # 0 diag 1 up(I) 2 left(D)
+    ops_tbl[0, 1:] = 2
+    for i in range(1, n + 1):
+        lo = max(1, i - band)
+        hi = min(m, i + band)
+        cur = np.full(m + 1, BIG, np.int32)
+        if i - 1 <= band:
+            cur[0] = i
+            ops_tbl[i, 0] = 1
+        seg = gen_seg[lo - 1 : hi]
+        sub = prev[lo - 1 : hi] + (seg != read_seg[i - 1])
+        up = prev[lo : hi + 1] + 1                     # insertion (read base)
+        best = np.minimum(sub, up)
+        op = np.where(sub <= up, 0, 1).astype(np.int8)
+        # left (deletion) needs a serial scan: cur[j-1] + 1
+        run = best.copy()
+        for k in range(1, len(run)):
+            c = run[k - 1] + 1
+            if c < run[k]:
+                run[k] = c
+                op[k] = 2
+        cur[lo : hi + 1] = run
+        ops_tbl[i, lo : hi + 1] = op
+        prev = cur
+    # backtrack
+    i, j = n, m
+    rev: list[str] = []
+    while i > 0 or j > 0:
+        o = ops_tbl[i, j]
+        if i > 0 and j > 0 and o == 0:
+            rev.append("M")
+            i -= 1
+            j -= 1
+        elif i > 0 and (o == 1 or j == 0):
+            rev.append("I")
+            i -= 1
+        else:
+            rev.append("D")
+            j -= 1
+    out: list[tuple[int, str]] = []
+    for op in reversed(rev):
+        if out and out[-1][1] == op:
+            out[-1] = (out[-1][0] + 1, op)
+        else:
+            out.append((1, op))
+    return out
+
+
+def _chain_to_cigar(wins: np.ndarray, gpos: np.ndarray, L: int, strand: int,
+                    oriented: np.ndarray | None = None,
+                    gcodes: np.ndarray | None = None,
+                    max_refine: int = 4000):
     """CIGAR ops for one chained window set.
 
     wins: window indices (fwd-read numbering), gpos: genome start of each
     window's 100bp block.  For strand 1 the blocks are emitted in genome
     order (reversed window order) since the SAM record holds the rc read.
-    Returns (clip_left, ops, clip_right, genome_pos) in SAM (genome)
-    orientation."""
+    With `oriented` (read codes in genome orientation) and `gcodes`
+    (genome 2-bit codes, linear coords) the inter-anchor gaps get
+    base-accurate banded-DP ops instead of coarse min(dr,dg)M+diff
+    blocks — the reference's between-anchor iterative refinement
+    (longread-one/longread-mapping.c:529-660).  Returns (clip_left, ops,
+    clip_right, genome_pos) in SAM (genome) orientation."""
     order = np.argsort(gpos)
     w = wins[order]
     g = gpos[order]
     n = len(w)
+    # oriented-read start of block w (ascending along the genome order)
+    ostart = (
+        (lambda wi: wi * WINDOW) if strand == 0
+        else (lambda wi: L - (wi + 1) * WINDOW)
+    )
     ops: list[tuple[int, str]] = [(WINDOW, "M")]
     for i in range(1, n):
         # read distance between consecutive blocks, in genome orientation
@@ -67,9 +144,85 @@ def _chain_to_cigar(wins: np.ndarray, gpos: np.ndarray, L: int, strand: int):
         dr = dw * WINDOW
         dg = int(g[i]) - (int(g[i - 1]) + WINDOW)
         if dg < 0:
-            # overlapping blocks (repeat artefact): merge conservatively
-            ops.append((max(WINDOW + dg, 1), "M"))
+            # overlapping blocks (repeat artefact): the segment consumes
+            # WINDOW+dr read bases but only WINDOW+dg of genome — emit the
+            # difference as I so downstream ops stay read-aligned (a bare
+            # short M here desynchronised every later block)
+            if (
+                oriented is not None and gcodes is not None
+                and dr <= max_refine
+            ):
+                o_lo = ostart(int(w[i - 1]))
+                o_hi = ostart(int(w[i]))
+                g_lo = int(g[i - 1])
+                g_hi = int(g[i])
+                if (
+                    0 <= o_lo < o_hi <= len(oriented)
+                    and 0 <= g_lo < g_hi <= len(gcodes)
+                    and ops and ops[-1] == (WINDOW, "M")
+                ):
+                    ops.pop()
+                    ops.extend(
+                        banded_align(oriented[o_lo:o_hi], gcodes[g_lo:g_hi],
+                                     extra_band=40)
+                    )
+                    ops.append((WINDOW, "M"))
+                    continue
+            gm = max(WINDOW + dg, 1)
+            rm = WINDOW + dr
+            ops.append((gm, "M"))
+            if rm > gm:
+                ops.append((rm - gm, "I"))
             continue
+        # the N (skip) classification only fits a near-pure genome gap:
+        # when the gap also holds read bases (unmapped windows over an
+        # ONT-noise stretch) it is an alignment problem, not an intron
+        intronic = dg - dr >= MIN_INTRON and dr <= 8
+        need_refine = max(dr, dg) > 0
+        if (
+            oriented is not None and gcodes is not None and not intronic
+            and not need_refine
+        ):
+            # equal-length segment: vote anchors are only +-tolerance
+            # accurate, so probe the coarse placement and banded-refine
+            # when it mismatches badly (indel-rich window bodies)
+            o_lo_p = ostart(int(w[i - 1]))
+            o_hi_p = ostart(int(w[i]))
+            g_lo_p = int(g[i - 1])
+            g_hi_p = int(g[i])
+            if (
+                0 <= o_lo_p < o_hi_p <= len(oriented)
+                and g_hi_p <= len(gcodes)
+                and o_hi_p - o_lo_p == g_hi_p - g_lo_p
+            ):
+                seg_mm = int(
+                    (oriented[o_lo_p:o_hi_p] != gcodes[g_lo_p:g_hi_p]).sum()
+                )
+                need_refine = seg_mm > 0.08 * (o_hi_p - o_lo_p)
+        if (
+            oriented is not None and gcodes is not None and not intronic
+            and need_refine and dr <= max_refine and dg <= max_refine
+        ):
+            # refine the COMBINED previous-window-body + gap stretch: with
+            # indel-rich reads (ONT) the drift sits INSIDE window bodies,
+            # not just between them, so the banded DP must span from the
+            # previous anchor to this one (the reference's iterative
+            # between-anchor extension covers the same stretch)
+            o_lo = ostart(int(w[i - 1]))
+            o_hi = ostart(int(w[i]))
+            g_lo = int(g[i - 1])
+            g_hi = int(g[i])
+            if (
+                0 <= o_lo < o_hi <= len(oriented) and g_hi <= len(gcodes)
+                and ops and ops[-1] == (WINDOW, "M")
+            ):
+                ops.pop()          # the coarse body block being replaced
+                ops.extend(
+                    banded_align(oriented[o_lo:o_hi], gcodes[g_lo:g_hi],
+                                 extra_band=40)
+                )
+                ops.append((WINDOW, "M"))
+                continue
         m = min(dr, dg)
         if m:
             ops.append((m, "M"))
@@ -104,22 +257,40 @@ def _chain_to_cigar(wins: np.ndarray, gpos: np.ndarray, L: int, strand: int):
         else:
             merged.append((want - consumed, "M"))
     elif want < consumed:
-        # trim from the tail M
-        nn, op = merged[-1]
-        merged[-1] = (max(nn - (consumed - want), 1), op)
+        # trim read-consuming ops from the tail until balanced (refined
+        # segments can overshoot when an overlap merge follows them)
+        excess = consumed - want
+        out = []
+        for nn, op in reversed(merged):
+            if excess > 0 and op in "MI":
+                t = min(nn, excess)
+                excess -= t
+                nn -= t
+            if nn > 0:
+                out.append((nn, op))
+        merged = list(reversed(out))
+        while merged and merged[-1][1] in "DN":
+            merged.pop()
     return clip_l, merged, clip_r, int(g[0])
 
 
 def chain_read(
-    res: dict, rows: np.ndarray, wins: np.ndarray, L: int, min_windows: int
+    res: dict, rows: np.ndarray, wins: np.ndarray, L: int, min_windows: int,
+    codes: np.ndarray | None = None, gcodes: np.ndarray | None = None,
 ) -> LongReadHit:
     """Chain the mapped windows (batch rows `rows`, window ids `wins`) of
-    one read into the best diagonal cluster."""
+    one read into the best diagonal cluster.  With codes/gcodes the
+    inter-anchor gaps are refined by banded DP (see _chain_to_cigar)."""
     best = LongReadHit(mapped=False)
     mapped = np.asarray(res["mapped"], bool)[rows]
     if not mapped.any():
         return best
     pos = res["pos"].astype(np.int64)[rows]
+    # window pos is soft-clip-advanced; chaining and the banded
+    # refinement anchor on the genome position of read offset w*WINDOW,
+    # so undo the clip advance (the DP re-places any head noise itself)
+    if "clip_l" in res:
+        pos = pos - np.asarray(res["clip_l"], np.int64)[rows]
     strand = np.asarray(res["strand"])[rows]
     votes = np.asarray(res["votes"])[rows]
     for st in (0, 1):
@@ -151,8 +322,28 @@ def chain_read(
                 or (n_windows == best.n_windows and vsum > best.votes)
             ):
                 midx = np.asarray(sorted(uw.values()))
+                # local drift consistency: ONT-style indel drift moves the
+                # window diagonal slowly (tens of bases per kb), while a
+                # tandem-repeat wrong-copy hit jumps by the repeat period.
+                # Windows whose diagonal deviates >60 from the running
+                # median of their neighbours are dropped before the
+                # banded refinement anchors on them.
+                if len(midx) >= 5:
+                    dd = darr[midx]
+                    med = np.empty(len(dd))
+                    for q in range(len(dd)):
+                        lo_q = max(0, q - 3)
+                        med[q] = np.median(dd[lo_q : q + 4])
+                    keep = np.abs(dd - med) <= 60
+                    if keep.sum() >= min_windows:
+                        midx = midx[keep]
+                        n_windows = len(midx)
+                oriented = None
+                if codes is not None:
+                    oriented = codes if st == 0 else dna.revcomp(codes)
                 cl, ops, cr, gpos0 = _chain_to_cigar(
-                    warr[midx], parr[midx], L, st
+                    warr[midx], parr[midx], L, st,
+                    oriented=oriented, gcodes=gcodes,
                 )
                 span = sum(nn for nn, op in ops if op in "MDN")
                 best = LongReadHit(
@@ -194,7 +385,8 @@ def map_long_reads(
     for r, codes in enumerate(reads):
         rows = np.flatnonzero(owner == r)
         out.append(
-            chain_read(res, rows, winid[rows], len(codes), min_windows)
+            chain_read(res, rows, winid[rows], len(codes), min_windows,
+                   codes=codes, gcodes=aligner.genome.codes)
         )
     return out
 
@@ -253,6 +445,7 @@ def map_long_reads_sharded(
         chain_read(
             res, np.flatnonzero(owner == r), winid[np.flatnonzero(owner == r)],
             len(codes), min_windows,
+            codes=codes, gcodes=aligner.genome.codes,
         )
         for r, codes in enumerate(reads)
     ]

@@ -213,3 +213,90 @@ def test_sublong_ont_like_reads(tmp_path, chr901_genome, chr901_index):
         rl += len(f[9]) if f[9] != "*" else 0
     assert ok == 20
     assert ab >= 0.8 * rl
+
+    # base-level identity >= 0.9: replay each CIGAR against the genome
+    # (between-anchor banded refinement places the ONT indels; without
+    # it the M runs drift after every unplaced indel)
+    from subread_tpu import dna as _dna
+
+    g = chr901_genome
+    match = aligned_m = 0
+    for line in open(out):
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        if int(f[1]) & 4:
+            continue
+        seq = _dna.encode(f[9])
+        lin = g.chro_to_linear(0, int(f[3]) - 1)
+        rp = 0
+        gp = lin
+        for n, op in re.findall(r"(\d+)([A-Z])", f[5]):
+            n = int(n)
+            if op == "M":
+                nn = min(n, len(seq) - rp, len(g.codes) - gp)
+                match += int(
+                    (seq[rp : rp + nn] == g.codes[gp : gp + nn]).sum()
+                )
+                aligned_m += nn
+                rp += n
+                gp += n
+            elif op in "DN":
+                gp += n
+            elif op in "IS":
+                rp += n
+    identity = match / max(aligned_m, 1)
+    assert identity >= 0.9, f"base identity {identity:.3f}"
+
+
+def test_sublong_megabase_read(rng):
+    """One 1.2 Mbp read — the reference LRM's spec ceiling
+    (longread-one/LRMconfig.h:25 MAX_READ_LENGTH) — sharded across the
+    8-device CPU mesh: 12,000 windows over the mesh, chained to one
+    alignment at the true position."""
+    import jax
+
+    import numpy as np
+
+    from subread_tpu import dna
+    from subread_tpu.align.longread import (
+        map_long_reads, map_long_reads_sharded,
+    )
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+    from subread_tpu.index.build import build_hash_index
+    from subread_tpu.index.genome import build_genome
+    from subread_tpu.io.fasta import Contig
+    from subread_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 virtual CPU devices")
+    n_bases = 1_500_000
+    codes = rng.integers(0, 4, n_bases).astype(np.uint8)
+    genome = build_genome([
+        Contig(name="mb1", codes=codes, ambig=np.zeros(n_bases, bool))
+    ])
+    index = build_hash_index(genome, index_gap=1)
+    al = Aligner(genome, index, aligner_config(batch_reads=2048,
+                                               min_votes=2))
+    L = 1_200_000
+    start = 123_456
+    lin = genome.chro_to_linear(0, start)
+    read = genome.codes[lin : lin + L].copy()
+    err = rng.random(L) < 0.02
+    read[err] = (read[err] + rng.integers(1, 4, size=int(err.sum()))) % 4
+
+    mesh = make_mesh(8, devices=devs[:8])
+    hits = map_long_reads_sharded(al, [read], mesh)
+    h = hits[0]
+    assert h.mapped
+    assert abs((h.pos - lin)) <= 200
+    assert h.n_windows >= 9000, h.n_windows
+    span = sum(n for n, op in h.cigar_ops if op in "MDN")
+    assert abs(span - L) <= 6000
+    # bit-identical to the single-device chain
+    base = map_long_reads(al, [read])[0]
+    assert (h.pos, h.strand, h.cigar_ops) == (
+        base.pos, base.strand, base.cigar_ops
+    )
