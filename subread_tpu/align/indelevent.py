@@ -691,3 +691,238 @@ def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3):
     return out_events, done_rows
 
 
+
+
+def rescue_clipped_with_events(genome, batch, res, events,
+                               max_mismatches: int = 3):
+    """Re-explain soft-clipped records across KNOWN indel events.
+
+    The reference's scan-2 event sharing (explain_read over the indel
+    event table, core-indel.c): a read whose clip boundary sits just
+    past an event discovered by ANOTHER read (typically its own mate)
+    gets the event-crossing CIGAR instead of the clip — e.g. the mate of
+    a 61M1D39M read comes out 5M1D95M, not 4S96M.  `events` maps
+    (small_side_lin, ilen) -> (support, ins_seq); only single-event
+    explanations with the [aM dD/kI bM] shape are attempted, matching
+    the res-array record format.  Updates res in place; returns the
+    number of rescued records.
+    """
+    if "clip_l" not in res or not events:
+        return 0
+    gcodes = genome.codes
+    G = len(gcodes)
+    cl_arr = np.asarray(res["clip_l"], np.int32)
+    cr_arr = np.asarray(res["clip_r"], np.int32)
+    mapped = np.asarray(res["mapped"], bool)
+    indel_arr = np.asarray(res["indel"], np.int32)
+    junc = np.asarray(res.get("junc", np.zeros(len(cl_arr), bool)), bool)
+    pos_arr = np.asarray(res["pos"], np.uint32)
+    strand_arr = np.asarray(res["strand"], np.int32)
+    mism_arr = np.asarray(res["mism"], np.int32)
+    cand = mapped & (indel_arr == 0) & ~junc & (
+        ((cl_arr >= 1) & (cl_arr <= 16)) | ((cr_arr >= 1) & (cr_arr <= 16))
+    )
+    rows = np.flatnonzero(cand)
+    if not len(rows):
+        return 0
+    # sorted deletion/insertion event arrays for window lookups
+    ev = sorted(events)
+    ev_pos = np.asarray([e[0] for e in ev], np.int64)
+    n_res = 0
+    R = len(batch.lengths)
+    split_arr = np.asarray(res["split"], np.int32)
+    for i in rows:
+        if i >= R:
+            continue
+        L = int(batch.lengths[i])
+        oc = batch.codes[i, :L]
+        if strand_arr[i] == 1:
+            from .. import dna as _dna
+
+            oc = _dna.revcomp(oc)
+        cl, cr = int(cl_arr[i]), int(cr_arr[i])
+        p = int(pos_arr[i])          # first aligned base (clip-advanced)
+        m = L - cl - cr
+        best = None
+        # head-side: event inside (or just past) the clipped head span —
+        # a may exceed cl when the event sits at the alignment boundary
+        # (the reference's 5M1D95M mate of a 61M1D39M record)
+        if 1 <= cl <= 16:
+            lo = np.searchsorted(ev_pos, p - cl - 20 - 1)
+            hi = np.searchsorted(ev_pos, p + 18)
+            for j in range(lo, hi):
+                pos0, ilen = ev[j]
+                if ilen > 0:                       # deletion of d
+                    d = ilen
+                    pstart = p - cl - d
+                    a = pos0 - pstart + 1
+                    if not (1 <= a <= cl + d + 16) or a >= L or pstart < 0:
+                        continue
+                    head = oc[:a]
+                    mm = int((head != gcodes[pstart : pstart + a]).sum())
+                    if a <= cl:
+                        # remaining clip bases map right after the event
+                        rest = oc[a:cl]
+                        mm += int(
+                            (rest != gcodes[pos0 + d + 1
+                                            : pos0 + d + 1 + len(rest)]).sum()
+                        )
+                    else:
+                        # read[cl:a) moves from the old M region: remove
+                        # its old mismatch contribution
+                        seg = oc[cl:a]
+                        mm -= int((seg != gcodes[p : p + len(seg)]).sum())
+                else:                              # insertion of k
+                    k = -ilen
+                    pstart = p - cl + k
+                    a = pos0 - pstart + 1
+                    if not (0 <= a <= cl - k) or pstart < 0:
+                        continue
+                    head = oc[:a]
+                    mm = int((head != gcodes[pstart : pstart + a]).sum())
+                    rest = oc[a + k : cl]
+                    mm += int(
+                        (rest != gcodes[pos0 + 1 : pos0 + 1 + len(rest)]).sum()
+                    )
+                    d = -k
+                total = int(mism_arr[i]) + mm
+                gain = cl - 2 * mm
+                if total <= max_mismatches and gain > 0 and (
+                    best is None or total < best[0]
+                ):
+                    best = (total, pstart, a, d, cr, "head")
+        # tail-side: event inside the clipped tail span
+        if best is None and 1 <= cr <= 16:
+            qe = p + m                              # first genome base past M
+            lo = np.searchsorted(ev_pos, qe - 2)
+            hi = np.searchsorted(ev_pos, qe + cr + 20)
+            for j in range(lo, hi):
+                pos0, ilen = ev[j]
+                a = pos0 - p + 1                    # M bases before the event
+                if ilen > 0:
+                    d = ilen
+                    if not (m - 16 <= a <= m + cr - 1) or a < 1:
+                        continue
+                    tail = oc[cl + a :]
+                    gpos = pos0 + d + 1
+                    if gpos + len(tail) > G:
+                        continue
+                    mm = int((tail != gcodes[gpos : gpos + len(tail)]).sum())
+                    if a > m:
+                        # bases between old M end and the event must match
+                        mid = oc[cl + m : cl + a]
+                        mm += int((mid != gcodes[p + m : p + a]).sum())
+                    else:
+                        # read[cl+a : cl+m) moves off the old M region
+                        seg = oc[cl + a : cl + m]
+                        mm -= int((seg != gcodes[p + a : p + m]).sum())
+                else:
+                    k = -ilen
+                    if not (m - 2 <= a <= m + cr - 1 - k) or a < 1:
+                        continue
+                    tail = oc[cl + a + k :]
+                    gpos = pos0 + 1
+                    if gpos + len(tail) > G:
+                        continue
+                    mm = int((tail != gcodes[gpos : gpos + len(tail)]).sum())
+                    d = -k
+                total = int(mism_arr[i]) + mm
+                gain = cr - 2 * mm
+                if total <= max_mismatches and gain > 0 and (
+                    best is None or total < best[0]
+                ):
+                    best = (total, p - cl, a, d, 0, "tail")
+        if best is None:
+            continue
+        total, pstart, a, d, new_cr, side = best
+        res["pos"] = np.asarray(res["pos"]).copy()
+        res["split"] = np.asarray(res["split"]).copy()
+        res["indel"] = np.asarray(res["indel"]).copy()
+        res["clip_l"] = np.asarray(res["clip_l"]).copy()
+        res["clip_r"] = np.asarray(res["clip_r"]).copy()
+        res["mism"] = np.asarray(res["mism"]).copy()
+        if side == "head":
+            res["pos"][i] = np.uint32(pstart)
+            res["split"][i] = np.int32(a)
+            res["indel"][i] = np.int32(d)
+            res["clip_l"][i] = 0
+            res["clip_r"][i] = np.int32(new_cr)
+        else:
+            # tail-side: pos and the head clip stay; split is measured
+            # from the unclipped read start ([hS] (split-h)M shape)
+            res["split"][i] = np.int32(int(cl_arr[i]) + a)
+            res["indel"][i] = np.int32(d)
+            res["clip_r"][i] = 0
+        res["mism"][i] = np.int32(total)
+        n_res += 1
+    return n_res
+
+
+def rescue_unmapped_mates(genome, b1, b2, r1, r2, cfg):
+    """PE mate-window rescue: an unmapped end whose mate maps gets a
+    direct mismatch scan over the mate's fragment window (both strands,
+    FR orientation expected).  Needed where an end's subreads were all
+    index-filtered as ultra-repetitive (repeat_threshold) so voting
+    cannot see its perfect location inside a segmental duplication —
+    the reference still pairs these via its PE candidate weighting over
+    the full simple lists.  Updates the unmapped end's res in place;
+    returns the number rescued."""
+    from .. import dna as _dna
+
+    gcodes = genome.codes
+    G = len(gcodes)
+    n_res = 0
+    lim_frac = cfg.max_mismatches
+    for (ba, ra, bb, rb) in ((b1, r1, b2, r2), (b2, r2, b1, r1)):
+        ma = np.asarray(ra["mapped"], bool)
+        mb = np.asarray(rb["mapped"], bool)
+        rows = np.flatnonzero(ma & ~mb)
+        if not len(rows):
+            continue
+        pos_a = np.asarray(ra["pos"], np.uint32)
+        str_a = np.asarray(ra["strand"], np.int32)
+        R = len(bb.lengths)
+        for i in rows:
+            if i >= R:
+                continue
+            L = int(bb.lengths[i])
+            if L < 32:
+                continue
+            pa = int(pos_a[i])
+            lo = max(pa - cfg.max_fragment - L, 0)
+            hi = min(pa + cfg.max_fragment + L, G - L)
+            if hi - lo < L:
+                continue
+            want_strand = 1 - int(str_a[i])
+            oc = bb.codes[i, :L]
+            if want_strand == 1:
+                oc = _dna.revcomp(oc)
+            win = np.lib.stride_tricks.sliding_window_view(
+                gcodes[lo:hi + L], L
+            )
+            mms = (win != oc[None, :]).sum(axis=1)
+            j = int(np.argmin(mms))
+            mm = int(mms[j])
+            if mm > lim_frac:
+                continue
+            for k in ("pos", "strand", "mism", "mapped", "mapq", "multi",
+                      "indel", "split", "clip_l", "clip_r"):
+                if k in rb:
+                    rb[k] = np.asarray(rb[k]).copy()
+            rb["pos"][i] = np.uint32(lo + j)
+            rb["strand"][i] = np.int32(want_strand)
+            rb["mism"][i] = np.int32(mm)
+            rb["mapped"][i] = True
+            if "multi" in rb:
+                rb["multi"][i] = False
+            if "indel" in rb:
+                rb["indel"][i] = 0
+            if "clip_l" in rb:
+                rb["clip_l"][i] = 0
+                rb["clip_r"][i] = 0
+            if "mapq" in rb:
+                rb["mapq"][i] = np.int32(
+                    cfg.mapq_unique // max(1 + mm, 1)
+                )
+            n_res += 1
+    return n_res

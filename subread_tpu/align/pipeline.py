@@ -548,7 +548,7 @@ class Aligner:
         (core.c:2731-2739).  Returns per-candidate [R, K] arrays."""
         cfg = self.cfg
         R, L = codes.shape
-        K = self.vote_params.top_k
+        K = v.pos.shape[1]                # PE widens top_k past the config
 
         # orient reads once per strand; candidates flattened to one [R*K]
         # batched split-scan call (keeps the compiled graph small).
@@ -1334,7 +1334,9 @@ class Aligner:
         w_vote = jnp.where(pe_vote, 1300, jnp.where(same, 1000, 800))
         adjusted = jnp.where(eligible, (V1 + V2) * w_vote, -1)
         # top max_vote_combinations=3 combos (ties keep the earlier
-        # k1-major entry, matching the reference's insertion sort)
+        # k1-major entry; measured: the reverse-walk storage order does
+        # NOT invert tie preference at the reported-record level — the
+        # scan-2 realignment rescore settles ties by first-stored)
         KK = K * K
         flat_adj = adjusted.reshape(R, KK)
         fidx = jnp.arange(KK, dtype=jnp.int32)[None, :]
@@ -1656,6 +1658,13 @@ class Aligner:
         B, e0, st0 = self.block_meta[0]
         if vp is None:
             vp = self.rescue_vote_params if rescue else self.vote_params
+        # the reference's PE simple lists hold up to 64 candidates per end
+        # (max_vote_simples, core.c:4077): inside a 4+-copy segmental
+        # duplication the proper-pair candidate can rank below an SE-sized
+        # top-K, leaving a perfectly-matching mate unmapped.  Widen the
+        # PE candidate list so the PE-distance weighting can resolve it.
+        if vp.top_k < 8:
+            vp = vp._replace(top_k=8)
         v1 = vote_batch(c1, a1, l1, bucket_start, comb, B, vp,
                         static_len=ul1, sub_base=sub_base, sub_lo=sub_lo,
                         sub_bits=e0, search_steps=st0)
@@ -2907,8 +2916,11 @@ class Aligner:
                 if junctions is None:
                     # event-table indel placement per end (same shared-event
                     # rule as the SE path; see align_file)
-                    from .indelevent import propose_and_apply
+                    from .indelevent import (
+                        propose_and_apply, rescue_clipped_with_events,
+                    )
 
+                    chunk_events: dict = {}
                     for (bb, rr) in ((pair[0], r1), (pair[1], r2)):
                         if "probe_kv" not in rr:
                             continue
@@ -2919,12 +2931,44 @@ class Aligner:
                         if ev_done:
                             rr["_events_done"] = set(ev_done)
                         for (ss, elen), (sup, iseq) in ev_new.items():
+                            chunk_events[(int(ss), int(elen))] = (sup, iseq)
                             ci_e, co_e = self.genome.linear_to_chro(
                                 np.asarray([ss], np.int64)
                             )
                             k_e = (int(ci_e[0]), int(co_e[0]), elen)
                             s0, p0 = indel_events.get(k_e, (0, iseq))
                             indel_events[k_e] = (s0 + sup, p0)
+                    # record-carried events of BOTH ends also share: a
+                    # mate clipped at its partner's indel boundary gets
+                    # the event-crossing CIGAR (scan-2 explain_read over
+                    # the shared event table, core-indel.c)
+                    for (bb, rr) in ((pair[0], r1), (pair[1], r2)):
+                        ind = np.asarray(rr["indel"], np.int32)
+                        sel = np.flatnonzero(
+                            np.asarray(rr["mapped"], bool) & (ind != 0)
+                        )
+                        pos_a = np.asarray(rr["pos"], np.uint32)
+                        spl_a = np.asarray(rr["split"], np.int32)
+                        cl_a = np.asarray(rr.get("clip_l", np.zeros_like(ind)))
+                        for q in sel:
+                            # small side = last M base before the event
+                            ss = (
+                                int(pos_a[q]) + int(spl_a[q])
+                                - int(cl_a[q]) - 1
+                            )
+                            chunk_events.setdefault(
+                                (ss, int(ind[q])), (1, "")
+                            )
+                    for (bb, rr) in ((pair[0], r1), (pair[1], r2)):
+                        rescue_clipped_with_events(
+                            self.genome, bb, rr, chunk_events,
+                            max_mismatches=self.cfg.max_mismatches,
+                        )
+                    from .indelevent import rescue_unmapped_mates
+
+                    rescue_unmapped_mates(
+                        self.genome, pair[0], pair[1], r1, r2, self.cfg
+                    )
                 t2 = time.time()
                 if junctions is not None:
                     # scan-2 event sharing + chaining, mirroring the SE
