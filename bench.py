@@ -207,45 +207,49 @@ def bench_featurecounts(out, tmpdir):
 
 
 def bench_devicecounts(out, tmpdir):
-    """Device counting kernel (quant.device_count, the --deviceCounts CLI
-    path): synthetic 1M SE sections over the bench SAF, counted on the
-    chip.  Reports the kernel rate (sections resident) — the host SAM
-    parse is the same either way and is covered by featurecounts_rec_per_s."""
+    """Device counting (quant.device_count, the --deviceCounts CLI path),
+    measured END-TO-END on the 1M-record bench BAM: native record parse
+    (fc_read_sections_bam) + window mapping + upload + kernel + fetch —
+    what a user actually gets.  The kernel-only rate is reported
+    separately for the scaling story."""
     import jax
 
     from subread_tpu.io.gtf import load_annotation
     from subread_tpu.quant.device_count import DeviceCounter
 
-    _, saf = _fc_fixture()
+    bam, saf = _fc_fixture()
     ann = load_annotation(saf, fmt="SAF")
     dc = DeviceCounter(ann)
-    n = 1_000_000
-    rng = np.random.default_rng(3)
-    win = dc._windows[0]["chr901"]
-    rs = rng.integers(1, win.max_end - 100, size=n).astype(np.int32)
-    ss = np.full((n, dc.max_sections), 0, np.int32)
-    se = np.full((n, dc.max_sections), -1, np.int32)
-    ss[:, 0] = win.offset + rs
-    se[:, 0] = win.offset + rs + 99
-    gate = np.zeros(n, np.int32)
-    stbl = np.zeros(n, np.int32)
-    # device-resident inputs: the kernel rate, not the tunnel upload
-    # (uploading 80MB of sections costs ~1s of tunnel wall per call)
+    # end-to-end: parse + map + count (includes the tunnel upload)
+    t0 = time.time()
+    ss, se, gate, stbl = dc.sections_from_file(bam)
+    t_parse = time.time() - t0
+    n = len(gate)
+    c, s, _, ov = dc.count(ss, se, gate, stbl)
+    best_e2e = time.time() - t0
+    for _ in range(2):
+        t0 = time.time()
+        ss, se, gate, stbl = dc.sections_from_file(bam)
+        c, s, _, ov = dc.count(ss, se, gate, stbl)
+        best_e2e = min(best_e2e, time.time() - t0)
+    out["devicecounts_e2e_rec_per_s"] = round(n / best_e2e, 1)
+    out["devicecounts_parse_s"] = round(t_parse, 3)
+    out["devicecounts_assigned"] = int(s[0])
+
+    # kernel-only rate (sections resident on device)
     import jax.numpy as jnp
 
     d_args = tuple(jnp.asarray(a) for a in (ss, se, gate, stbl))
     fn = jax.jit(dc._kernel)
     r = fn(*d_args)
-    s = np.asarray(r[1])
+    np.asarray(jax.device_get(r[1][:1]))
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         r = fn(*d_args)
-        # block_until_ready is a no-op through the tunnel: force-fetch
         np.asarray(jax.device_get(r[1][:1]))
         best = min(best, time.time() - t0)
     out["devicecounts_rec_per_s"] = round(n / best, 1)
-    out["devicecounts_assigned"] = int(s[0])
 
 
 def bench_exactsnp(out, tmpdir):

@@ -417,14 +417,21 @@ class DeviceCounter:
             jnp.any((hi - lo > W) & valid, axis=1).astype(jnp.int32)
         )
 
-        flat = jnp.sort(labels.reshape(R, S * W), axis=1)
-        prev = jnp.concatenate(
-            [jnp.full((R, 1), NONE, dtype=flat.dtype), flat[:, :-1]], axis=1
+        # the status rule only needs 0 / 1 / >=2 distinct gene labels:
+        # masked min/max reductions answer that exactly (max != min <=>
+        # >=2 distinct) without sorting the [R, S*W] label tensor — the
+        # sort was ~5x the whole remaining kernel
+        flat = labels.reshape(R, S * W)
+        lab_valid = flat >= 0
+        any_valid = jnp.any(lab_valid, axis=1)
+        vmax = jnp.max(jnp.where(lab_valid, flat, -1), axis=1)
+        vmin = jnp.min(jnp.where(lab_valid, flat, jnp.int32(1 << 30)),
+                       axis=1)
+        n_distinct = jnp.where(
+            any_valid, 1 + (vmax != vmin).astype(jnp.int32), 0
         )
-        distinct = (flat >= 0) & (flat != prev)
-        n_distinct = distinct.sum(axis=1)
         has_multi = jnp.any(flat == self.multi, axis=1)
-        gene = flat[:, -1]
+        gene = vmax
 
         status = jnp.where(
             has_multi | (n_distinct >= 2),
