@@ -338,6 +338,13 @@ class Aligner:
             indel_tolerance=max(min(cfg.max_indel, 16), 1),
             top_k=cfg.top_k,
             index_gap=self.index.index_gap,
+            # post-sort candidate-stream cut: valid candidates per read are
+            # sparse (chr901 100bp: mean 27 of C=320 columns, 98.5% of
+            # reads <= 160), so the window/anchor/top-K passes run on the
+            # first 160 sorted entries; denser reads overflow into the
+            # saturation-rescue chain which is width-exact (vote.py
+            # VoteParams.compact)
+            compact=160,
         )
         # saturation rescue: reads whose key runs overflow the H-entry
         # gather window re-vote through the same path at a width covering
@@ -354,6 +361,8 @@ class Aligner:
             # spans on chr901 repeats peak at 21 (profile_vote) — 40 keeps
             # a 2x margin at a third of the old W=64 loop cost
             window=max(self.vote_params.window, 40),
+            # the FINAL rescue width must be exact for every read: no cut
+            compact=0,
         )
         # device-side rescue fold: saturated reads are compacted ON DEVICE
         # and re-aligned through wider passes inside the same dispatch
@@ -389,6 +398,10 @@ class Aligner:
                 self.vote_params._replace(
                     wide_slots=8, wide_hits=self.rescue_hits,
                     window=self.rescue_vote_params.window,
+                    # tier-1 streams cut at 512 of C=320+8*wide (chr901:
+                    # 96% of saturated reads fit); denser reads chain into
+                    # the uncut full-wide tier below
+                    compact=512,
                 ),
                 self.rescue_fold_cap,
             ))

@@ -51,6 +51,14 @@ class VoteParams(NamedTuple):
     #                               saturated probes re-gathered at
     #                               wide_hits width (0 = plain pass)
     wide_hits: int = 0
+    compact: int = 0              # post-sort candidate-stream cut: the
+    #                               window/anchor/top-K passes run on the
+    #                               first `compact` sorted entries only
+    #                               (valid candidates sort before the
+    #                               SENTINEL padding, so this is lossless
+    #                               for reads with <= compact candidates;
+    #                               reads with more overflow into the
+    #                               saturation-rescue path).  0 = full C.
 
 
 class VoteResult(NamedTuple):
@@ -431,6 +439,17 @@ def _vote_merged(
     R, C = kv.shape
     S = params.total_subreads if n_sub is None else n_sub
     kv_s, pay_s = jax.lax.sort((kv, payload), dimension=-1, num_keys=1)
+    CC = params.compact
+    overflow = None
+    if CC and CC < C:
+        # candidates sort ascending with SENTINEL padding at the end, so
+        # the first CC sorted entries hold EVERY valid candidate unless
+        # entry CC itself is still valid — those (rare, repeat-heavy)
+        # reads overflow to the wider rescue pass via `saturated`
+        overflow = kv_s[:, CC] != SENTINEL
+        kv_s = kv_s[:, :CC]
+        pay_s = pay_s[:, :CC]
+        C = CC
     off_s = (pay_s & np.uint32(0xFFF)).astype(jnp.int32)
     strand_su = (pay_s >> np.uint32(12)) & np.uint32(1)
     strand_s = strand_su.astype(jnp.int32)
@@ -571,7 +590,7 @@ def _vote_merged(
         )
         votes = jax.lax.population_count(acc_mask).astype(jnp.int32)
     votes = jnp.where(is_anchor, votes, 0)
-    return kv_s, votes, strand_s, pk_s.astype(jnp.int32), acc_mask
+    return kv_s, votes, strand_s, pk_s.astype(jnp.int32), acc_mask, overflow
 
 
 @functools.partial(
@@ -783,7 +802,10 @@ def vote_batch(
         strand3 = jnp.concatenate([strand3, strand_w], axis=1)
         off3 = jnp.concatenate([off3, off_w.astype(jnp.int32)], axis=1)
         C = kv3.shape[1]
-    kv_s, votes, strand_s, pk_s, _ = _vote_merged(kv3, payload, params, n_sub)
+    kv_s, votes, strand_s, pk_s, _, overflow = _vote_merged(
+        kv3, payload, params, n_sub
+    )
+    Cs = kv_s.shape[1]            # compacted sorted-stream width
 
     # --- top-K selection (both strands live in the one stream) ------------
     # Reference simple-list order (core-junction.c:2262-2310): vote count
@@ -803,7 +825,7 @@ def vote_batch(
     sel_votes = jnp.zeros((R, K), jnp.int32)
     BIGU = np.uint32(0xFFFFFFFF)
     col = jnp.broadcast_to(
-        jnp.arange(C, dtype=jnp.int32)[None, :], (R, C)
+        jnp.arange(Cs, dtype=jnp.int32)[None, :], (R, Cs)
     )
     work = votes
     for k in range(K):
@@ -814,7 +836,7 @@ def vote_batch(
         mkv = jnp.min(jnp.where(cand, kv_s, BIGU), axis=-1, keepdims=True)
         cand = cand & (kv_s == mkv)
         best = jnp.min(jnp.where(cand, col, 1 << 30), axis=-1)
-        bestc = jnp.minimum(best, C - 1)
+        bestc = jnp.minimum(best, Cs - 1)
         sel_idx = sel_idx.at[:, k].set(bestc)
         # record the vote count AT PICK TIME: once every anchor is consumed
         # the pick degenerates, and its original votes must not leak back
@@ -896,8 +918,10 @@ def vote_batch(
         cov_start=jnp.where(empty, 0, sel_covmin),
         cov_end=jnp.where(empty, 0, sel_covmax + KMER),
         probe_kv=jnp.where(empty[:, :, None], SENTINEL, sel_pkv),
-        saturated=(trunc_w if trunc_w is not None
-                   else jnp.any(trunc, axis=1)),
+        saturated=(
+            (trunc_w if trunc_w is not None else jnp.any(trunc, axis=1))
+            | (overflow if overflow is not None else False)
+        ),
         apk=jnp.where(empty, 1 << 29, sel_apk),
     )
 
