@@ -345,6 +345,11 @@ class Aligner:
             # saturation-rescue chain which is width-exact (vote.py
             # VoteParams.compact)
             compact=160,
+            # narrow cluster-scan window: measured spans on the H=16
+            # truncated stream never exceed 16 (chr901); the span-overflow
+            # guard in _vote_merged flags any read that would exceed it
+            # into the rescue chain, so this is exact at 2/3 the loop cost
+            window=16,
         )
         # saturation rescue: reads whose key runs overflow the H-entry
         # gather window re-vote through the same path at a width covering
@@ -397,7 +402,9 @@ class Aligner:
             self.rescue_tiers.append((
                 self.vote_params._replace(
                     wide_slots=8, wide_hits=self.rescue_hits,
-                    window=self.rescue_vote_params.window,
+                    # measured spans peak at 21 on chr901 repeats; the
+                    # span-overflow guard chains wider reads to tier 2
+                    window=32,
                     # tier-1 streams cut at 512 of C=320+8*wide (chr901:
                     # 96% of saturated reads fit); denser reads chain into
                     # the uncut full-wide tier below
@@ -2026,12 +2033,32 @@ class Aligner:
                 dc, da = self._unpack(jnp.asarray(words), jnp.asarray(amask), Lp)
             else:
                 dc, da = self._unpack_na(jnp.asarray(words), Lp)
+            vp = self.rescue_vote_params
             res = self._device_align(
                 dc, da, jnp.asarray(lens),
                 self.d_bucket_start, self.d_comb, self.d_sub_base,
                 self.d_sub_lo, self.d_genome,
-                uniform_len=ul, rescue=True,
+                uniform_len=ul, rescue=True, vp=vp,
             )
+            # window-escalation backstop: the span-overflow guard
+            # (ops/vote.py _vote_merged) re-flags reads whose in-tolerance
+            # cluster span exceeds the scan window; double the window until
+            # it clears.  256 bounds any repeat-filtered read (<= 63 probes
+            # x <= ceil(11/period)+1 same-window occurrences), so the final
+            # pass is provably member-complete.
+            while vp.window < 256:
+                still = np.asarray(
+                    jax.device_get(res["saturated"])
+                )[: len(ii)]
+                if not still.any():
+                    break
+                vp = vp._replace(window=min(vp.window * 2, 256))
+                res = self._device_align(
+                    dc, da, jnp.asarray(lens),
+                    self.d_bucket_start, self.d_comb, self.d_sub_base,
+                    self.d_sub_lo, self.d_genome,
+                    uniform_len=ul, rescue=True, vp=vp,
+                )
             items, _ = self._res_layout(res, RB)
             seg = np.array(jax.device_get(self._pack_res(res)))
             got_indel = False
@@ -2513,12 +2540,28 @@ class Aligner:
                     (dc, da, jnp.asarray(lens), uniform_length(lens[: len(ii)]))
                 )
             (dc1, da1, dl1, ul1), (dc2, da2, dl2, ul2) = dcs
+            vp = self.rescue_vote_params
             r1, r2 = self._device_align_pe(
                 dc1, da1, dl1, dc2, da2, dl2,
                 self.d_bucket_start, self.d_comb, self.d_sub_base,
                 self.d_sub_lo, self.d_genome,
-                ul1=ul1, ul2=ul2, rescue=True,
+                ul1=ul1, ul2=ul2, rescue=True, vp=vp,
             )
+            # window-escalation backstop (see _rescue_saturated)
+            while vp.window < 256:
+                still = (
+                    np.asarray(jax.device_get(r1["saturated"]))
+                    | np.asarray(jax.device_get(r2["saturated"]))
+                )[: len(ii)]
+                if not still.any():
+                    break
+                vp = vp._replace(window=min(vp.window * 2, 256))
+                r1, r2 = self._device_align_pe(
+                    dc1, da1, dl1, dc2, da2, dl2,
+                    self.d_bucket_start, self.d_comb, self.d_sub_base,
+                    self.d_sub_lo, self.d_genome,
+                    ul1=ul1, ul2=ul2, rescue=True, vp=vp,
+                )
             for res, out in ((r1, out1), (r2, out2)):
                 items, _ = self._res_layout(res, RB)
                 seg = np.array(jax.device_get(self._pack_res(res)))

@@ -487,6 +487,16 @@ def _vote_merged(
     pad_mask_hi = pad2(mask_hi_s, np.uint32(0)) if dual else None
     pad_spk = pad2(spk_s, 0x3FFF)
 
+    # span-overflow guard: if any W+1 consecutive sorted entries sit within
+    # the cluster tolerance (kv[i+W] - kv[i] <= tol with kv[i] valid), some
+    # center's ±W slot window cannot reach every member within ±tol and
+    # votes would be silently undercounted.  Such reads (dense tandem
+    # repeats) are flagged into the saturation-rescue chain, whose passes
+    # escalate the window until this guard clears.
+    kvW = jax.lax.dynamic_slice_in_dim(pad_kv, 2 * W, C, axis=1)
+    span_over = jnp.any((kvW - kv_s <= tol) & (kv_s != SENTINEL), axis=1)
+    overflow = span_over if overflow is None else (overflow | span_over)
+
     # in-window test: kd - kv_s in [-tol, tol] <=> kd - kv_s + tol <= 2*tol
     # unsigned (one add + one compare).  No SENTINEL guard is needed:
     # SENTINEL neighbours sit 2^32-1 - kv away from any genuine candidate
