@@ -45,9 +45,11 @@ CACHE = HERE / ".bench_cache"
 
 
 def _measure_align(genome, index, n_reads=1 << 16, batch_reads=16384,
-                   seed=12345, streams=4, chunks=5):
+                   seed=12345, streams=4, chunks=6, depth=2):
     """Steady-state streaming reads/s, exactly as align_file drives the
-    device (submit chunk N+1 before collecting chunk N).  Best of
+    device (align_file submits 1M-read chunks = 64 sub-batch dispatch
+    chains at once, so its device FIFO holds many batches; `depth`
+    in-flight batches reproduce that queue depth here).  Best of
     `streams` runs: the tunnel-shared chip drifts 2-4x between runs, so
     the fastest stream estimates true steady-state capability."""
     from subread_tpu.align.pipeline import Aligner
@@ -74,12 +76,13 @@ def _measure_align(genome, index, n_reads=1 << 16, batch_reads=16384,
     res = None
     for _ in range(streams):
         t0 = time.time()
-        state = aligner.submit_batch(batch)
-        for _ in range(chunks - 1):
-            nxt = aligner.submit_batch(batch)
-            res = aligner.collect_batch(state)
-            state = nxt
-        res = aligner.collect_batch(state)
+        q = []
+        for _ in range(chunks):
+            q.append(aligner.submit_batch(batch))
+            if len(q) > depth:
+                res = aligner.collect_batch(q.pop(0))
+        while q:
+            res = aligner.collect_batch(q.pop(0))
         per_stream.append(time.time() - t0)
     dt = min(per_stream) / chunks
     mapped = float(res["mapped"].sum()) / n_reads

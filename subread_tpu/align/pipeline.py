@@ -413,7 +413,10 @@ class Aligner:
                 self.rescue_fold_cap,
             ))
             self.rescue_tiers.append((
-                self.rescue_vote_params,
+                # in-chain full-wide tier: candidate streams cut at 1024;
+                # denser reads (rare homopolymer pileups) fall through to
+                # the host pass, whose rescue_vote_params stay UNCUT
+                self.rescue_vote_params._replace(compact=1024),
                 max(self.rescue_fold_cap // 8, 256),
             ))
         # device-resident index blocks (replicated single-chip); each block
