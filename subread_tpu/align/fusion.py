@@ -105,11 +105,11 @@ def detect_fusion_pairs(
     for i in np.flatnonzero(has):
         k = mk[i]
         Li = int(L[i])
-        m_tail = f_cs[i, k] >= bf_ce[i] - 8  # minor covers the read tail
+        m_tail = f_cs[i, k] >= bf_ce[i, 0] - 8  # minor covers the read tail
         if m_tail:
-            split = int((bf_ce[i] + f_cs[i, k]) // 2)
+            split = int((bf_ce[i, 0] + f_cs[i, k]) // 2)
         else:
-            split = int((f_ce[i, k] + bf_cs[i]) // 2)
+            split = int((f_ce[i, k] + bf_cs[i, 0]) // 2)
         split = max(1, min(Li - 1, split))
 
         def edges(p, st, frag_is_prefix):

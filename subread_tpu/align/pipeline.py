@@ -87,13 +87,31 @@ def write_indel_vcf(path: str, genome: Genome, indels: dict) -> None:
             )
 
 
-def collect_junctions(res: dict, batch, genome, table: dict) -> dict | None:
+def collect_junctions(res: dict, batch, genome, table: dict,
+                      mask: np.ndarray | None = None) -> dict | None:
     """Accumulate junction events from a result batch into the shared
-    event table; also returns {(left_lin, right_lin): donor_strand}."""
+    event table; also returns {(left_lin, right_lin): donor_strand}.
+
+    mask: only count these rows.  The reference's junction.bed holds
+    exactly the junctions of its REPORTED records (its bed and SAM
+    junction sets are identical on the subjunc PE test) — final-table
+    calls pass the emit predicate so unreported (multi-mapping /
+    out-of-range) reads and unconfirmed seeds never add support."""
     if "junc" not in res:
         return None
     donor_of = {}
-    sel = np.flatnonzero(np.asarray(res["junc"], bool))
+    junc = np.asarray(res["junc"], bool)
+    if mask is not None:
+        junc = junc & np.asarray(mask, bool)
+        # chained (cigar_override) rows: res["pos"] was moved to the chain
+        # start while split/junc_gap kept their pre-chain values, so a key
+        # built here would mix frames and mint a phantom junction.  Their
+        # junctions (head/tail events + the primary, all in consistent
+        # frames) are counted by chain_clipped_junctions itself.
+        for i in (res.get("cigar_override") or {}):
+            if i < len(junc):
+                junc[i] = False
+    sel = np.flatnonzero(junc)
     if len(sel) == 0:
         return donor_of
     lin = res["pos"].astype(np.int64)
@@ -1119,7 +1137,35 @@ class Aligner:
                 for k in ("mism", "split", "gap", "pos", "ok",
                           "clip_l", "clip_r"):
                     rj[k] = np.where(accept2, rj2[k], rj[k])
-                accept = accept | accept2
+                # break-even across repeat copies: when BOTH tied anchors
+                # explain the read through table events at EQUAL cost and
+                # distinct positions, the reference's scan-2 keeps both
+                # equal-best candidates and break-even suppresses the read
+                # (highest_score_occurence >= 2, core.c:2760) — a segdup
+                # twin region where both copies carry seeded events maps
+                # nothing.  Revoke the arm-1 acceptance for those rows.
+                be = (
+                    accept & tied & np.asarray(rj2["ok"], bool)
+                    & (rj2["mism"] <= cfg.max_mismatches)
+                    & (rj2_cost == (
+                        np.asarray(rj["mism"]).astype(np.int64)
+                        + np.asarray(rj["clip_l"]) + np.asarray(rj["clip_r"])
+                    ))
+                    & (np.asarray(rj2["pos"]) != np.asarray(rj["pos"]))
+                    # symmetric twin events only (same intron length at
+                    # both copies): the segdup signature where the two
+                    # explanations are structurally identical and the
+                    # reference's equal scores provably tie; asymmetric
+                    # pairs break the tie through MATCH/penalty detail
+                    & (np.asarray(rj2["gap"]) == np.asarray(rj["gap"]))
+                    # and only for reads with NO own anchor quality at all
+                    # (pre-rescue unmapped): a multi-flagged read that the
+                    # PE weighting still anchored keeps its arm-1 rescue,
+                    # matching the reference's PE-weighted combination
+                    # scores which break these ties (core-junction.c:2336)
+                    & ~np.asarray(res["mapped"], bool)
+                )
+                accept = (accept | accept2) & ~be
         out = dict(res)
         # an event-table explanation resolves a vote-level tie: only the
         # copy holding the seeded event explains the read, so the read is
@@ -1166,9 +1212,26 @@ class Aligner:
             out["junc_donor_strand"] = ds
         return out
 
+    def _reported_mask(self, res) -> np.ndarray:
+        """The emit predicate: rows whose record reaches the output as a
+        mapped alignment (mapped, in-contig-range, and not suppressed as
+        multi-mapping).  Junction-support counting is gated on this so the
+        .junction.bed matches the reported records exactly, like the
+        reference's write_junction_final_results (core-junction.c:4286)."""
+        lin = np.asarray(res["pos"]).astype(np.int64)
+        cidx, coff = self.genome.linear_to_chro(lin)
+        ok = (
+            np.asarray(res["mapped"], bool)
+            & (coff >= 0) & (coff < self.genome.lengths[cidx])
+        )
+        if not self.cfg.report_multi_mapping and "multi" in res:
+            ok = ok & ~np.asarray(res["multi"], bool)
+        return ok
+
     def chain_clipped_junctions(self, batch: ReadBatch, res: dict,
                                 junctions: dict, events: dict | None = None,
-                                count_primary: bool = True) -> dict:
+                                count_primary: bool = True,
+                                mask: np.ndarray | None = None) -> dict:
         """Multi-junction CIGARs (e.g. the reference's 8M98N74M168N19M):
         a junction read whose clipped end is explained by ANOTHER table
         junction genome-adjacent to its aligned span gets a second N op
@@ -1180,6 +1243,8 @@ class Aligner:
         if "junc" not in res or not events:
             return res
         junc = np.asarray(res["junc"], bool)
+        if mask is not None:
+            junc = junc & np.asarray(mask, bool)
         R = len(junc)
         zeros = np.zeros(R, np.int32)
         cl = np.asarray(res.get("clip_l", zeros))
@@ -1671,6 +1736,37 @@ class Aligner:
                 s_left + seed["gap"][:, s].astype(jnp.uint32) + np.uint32(1)
             )
             out[f"{pfx}_donor"] = jr_s["donor_strand"].astype(jnp.int8)
+        # alternate anchor for scan-2 rescue (same export as
+        # _select_se_junc): break-even repeat copies are re-explained at
+        # BOTH tied locations — the host rescue's arm 2 and its
+        # break-even revocation need the tied copy's position
+        mlim = applied_mismatch_limit(cfg.max_mismatches, lens)
+        pos_k, strand_k = sc["pos_k"], sc["strand_k"]
+        K = pos_k.shape[1]
+        not_best = (
+            jnp.arange(K, dtype=jnp.int32)[None, :]
+            != res["best_k"].astype(jnp.int32)[:, None]
+        )
+        alt_valid = (
+            sc["valid_k"]
+            & not_best
+            & (pos_k != res["pos"][:, None])
+            & (strand_k == res["strand"].astype(strand_k.dtype)[:, None])
+            & (sc["mism_k"] <= mlim[:, None])
+        )
+        alt_score = jnp.where(alt_valid, sc["score_k"], -1)
+        k2 = jnp.argmax(alt_score, axis=1)
+        take2 = lambda a: jnp.take_along_axis(a, k2[:, None], axis=1)[:, 0]
+        out["alt2_pos"] = take2(pos_k)
+        out["alt2_ok"] = take2(alt_score) >= 0
+        if cfg.all_junctions:
+            # vote clusters for host-side fusion detection, as in
+            # _select_se_junc (write_fusion_final_results analog)
+            out["vk_pos"] = v.pos
+            out["vk_strand"] = v.strand
+            out["vk_votes"] = v.votes
+            out["vk_cov_s"] = v.cov_start
+            out["vk_cov_e"] = v.cov_end
         return out
 
     def _device_align_pe(
@@ -1715,8 +1811,9 @@ class Aligner:
                                           uniform_len=ul1)
             r2 = self._pe_junction_update(c2, l2, genome_u32, v2, sc2, r2,
                                           uniform_len=ul2)
-        r1.pop("best_k", None)
-        r2.pop("best_k", None)
+        if not self.cfg.all_junctions:  # fusion detection reads best_k
+            r1.pop("best_k", None)
+            r2.pop("best_k", None)
         r1["saturated"] = v1.saturated
         r2["saturated"] = v2.saturated
         if not rescue and self.rescue_fold_cap:
@@ -2950,6 +3047,7 @@ class Aligner:
         junctions: dict | None = {} if self.cfg.detect_junctions else None
         seed_pending: dict = {}
         indel_events: dict = {}
+        breakpoints: dict | None = {} if self.cfg.all_junctions else None
 
         def read_pair():
             b1 = rd1.next_batch(chunk_reads, pad_to=self.cfg.pad_read_len)
@@ -3047,16 +3145,38 @@ class Aligner:
                     self._ev_donor = donor
                     r1 = self.rescue_with_events(pair[0], r1, ev_l, ev_r)
                     r2 = self.rescue_with_events(pair[1], r2, ev_l, ev_r)
+                    m1 = self._reported_mask(r1)
+                    m2 = self._reported_mask(r2)
+                    # count_primary: chained rows are skipped by the final
+                    # collect_junctions below (their split/junc_gap are
+                    # stale), so the chain counts their primary junction
+                    # here — in the pre-chain frame, where the ci-M block
+                    # genuinely sits
                     r1 = self.chain_clipped_junctions(
                         pair[0], r1, junctions, events=prelim,
-                        count_primary=False,
+                        count_primary=True, mask=m1,
                     )
                     r2 = self.chain_clipped_junctions(
                         pair[1], r2, junctions, events=prelim,
-                        count_primary=False,
+                        count_primary=True, mask=m2,
                     )
-                    collect_junctions(r1, pair[0], self.genome, junctions)
-                    collect_junctions(r2, pair[1], self.genome, junctions)
+                    collect_junctions(r1, pair[0], self.genome, junctions,
+                                      mask=m1)
+                    collect_junctions(r2, pair[1], self.genome, junctions,
+                                      mask=m2)
+                if breakpoints is not None:
+                    from .fusion import (
+                        accumulate_breakpoints, detect_fusion_pairs,
+                    )
+
+                    for bb, rr in ((pair[0], r1), (pair[1], r2)):
+                        if "vk_pos" not in rr:
+                            continue
+                        pairs_f = detect_fusion_pairs(
+                            rr, bb.lengths, self.cfg.max_indel,
+                            batch=bb, genome=self.genome,
+                        )
+                        accumulate_breakpoints(breakpoints, pairs_f)
                 self._emit_sam_pe(writer, pair[0], pair[1], r1, r2, summary,
                                   indel_events)
                 t3 = time.time()
@@ -3069,6 +3189,12 @@ class Aligner:
             writer.close()
         if junctions is not None:
             write_junction_bed(out_sam + ".junction.bed", junctions)
+        if breakpoints is not None:
+            from .fusion import write_breakpoints_vcf
+
+            write_breakpoints_vcf(
+                out_sam + ".breakpoints.vcf", self.genome, breakpoints
+            )
         write_indel_vcf(out_sam + ".indel.vcf", self.genome, indel_events)
         return summary
 
@@ -3186,7 +3312,8 @@ class Aligner:
                     # chain lookups use the full event set (prelim) but
                     # support counts land in the output table (junctions)
                     res = self.chain_clipped_junctions(
-                        batch, res, junctions, events=prelim
+                        batch, res, junctions, events=prelim,
+                        mask=self._reported_mask(res),
                     )
                 t2 = time.time()
                 if breakpoints is not None and "vk_pos" in res:

@@ -1,7 +1,7 @@
 """subread-buildindex equivalent.
 
 Reference CLI: index-builder.c:1014-1306.  Flags mirrored: -o prefix,
--F full index (gap=1; default here), -B one block, -f repeat
+-F full index (gap=1; default is gapped, as upstream), -B one block, -f repeat
 threshold, -M memory MB (splits the index into NN-suffixed blocks whose
 votes are merged per read — the reference's block-serial voting,
 core.c:3562-3613), positional FASTA file(s).
@@ -20,9 +20,13 @@ def main(argv=None) -> int:
     )
     ap.add_argument("-o", "--output", required=True, help="index prefix")
     ap.add_argument("-F", "--full-index", action="store_true",
-                    help="build a full index (every 16-mer; default)")
+                    help="build a full index (every 16-mer); without -F a "
+                         "gapped index (every 3rd 16-mer) is built, "
+                         "matching the reference default "
+                         "(index-builder.c:1042-1081)")
     ap.add_argument("--gapped", action="store_true",
-                    help="build the gapped index (every 3rd 16-mer)")
+                    help="build the gapped index (every 3rd 16-mer; "
+                         "the default)")
     ap.add_argument("-B", "--one-block", action="store_true",
                     help="accepted for compatibility (always one block)")
     ap.add_argument("-M", "--memory", type=int, default=8000,
@@ -67,7 +71,7 @@ def main(argv=None) -> int:
         for c in contigs:
             c.name = c.name.split("|")[0]
     genome = build_genome(contigs)
-    gap = 3 if args.gapped else 1
+    gap = 1 if args.full_index and not args.gapped else 3
     index = build_hash_index(genome, index_gap=gap, repeat_threshold=args.threshold)
     # partial index artifacts are removed on SIGINT/SIGTERM, ENOSPC or
     # any crash (reference SIGINT_hook index-builder.c:996, installed
