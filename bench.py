@@ -110,6 +110,16 @@ def bench_align_chr901(out):
     out["mapped_fraction_ref_binary"] = 0.9363
     out["batch_ms"] = round(batch_ms, 2)
 
+    # gapped index (index_gap=3) — the reference's default for real
+    # genomes (1/3 the index rows; voting probes all 3 phases).
+    index_g = build_hash_index(genome, index_gap=3)
+    rps_g, mapped_g, _ = _measure_align(genome, index_g, streams=3)
+    out["gapped_reads_per_s"] = round(rps_g, 1)
+    out["gapped_vs_baseline"] = round(
+        rps_g / BASELINE_READS_PER_SEC_PER_CORE, 3
+    )
+    out["gapped_mapped_fraction"] = round(mapped_g, 4)
+
 
 def _big_genome_index(n_bases=100_000_000, seed=77):
     """100 MB synthetic genome + full (gap=1) index, cached on disk so

@@ -285,21 +285,27 @@ def _events_from_moves(moves, chromo_start: int, read_start: int):
     return events
 
 
-def _sections_from_probe_kv(pkv_row: np.ndarray, pos: int):
-    """Reconstruct indel_recorder sections [(first_probe0, last_probe0,
-    cum_offset)] from per-probe cluster kv (delta vs the anchor)."""
+def _sections_from_probe_kv(pkv_row: np.ndarray, pos: int, gap: int = 1):
+    """Reconstruct indel_recorder sections [(first_subread0, last_subread0,
+    cum_offset)] from per-probe cluster kv (delta vs the anchor).
+
+    With a gapped index the scan probes each nominal subread at `gap`
+    phases but the reference's recorder stores the NOMINAL subread number
+    (gehash_go_X receives subread_no, core.c:3179), which find_subread_end
+    maps to a read offset — so probe indices collapse to probe//gap."""
     sections = []
     cur = None
     for p, kv in enumerate(pkv_row):
         if kv == 0xFFFFFFFF:
             continue
+        sn = p // gap
         d = int(kv) - int(pos)
         if cur is not None and d == cur[2]:
-            cur[1] = p
+            cur[1] = sn
         else:
             if cur is not None:
                 sections.append(tuple(cur))
-            cur = [p, p, d]
+            cur = [sn, sn, d]
     if cur is not None:
         sections.append(tuple(cur))
     return sections
@@ -464,7 +470,8 @@ def ref_stats_batch_np(mm, read_len, split, indel, cs, ce, show_clip=True):
     return head[:, 0], tail[:, 0], mism, match
 
 
-def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3):
+def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3,
+                      index_gap: int = 1):
     """Event-table indel placement for one batch.
 
     Updates res arrays IN PLACE (pos/split/clip_l/clip_r/mism/mapq/mapped):
@@ -523,7 +530,7 @@ def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3):
         vpos = int(pos_arr[i]) - cl          # unclipped voting position
         read = _oriented_codes(batch, i, int(strand_arr[i]))
         read_cache[i] = read
-        secs = _sections_from_probe_kv(pkv[i], vpos)
+        secs = _sections_from_probe_kv(pkv[i], vpos, gap=index_gap)
         if len(secs) < 2:
             continue
         last_correct_subread = secs[0][1]

@@ -3084,6 +3084,7 @@ class Aligner:
                         ev_new, ev_done = propose_and_apply(
                             self.genome, bb, rr, self.cfg,
                             anchor_mism_limit=self.cfg.max_mismatches,
+                            index_gap=self.index.index_gap,
                         )
                         if ev_done:
                             rr["_events_done"] = set(ev_done)
@@ -3244,6 +3245,7 @@ class Aligner:
                     ev_new, ev_done = propose_and_apply(
                         self.genome, batch, res, self.cfg,
                         anchor_mism_limit=self.cfg.max_mismatches,
+                        index_gap=self.index.index_gap,
                     )
                     if ev_done:
                         # these rows' events are recorded below; emitters

@@ -180,7 +180,10 @@ def vote_read_oracle(index, codes: np.ndarray, read_len: int,
                 else:
                     phases = (0,)
                 for ph in phases:
-                    op = min(o + ph, read_len - 16)
+                    # reference snaps the nominal offset down to the gap
+                    # grid before adding the phase (core.c:3169-3171)
+                    ob = o - o % gap if gap > 1 else o
+                    op = min(ob + ph, read_len - 16)
                     k = key_at(arr, op)
                     occ = occ_of(k, strand == 1)
                     table.go(occ, op, strand, tolerance, sn, run_round,

@@ -140,7 +140,12 @@ def subread_offsets(read_len: jnp.ndarray, params: VoteParams,
         offsets = base
         sub_id = np.arange(n_sub, dtype=np.int32)
     else:
+        # the reference snaps the nominal offset DOWN to a gap multiple
+        # before adding the phase (core.c:3169-3171:
+        # subread_offset -= subread_offset % GENE_SLIDING_STEP - xk1), so
+        # gapped probes sit on the index's stored-position grid exactly
         phases = np.arange(gap, dtype=np.int32)
+        base = base - base % gap
         offsets = (base[:, :, None] + phases[None, None, :]).reshape(
             base.shape[0], n_sub * gap
         )
@@ -172,6 +177,8 @@ def static_offsets(read_len: int, params: VoteParams) -> np.ndarray:
     if gap == 1:
         offsets = base
     else:
+        # nominal offset snapped down to the gap grid + phase (core.c:3169)
+        base = base - base % gap
         offsets = (base[:, None] + np.arange(gap)[None, :]).reshape(-1)
     return np.minimum(offsets, max(L - KMER, 0)).astype(np.int32)
 

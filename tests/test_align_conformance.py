@@ -186,3 +186,29 @@ def test_250bp_position_agreement_with_reference(tmp_path, chr901_genome,
     assert both > 7500, both
     assert agree / both >= 0.99, f"{agree}/{both}"
     assert ref_only < 80, ref_only
+
+
+SE_GAP_FULL = HERE / "data" / "se20k-chr901-gap.ref-full.tsv.gz"
+
+
+def test_gapped_index_se_full_record_parity(tmp_path, chr901_genome):
+    """SE parity on the GAPPED index (index_gap=3) — the reference's
+    default mode for real genomes (index-builder.c default; memory table
+    doc/SubreadUsersGuide.tex:570-573).  Fixture: the reference binary on
+    the same reads over `subread-buildindex` (no -F).  Voting probes all
+    3 gap phases with the nominal offset snapped to the gap grid
+    (core.c:3161-3182), and the event-placement windows collapse probes
+    to nominal subread numbers (find_new_indels, core-indel.c:1874-1906)."""
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+    from subread_tpu.index.build import build_hash_index
+    from subread_tpu.utils.samcompare import load_ref_full, compare_sam_to_ref
+
+    idx = build_hash_index(chr901_genome, index_gap=3)
+    al = Aligner(chr901_genome, idx, aligner_config(batch_reads=2048))
+    out = tmp_path / "se-gap.sam"
+    al.align_file(str(FQ), str(out))
+    st = compare_sam_to_ref(str(out), load_ref_full(str(SE_GAP_FULL)))
+    assert st.full_rate >= 0.996, f"gapped SE full parity {st.full_rate:.4f}"
+    assert st.core_rate >= 0.996, f"gapped SE core parity {st.core_rate:.4f}"
+    assert st.ref_only_mapped <= 40, f"ref-only mapped {st.ref_only_mapped}"
