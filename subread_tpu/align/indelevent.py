@@ -588,6 +588,75 @@ def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3,
     # come from two searchsorted cuts instead of a full scan (the pass
     # previously cost ~read_count * event_count python comparisons).
     ce_res = np.asarray(res["cov_end"], np.int32) if "cov_end" in res else None
+    multi_res0 = np.asarray(res["multi"], bool)
+
+    # ---- pass 1.5: multi-event chains from the read's OWN window walk ----
+    # One DP window's movement buffer can hold SEVERAL adjacent events
+    # (e.g. 3I then 1I three bases apart -> 24M3I3M1I69M), which the
+    # reference's explain walk chains into one CIGAR
+    # (search_events_to_back/front, core-junction.c:588/:125,
+    # MAX_EVENTS_IN_READ=8).  A read whose own proposals hold >= 2 events
+    # summing to its net indel gets the chained override directly.
+    chained = set()
+    overrides = res.get("cigar_override") or {}
+    for i in cand:
+        props = proposals.get(i)
+        if not props or len(props) < 2:
+            continue
+        ind = int(indel_arr[i])
+        if sum(e for (_s, e, _q) in props) != ind:
+            continue
+        L = int(batch.lengths[i])
+        cl0 = int(cl_arr[i]) if cl_arr is not None else 0
+        vpos = int(pos_arr[i]) - cl0
+        read = read_cache[i]
+        evs = sorted(props)
+        rc, gc = 0, vpos
+        cig = []
+        mism = 0
+        ok = True
+        for (ss, elen, _q) in evs:
+            seg = ss - gc + 1
+            if seg <= 0 or rc + seg > L:
+                ok = False
+                break
+            mism += int(np.sum(read[rc:rc + seg] != gcodes[gc:gc + seg]))
+            cig.append(f"{seg}M")
+            rc += seg
+            gc += seg
+            if elen > 0:
+                cig.append(f"{elen}D")
+                gc += elen
+            else:
+                if rc - elen > L:
+                    ok = False
+                    break
+                cig.append(f"{-elen}I")
+                rc += -elen
+        tailn = L - rc
+        if not ok or tailn <= 0 or gc + tailn > glen:
+            continue
+        mism += int(np.sum(read[rc:L] != gcodes[gc:gc + tailn]))
+        cig.append(f"{tailn}M")
+        if mism > anchor_mism_limit:
+            continue
+        nm = mism + sum(abs(e) for (_s, e, _q) in evs)
+        overrides[int(i)] = ("".join(cig), mism, nm)
+        chained.add(int(i))
+        done_rows.append(int(i))
+        pos_arr[i] = np.uint32(vpos)
+        mism_arr[i] = mism
+        if cl_arr is not None:
+            cl_arr[i] = 0
+        if cr_arr is not None:
+            cr_arr[i] = 0
+        mapq_arr[i] = 0 if bool(multi_res0[i]) else (
+            cfg.mapq_unique // max(1, int(n_anch[i]) + mism)
+        )
+        mapped_arr[i] = True
+        for (ss, elen, iseq) in evs:
+            sup0, iseq0 = out_events.get((ss, elen), (0, iseq))
+            out_events[(ss, elen)] = (sup0 + 1, iseq0)
     by_len_sorted = {}
     for elen, lst in by_len.items():
         lst.sort(key=lambda t: t[0])
@@ -598,6 +667,8 @@ def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3,
         )
     sel = []   # (i, vpos, split, ind, ss, iseq)
     for i in cand:
+        if i in chained:
+            continue
         L = int(batch.lengths[i])
         cl0 = int(cl_arr[i]) if cl_arr is not None else 0
         vpos = int(pos_arr[i]) - cl0
@@ -695,6 +766,8 @@ def propose_and_apply(genome, batch, res, cfg, anchor_mism_limit=3,
             res["clip_l"] = cl_arr
         if cr_arr is not None:
             res["clip_r"] = cr_arr
+    if chained:
+        res["cigar_override"] = overrides
     return out_events, done_rows
 
 

@@ -127,8 +127,8 @@ def test_se_full_record_parity(tmp_path, chr901_genome, chr901_index):
     out = tmp_path / "se.sam"
     al.align_file(str(FQ), str(out))
     st = compare_sam_to_ref(str(out), load_ref_full(str(SE_FULL)))
-    assert st.full_rate >= 0.9980, f"SE full-record parity {st.full_rate:.4f}"
-    assert st.core_rate >= 0.9980, f"SE core parity {st.core_rate:.4f}"
+    assert st.full_rate >= 0.9985, f"SE full-record parity {st.full_rate:.4f}"
+    assert st.core_rate >= 0.9985, f"SE core parity {st.core_rate:.4f}"
     assert st.ref_only_mapped <= 40, f"ref-only mapped {st.ref_only_mapped}"
 
 
@@ -141,7 +141,7 @@ def test_pe_full_record_parity(tmp_path, chr901_genome, chr901_index):
     out = tmp_path / "pe.sam"
     al.align_file_pe(str(PE_R1), str(PE_R2), str(out))
     st = compare_sam_to_ref(str(out), load_ref_full(str(PE_FULL)))
-    assert st.full_rate >= 0.9935, f"PE full-record parity {st.full_rate:.4f}"
+    assert st.full_rate >= 0.9940, f"PE full-record parity {st.full_rate:.4f}"
     assert st.core_rate >= 0.9955, f"PE core parity {st.core_rate:.4f}"
     assert st.ref_only_mapped <= 40, f"ref-only mapped {st.ref_only_mapped}"
 
@@ -209,6 +209,6 @@ def test_gapped_index_se_full_record_parity(tmp_path, chr901_genome):
     out = tmp_path / "se-gap.sam"
     al.align_file(str(FQ), str(out))
     st = compare_sam_to_ref(str(out), load_ref_full(str(SE_GAP_FULL)))
-    assert st.full_rate >= 0.996, f"gapped SE full parity {st.full_rate:.4f}"
-    assert st.core_rate >= 0.996, f"gapped SE core parity {st.core_rate:.4f}"
+    assert st.full_rate >= 0.998, f"gapped SE full parity {st.full_rate:.4f}"
+    assert st.core_rate >= 0.998, f"gapped SE core parity {st.core_rate:.4f}"
     assert st.ref_only_mapped <= 40, f"ref-only mapped {st.ref_only_mapped}"
