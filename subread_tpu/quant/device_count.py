@@ -143,6 +143,12 @@ class DeviceCounter:
                 fs = annotation.feat_strand
                 keep = (fs == t) | (fs == 2)
             self._tables.append(self._build_table(keep))
+        # sparse-table RMQ over each span-label array: range min / max /
+        # contains-multi answered with 2 gathers per section instead of a
+        # W-wide label gather ([R,S,W] was ~96M gathered elements per 1M
+        # records — the whole kernel cost) and with NO width cap, so the
+        # overflow path disappears
+        self._rmq = [self._build_rmq(t[2]) for t in self._tables]
 
     def _build_table(self, keep: np.ndarray):
         ann = self.ann
@@ -361,6 +367,31 @@ class DeviceCounter:
             secs.append((sec_start, p - 1))
         return secs
 
+    def _build_rmq(self, labels: np.ndarray):
+        """Sparse tables over span labels: (min, max, is-multi max), each
+        flattened [K*G] so the kernel gathers level k at k*G + i.  Level k
+        row i covers spans [i, i + 2**k); a range [lo, hi) is the fold of
+        levels floor(log2(hi-lo)) at lo and hi - 2**k."""
+        G = len(labels)
+        if G == 0:
+            z = np.zeros(1, np.int32)
+            return z, z.copy(), z.copy(), 1, 1
+        K = max(1, int(G).bit_length())
+        rmin = np.empty((K, G), np.int32)
+        rmax = np.empty((K, G), np.int32)
+        rmul = np.empty((K, G), np.int32)
+        rmin[0] = labels
+        rmax[0] = labels
+        rmul[0] = (labels == self.multi).astype(np.int32)
+        idx = np.arange(G)
+        for k in range(1, K):
+            h = 1 << (k - 1)
+            j = np.minimum(idx + h, G - 1)
+            rmin[k] = np.minimum(rmin[k - 1], rmin[k - 1][j])
+            rmax[k] = np.maximum(rmax[k - 1], rmax[k - 1][j])
+            rmul[k] = np.maximum(rmul[k - 1], rmul[k - 1][j])
+        return rmin.reshape(-1), rmax.reshape(-1), rmul.reshape(-1), K, G
+
     # ------------------------------------------------------------------
     # device kernel
 
@@ -375,62 +406,60 @@ class DeviceCounter:
 
     def _kernel(self, sec_start, sec_end, gate, strand_tbl):
         """Pure function: global-coord sections -> (counts, summary,
-        status, overflow).  Jit/shard_map-safe."""
+        status, overflow).  Jit/shard_map-safe.
+
+        Per-section gene evidence (range min / max / contains-multi over
+        the covering spans [lo, hi)) comes from sparse-table RMQ lookups
+        — 6 gathers per section, exact for ANY span-run width (the old
+        W-wide label gather moved ~96M elements per 1M records and
+        carried an overflow cap)."""
         import jax
         import jax.numpy as jnp
 
         R, S = sec_start.shape
-        W = self.w
         valid = sec_end >= sec_start  # invalid rows use (0, -1)
 
         def one_table(tbl_idx):
-            span_s, span_e, span_lab = self._device_tables[tbl_idx]
+            span_s, span_e, _span_lab = self._device_tables[tbl_idx]
+            fmin, fmax, fmul, K, G = self._rmq[tbl_idx]
+            d_min = jnp.asarray(fmin)
+            d_max = jnp.asarray(fmax)
+            d_mul = jnp.asarray(fmul)
             lo = jnp.searchsorted(span_e, sec_start, side="left")
             hi = jnp.searchsorted(span_s, sec_end, side="right")
-            return lo, hi, span_lab
+            n = hi - lo
+            ok = valid & (n > 0)
+            nn = jnp.maximum(n, 1).astype(jnp.int32)
+            k = 31 - jax.lax.clz(nn)              # floor(log2 n) < K
+            i1 = jnp.clip(lo, 0, G - 1)
+            i2 = jnp.clip(hi - (1 << k), 0, G - 1)
+            kG = k * jnp.int32(G)
+            vmin = jnp.minimum(d_min[kG + i1], d_min[kG + i2])
+            vmax = jnp.maximum(d_max[kG + i1], d_max[kG + i2])
+            mul = jnp.maximum(d_mul[kG + i1], d_mul[kG + i2])
+            vmin = jnp.where(ok, vmin, jnp.int32(1 << 30))
+            vmax = jnp.where(ok, vmax, jnp.int32(-1))
+            mul = jnp.where(ok, mul, 0)
+            return vmin, vmax, mul
 
         if len(self._device_tables) == 1:
-            lo, hi, span_lab = one_table(0)
-            labs_of = lambda idx: span_lab[idx]
+            vmin_s, vmax_s, mul_s = one_table(0)
         else:
-            lo0, hi0, lab0 = one_table(0)
-            lo1, hi1, lab1 = one_table(1)
+            a0 = one_table(0)
+            a1 = one_table(1)
             pick = strand_tbl[:, None].astype(bool)
-            lo = jnp.where(pick, lo1, lo0)
-            hi = jnp.where(pick, hi1, hi0)
-            pad = max(0, lab1.shape[0] - lab0.shape[0])
-            lab0p = jnp.pad(lab0, (0, pad), constant_values=NONE)
-            pad0 = max(0, lab0.shape[0] - lab1.shape[0])
-            lab1p = jnp.pad(lab1, (0, pad0), constant_values=NONE)
-            labs2 = jnp.stack([lab0p, lab1p])  # [2, Gmax]
+            vmin_s = jnp.where(pick, a1[0], a0[0])
+            vmax_s = jnp.where(pick, a1[1], a0[1])
+            mul_s = jnp.where(pick, a1[2], a0[2])
 
-            def labs_of(idx):
-                return labs2[strand_tbl[:, None, None], idx]
-
-        k = jnp.arange(W)[None, None, :]
-        idx = lo[:, :, None] + k                      # [R, S, W]
-        gmax = max(t[0].shape[0] for t in self._device_tables)
-        in_range = (idx < hi[:, :, None]) & valid[:, :, None]
-        idx = jnp.clip(idx, 0, gmax - 1)
-        labels = jnp.where(in_range, labs_of(idx), NONE)
-        overflow = jnp.sum(
-            jnp.any((hi - lo > W) & valid, axis=1).astype(jnp.int32)
-        )
-
-        # the status rule only needs 0 / 1 / >=2 distinct gene labels:
-        # masked min/max reductions answer that exactly (max != min <=>
-        # >=2 distinct) without sorting the [R, S*W] label tensor — the
-        # sort was ~5x the whole remaining kernel
-        flat = labels.reshape(R, S * W)
-        lab_valid = flat >= 0
-        any_valid = jnp.any(lab_valid, axis=1)
-        vmax = jnp.max(jnp.where(lab_valid, flat, -1), axis=1)
-        vmin = jnp.min(jnp.where(lab_valid, flat, jnp.int32(1 << 30)),
-                       axis=1)
+        overflow = jnp.int32(0)  # RMQ is width-exact; no cap remains
+        vmax = jnp.max(vmax_s, axis=1)
+        vmin = jnp.min(vmin_s, axis=1)
+        any_valid = vmax >= 0
         n_distinct = jnp.where(
             any_valid, 1 + (vmax != vmin).astype(jnp.int32), 0
         )
-        has_multi = jnp.any(flat == self.multi, axis=1)
+        has_multi = jnp.any(mul_s > 0, axis=1)
         gene = vmax
 
         status = jnp.where(
@@ -511,6 +540,17 @@ class DeviceCounter:
         chroms = self._chrom_universe()
         offs = self._window_arrays(chroms)
         R = len(ci)
+        # trim the padded section width to this batch's real maximum
+        # (bucketed so the kernel compiles a handful of shapes): typical
+        # BAMs are S=1-2, not the max_sections=10 pad — 5-10x less
+        # mapping/upload/kernel work
+        s_eff = int(nsec.max()) if R else 1
+        for b in (1, 2, 4, 6, self.max_sections):
+            if s_eff <= b:
+                s_eff = b
+                break
+        ss = np.ascontiguousarray(ss[:, :s_eff])
+        se = np.ascontiguousarray(se[:, :s_eff])
         strand_bit = ((flag >> 4) & 1).astype(np.int32)
         tbl = np.zeros(R, dtype=np.int32)
         if self.strand:
@@ -534,7 +574,16 @@ class DeviceCounter:
         if arrays is None:
             return self.fragments_from_sam(path)
         ci, nsec, ss, se, flag, nh, qh = arrays
-        S = self.max_sections
+        # input-width trim (see sections_from_file); the fragment union
+        # of two ends needs up to twice the per-record width
+        s_in = int(nsec.max()) if len(ci) else 1
+        for b in (1, 2, 4, 6, self.max_sections):
+            if s_in <= b:
+                s_in = b
+                break
+        ss = np.ascontiguousarray(ss[:, :s_in])
+        se = np.ascontiguousarray(se[:, :s_in])
+        S = min(self.max_sections, 2 * s_in)
         keep = (flag & 0x900) == 0          # drop secondary/supplementary
         ci, nsec, ss, se = ci[keep], nsec[keep], ss[keep], se[keep]
         flag, nh, qh = flag[keep], nh[keep], qh[keep]
@@ -645,7 +694,12 @@ class DeviceCounter:
 
         if strand_tbl is None:
             strand_tbl = np.zeros(sec_start.shape[0], dtype=np.int32)
-        fn = jax.jit(self._kernel)
+        fn = getattr(self, "_count_jit", None)
+        if fn is None:
+            # cache the jit wrapper: a fresh jax.jit per call re-traced
+            # and re-lowered the kernel every time (~8s per 1M-record
+            # count through the tunnel)
+            fn = self._count_jit = jax.jit(self._kernel)
         c, s, st, ov = fn(sec_start, sec_end, gate, strand_tbl)
         return (np.asarray(c), np.asarray(s), np.asarray(st), int(ov))
 
