@@ -1542,8 +1542,28 @@ class Aligner:
                 seen.append((pc, okc))
             return rank
 
-        r1_rank = storage_rank(tk1, top_ok, p1)
-        r2_rank = storage_rank(tk2, top_ok, p2)
+        # bigtable storage order: the comb buffer's sorted insert keeps
+        # equal-score combos in GENERATION order, the ascending stable
+        # merge_sort preserves that, and the storage loop walks the array
+        # BACKWARDS (core-junction.c:2395-2420) — so among tied combos
+        # the LAST-generated is stored first.  Re-sort the top-3 columns
+        # by (score desc, generation desc) before ranking.
+        import os as _os
+        if _os.environ.get("SUBREAD_PE_TIE_FWD", "0") != "1":
+            # top_key = adj*KK + (KK-1-fidx)  ->  score and generation
+            score_c = top_key // jnp.int32(KK)
+            gen_c = jnp.int32(KK - 1) - (top_key % jnp.int32(KK))
+            colkey = jnp.where(
+                top_ok, score_c * jnp.int32(KK) + gen_c, jnp.int32(-1)
+            )
+            perm = jnp.argsort(-colkey, axis=1)   # [R, 3]
+            tk1_s = jnp.take_along_axis(tk1, perm, axis=1)
+            tk2_s = jnp.take_along_axis(tk2, perm, axis=1)
+            ok_s = jnp.take_along_axis(top_ok, perm, axis=1)
+        else:
+            tk1_s, tk2_s, ok_s = tk1, tk2, top_ok
+        r1_rank = storage_rank(tk1_s, ok_s, p1)
+        r2_rank = storage_rank(tk2_s, ok_s, p2)
         # SE-fallback anchor order = candidate order
         kcol = jnp.arange(K, dtype=jnp.int32)[None, :]
         r1_rank = jnp.where(any_combo[:, None], r1_rank, kcol)
