@@ -219,6 +219,83 @@ def bench_featurecounts(out, tmpdir):
     out["featurecounts_assigned"] = assigned
 
 
+def bench_align_pe(out):
+    """PE + indel throughput (BASELINE.json measured config
+    'subread-align PE + indel'): simulated 100bp pairs with 1% of
+    fragments carrying an indel, streaming submit/collect like the SE
+    row.  Reported per READ (2 per fragment)."""
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import aligner_config
+    from subread_tpu.index.build import build_hash_index
+    from subread_tpu.index.genome import genome_from_fasta
+    from subread_tpu.utils.simulate import simulate_reads
+
+    genome = genome_from_fasta("/root/reference/test/chr901.fa")
+    index = build_hash_index(genome, index_gap=1)
+    rng = np.random.default_rng(4242)
+    n_pairs = 1 << 14
+    b1, b2 = simulate_reads(
+        genome, n_pairs, read_len=100, rng=rng, error_rate=0.005,
+        indel_rate=0.01, paired=True,
+    )
+    cfg = aligner_config(batch_reads=n_pairs)
+    for b in (b1, b2):
+        if b.max_len < cfg.pad_read_len:
+            pad = cfg.pad_read_len - b.max_len
+            b.codes = np.pad(b.codes, ((0, 0), (0, pad)))
+            b.quals = np.pad(b.quals, ((0, 0), (0, pad)))
+            b.ambig = np.pad(b.ambig, ((0, 0), (0, pad)))
+    al = Aligner(genome, index, cfg)
+    for _ in range(2):
+        al.align_batch_pe(b1, b2)
+    best = 0.0
+    res = None
+    for _ in range(3):
+        t0 = time.time()
+        q = []
+        for _ in range(4):
+            q.append(al.submit_batch_pe(b1, b2))
+            if len(q) > 1:
+                res = al.collect_batch_pe(q.pop(0))
+        while q:
+            res = al.collect_batch_pe(q.pop(0))
+        best = max(best, 4 * 2 * n_pairs / (time.time() - t0))
+    r1, _r2 = res
+    mapped = float(np.asarray(r1["mapped"], bool).mean())
+    out["pe_reads_per_s"] = round(best, 1)
+    out["pe_vs_baseline"] = round(best / BASELINE_READS_PER_SEC_PER_CORE, 3)
+    out["pe_mapped_fraction_r1"] = round(mapped, 4)
+
+
+def bench_subjunc(out):
+    """subjunc junction detection (BASELINE.json measured config): the
+    reference's own junction-reads-A.fq (16052 reads) end-to-end through
+    align_file in subjunc mode — includes junction discovery, seeding,
+    event rescue, chaining and .junction.bed output."""
+    import tempfile
+
+    from subread_tpu.align.pipeline import Aligner
+    from subread_tpu.config import subjunc_config
+    from subread_tpu.index.build import build_hash_index
+    from subread_tpu.index.genome import genome_from_fasta
+
+    reads = "/root/reference/test/subjunc/data/junction-reads-A.fq"
+    if not os.path.exists(reads):
+        return
+    genome = genome_from_fasta("/root/reference/test/chr901.fa")
+    index = build_hash_index(genome, index_gap=1)
+    al = Aligner(genome, index, subjunc_config(batch_reads=8192))
+    best = 0.0
+    n = 16052
+    with tempfile.TemporaryDirectory() as td:
+        for _ in range(2):
+            t0 = time.time()
+            s = al.align_file(reads, os.path.join(td, "j.sam"))
+            best = max(best, n / (time.time() - t0))
+        out["subjunc_reads_per_s"] = round(best, 1)
+        out["subjunc_mapped_fraction"] = round(s.mapped / s.total, 4)
+
+
 def bench_devicecounts(out, tmpdir):
     """Device counting (quant.device_count, the --deviceCounts CLI path),
     measured END-TO-END on the 1M-record bench BAM: native record parse
@@ -294,6 +371,10 @@ def main():
 
     out = {}
     bench_align_chr901(out)
+    if os.environ.get("SUBREAD_BENCH_PE", "1") != "0":
+        bench_align_pe(out)
+    if os.environ.get("SUBREAD_BENCH_SUBJUNC", "1") != "0":
+        bench_subjunc(out)
     with tempfile.TemporaryDirectory() as td:
         bench_featurecounts(out, td)
         bench_devicecounts(out, td)
