@@ -45,7 +45,7 @@ CACHE = HERE / ".bench_cache"
 
 
 def _measure_align(genome, index, n_reads=1 << 16, batch_reads=16384,
-                   seed=12345, streams=4, chunks=6, depth=2):
+                   seed=12345, streams=6, chunks=6, depth=2):
     """Steady-state streaming reads/s, exactly as align_file drives the
     device (align_file submits 1M-read chunks = 64 sub-batch dispatch
     chains at once, so its device FIFO holds many batches; `depth`
@@ -238,7 +238,10 @@ def bench_align_pe(out):
         genome, n_pairs, read_len=100, rng=rng, error_rate=0.005,
         indel_rate=0.01, paired=True,
     )
-    cfg = aligner_config(batch_reads=n_pairs)
+    # 8K pairs per sub-batch: PE saturation (either end) runs ~2x the SE
+    # rate, so 16K-pair sub-batches overflow the 4096-row rescue tier
+    # into the slow host pass
+    cfg = aligner_config(batch_reads=8192)
     for b in (b1, b2):
         if b.max_len < cfg.pad_read_len:
             pad = cfg.pad_read_len - b.max_len
