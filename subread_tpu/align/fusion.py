@@ -79,6 +79,25 @@ def detect_fusion_pairs(
     incompatible = (strand != b_strand[:, None]) | (diff > MAX_INTRON)
     no_overlap = (f_cs >= bf_ce - 8) | (f_ce <= bf_cs + 8)
     cand = valid & incompatible & no_overlap & anchored[:, None]
+    # fusion-mode big-margin gate (test_small_minor_votes,
+    # core-junction.c:837-885): a minor farther than the max intron is
+    # rejected when ANY other cluster with votes within 1 of the minor's
+    # covers (in forward-read coordinates) nearly the same span (both
+    # edges within 7) — a repeat twin makes the breakend placement
+    # ambiguous and the reference drops the pair.
+    far = diff > MAX_INTRON
+    K_ = votes.shape[1]
+    not_self = ~np.eye(K_, dtype=bool)[None, :, :]
+    twin = (
+        (votes[:, None, :] >= votes[:, :, None])   # within-1-vote rule:
+        #  `if(minor_votes - other_votes >= 1) continue` keeps only
+        #  others with votes >= the minor's
+        & (np.abs(f_cs[:, None, :] - f_cs[:, :, None]) < 7)
+        & (np.abs(f_ce[:, None, :] - f_ce[:, :, None]) < 7)
+        & (pos[:, None, :] != np.int64(SENTINEL))
+        & not_self
+    ).any(axis=2)
+    cand &= ~(far & twin)
     # NOTE: no multi-mapping gate here — a true chimera's two halves tie
     # as equally-scored distinct locations, so ambiguity is EXPECTED of
     # fusion reads; false pairs are filtered by the sequence validation
